@@ -1,0 +1,70 @@
+"""Pipeline configuration.
+
+Mirrors the reference's CLI surface (reference indexing_v6_sharded.py:256-271,
+find_remove_ranges.py:7-15, write_back_to_jsonl_sharded.py:11-17) as a single
+dataclass consumed by ``pipelines.sa_dedup.build_pipeline``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class DedupConfig:
+    # --- substring (suffix-array) dedup ---------------------------------
+    # Minimum duplicate-run length in BYTES (reference `--minlen`;
+    # production uses 500, toy workflows use 32: reference workflow_toy.sh:18,
+    # aws_workflow.sh:2).
+    minlen: int = 64
+    # "annotate" attaches `sa_remove_ranges`; "remove" additionally emits
+    # `text_deduped` with the ranges excised (reference `--mode`).
+    mode: str = "annotate"
+
+    # --- partitioning ----------------------------------------------------
+    # Number of order-contiguous corpus partitions (reference: shards =
+    # cpus x num_batches). Partition assignment MUST be contiguous in
+    # doc_seq so that (partition, byte_offset) order == global doc order
+    # (keep-first semantics, reference cpp_engine_dedup.h:717-724).
+    num_partitions: int = 8
+    # Soft cap on per-partition corpus bytes; at 100 TB scale num_partitions
+    # is derived from total_bytes / target_partition_bytes.
+    target_partition_bytes: int = 256 * 1024 * 1024
+
+    # --- column names ----------------------------------------------------
+    id_col: str = "url"          # document identity (unique)
+    text_col: str = "text"       # utf-8 text payload
+    seq_col: str = "doc_seq"     # global total-order key (int64); derived if absent
+
+    # --- MinHash / LSH cross-partition routing ---------------------------
+    # Signature config: 128 perms in 16 bands of 8 rows is the standard
+    # LSH operating point for ~0.8 Jaccard threshold.
+    num_perm: int = 128
+    num_bands: int = 16
+    shingle_k: int = 16          # byte-shingle width for MinHash
+    minhash_seed: int = 42
+    # Hot-band salting: bands whose bucket exceeds this many docs are
+    # split into salted sub-buckets (skew handling; north_rule).
+    max_band_bucket: int = 256
+    # Cap on candidate pairs emitted per LSH bucket (pairs are formed
+    # against the bucket's doc_seq-minimum representative, so a bucket of
+    # n docs emits n-1 pairs, not n^2).
+    jaccard_threshold: float = 0.5
+
+    # --- execution -------------------------------------------------------
+    batch_size: int = 1024       # rows per map_batches batch for text stages
+    cpus_per_index_task: float = 1.0
+    # checkpoint / resume
+    checkpoint_dir: str | None = None
+
+    # --- bookkeeping -----------------------------------------------------
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        assert self.mode in ("annotate", "remove"), self.mode
+        assert self.num_perm % self.num_bands == 0, (
+            "num_perm must be divisible by num_bands")
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perm // self.num_bands

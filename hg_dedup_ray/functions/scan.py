@@ -1,0 +1,140 @@
+"""Dedup scan kernels: SA-adjacent run detection, keep-first, coalescing.
+
+Reference semantics (conformance contract, SURVEY.md §7.0):
+
+A byte offset ``q`` is a remove-pointer iff the ``minlen``-byte window at
+``q`` (a) fits in the corpus, (b) contains no ``0xff`` document sentinel,
+(c) is byte-equal to the window of a suffix adjacent to it in suffix-array
+order (forming a maximal run of equal windows), and (d) ``q`` is not the
+run's minimum offset — one copy of every repeated string is KEPT
+(reference cpp_engine_dedup.h:215-302: `find_remove_ranges`).
+
+Sorted remove-pointers fold into ranges ``[ptr, ptr+minlen)`` where a new
+pointer whose start is <= the open range's end extends it to
+``ptr + minlen`` (reference cpp_engine_dedup.h:285-292).
+
+All kernels are vectorized numpy — no per-rank Python loop. The byte-equal
+test over adjacent SA entries runs column-by-column over a geometrically
+shrinking candidate set (adjacent suffixes that survive j equal bytes),
+so cost is O(sum of adjacent-LCPs capped at minlen), same work as the
+reference's memcmp but batched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hg_dedup_ray.functions.suffix_array import SENTINEL
+
+
+def sentinel_positions(corpus: np.ndarray) -> np.ndarray:
+    """Sorted positions of the 0xff document sentinels."""
+    return np.flatnonzero(corpus == SENTINEL)
+
+
+def window_sentinel_free(
+    ptrs: np.ndarray, sent_pos: np.ndarray, minlen: int
+) -> np.ndarray:
+    """True where [ptr, ptr+minlen) contains no sentinel."""
+    lo = np.searchsorted(sent_pos, ptrs, side="left")
+    hi = np.searchsorted(sent_pos, ptrs + minlen, side="left")
+    return lo == hi
+
+
+def adjacent_run_mask(
+    corpus: np.ndarray, sa: np.ndarray, minlen: int, sent_pos: np.ndarray | None = None
+) -> np.ndarray:
+    """Boolean mask over adjacent SA pairs: mask[i] == True iff sa[i] and
+    sa[i+1] share a minlen-byte prefix, both windows fit the corpus, and
+    the (shared) window is sentinel-free.
+
+    Matches the run-continuation condition of the reference scan loop
+    (cpp_engine_dedup.h:228-238): both `ptr+minlen <= ds_size`, `memcmp == 0`,
+    no 0xff in the window.
+    """
+    n = len(sa)
+    if n < 2:
+        return np.zeros(max(n - 1, 0), dtype=bool)
+    N = corpus.shape[0]
+    if sent_pos is None:
+        sent_pos = sentinel_positions(corpus)
+    left = sa[:-1]
+    right = sa[1:]
+    ok = (left + minlen <= N) & (right + minlen <= N)
+    # sentinel-free check on the left window; when memcmp==0 both windows
+    # hold identical bytes so checking one side suffices — but we must also
+    # pre-filter the right side to avoid keeping pairs that differ only via
+    # sentinels: the byte-equality loop below compares real bytes, and a
+    # sentinel byte participates in equality like any other, so filtering
+    # the left window up front and verifying equality is exactly the
+    # reference condition.
+    ok &= window_sentinel_free(left, sent_pos, minlen)
+    cand = np.flatnonzero(ok)
+    # column-by-column equality over the shrinking still-equal set
+    for j in range(minlen):
+        if cand.size == 0:
+            break
+        eq_j = corpus[left[cand] + j] == corpus[right[cand] + j]
+        cand = cand[eq_j]
+    mask = np.zeros(n - 1, dtype=bool)
+    mask[cand] = True
+    return mask
+
+
+def remove_ptrs_from_runs(sa: np.ndarray, run_mask: np.ndarray) -> np.ndarray:
+    """Expand runs (maximal stretches of True in ``run_mask``) into
+    remove-pointers: every member except the run's minimum offset.
+    Returns SORTED unique remove-pointers (int64).
+
+    Keep-first = min byte offset; within one partition corpus built in
+    doc_seq order, byte offset order == document order (reference keeps
+    `min_element(ptrs)`, cpp_engine_dedup.h:239-247 / 717-724).
+    """
+    if run_mask.size == 0 or not run_mask.any():
+        return np.empty(0, dtype=np.int64)
+    padded = np.concatenate(([False], run_mask, [False]))
+    edges = np.flatnonzero(padded[1:] != padded[:-1])
+    starts = edges[0::2]          # run covers sa[starts[r] .. ends[r]] inclusive
+    ends = edges[1::2]            # mask True on [starts, ends) -> members to ends
+    lengths = ends - starts + 1   # number of suffixes in each run
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    # flatten member indices: starts[r] + 0..lengths[r]-1
+    member_idx = np.repeat(starts, lengths) + (
+        np.arange(lengths.sum()) - np.repeat(offsets, lengths)
+    )
+    members = sa[member_idx]
+    run_id = np.repeat(np.arange(len(starts)), lengths)
+    mins = np.minimum.reduceat(members, offsets)
+    remove = members[members != mins[run_id]]
+    remove = np.sort(remove)
+    return remove.astype(np.int64)
+
+
+def coalesce_ptrs_to_ranges(remove_ptrs: np.ndarray, minlen: int) -> np.ndarray:
+    """Fold sorted remove-pointers into [start, end) ranges, shape (R, 2).
+
+    Reference rule (cpp_engine_dedup.h:285-292): extend the open range to
+    ``ptr + minlen`` when ``open.end >= ptr``; since pointers are sorted and
+    every window has length minlen, a break happens exactly where
+    ``ptr[i] - ptr[i-1] > minlen``.
+    """
+    if remove_ptrs.size == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    p = remove_ptrs
+    brk = np.flatnonzero(np.diff(p) > minlen)
+    starts = p[np.concatenate(([0], brk + 1))]
+    ends = p[np.concatenate((brk, [p.size - 1]))] + minlen
+    return np.stack([starts, ends], axis=1).astype(np.int64)
+
+
+def find_remove_ranges(
+    corpus: np.ndarray, sa: np.ndarray, minlen: int
+) -> np.ndarray:
+    """Full partition-local scan: corpus + SA -> coalesced remove ranges
+    (global partition byte offsets), shape (R, 2). Composition of the three
+    kernels above; semantics == reference `find_remove_ranges`
+    (cpp_engine_dedup.h:215-302)."""
+    sent = sentinel_positions(corpus)
+    mask = adjacent_run_mask(corpus, sa, minlen, sent)
+    ptrs = remove_ptrs_from_runs(sa, mask)
+    return coalesce_ptrs_to_ranges(ptrs, minlen)
