@@ -1,0 +1,115 @@
+"""MinHash / LSH kernels — pure numpy, batch-vectorized.
+
+The reference receives MinHash-deduped input from an upstream system
+(reference README.md:17 "minhash/jacc_filter", aws_workflow.sh:3) — the
+north_star folds that stage into OUR scope: byte-shingle MinHash signatures
++ LSH banding route candidate duplicate docs across partitions, replacing
+the reference's in-process cross-shard SA pseudo-merge
+(reference cpp_engine_dedup.h:502-799) with an explicit groupby shuffle.
+
+All kernels operate on a whole batch of documents at once:
+``batch_signatures`` loops over permutations (128), not over documents,
+using ``np.minimum.reduceat`` over the concatenated shingle-hash stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FNV = np.uint64(1099511628211)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — cheap high-quality u64 mixing."""
+    x = (x ^ (x >> np.uint64(30))) * _MIX1
+    x = (x ^ (x >> np.uint64(27))) * _MIX2
+    return x ^ (x >> np.uint64(31))
+
+
+def shingle_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """u64 rolling polynomial hashes of all k-byte shingles of ``data``.
+    Docs shorter than k yield one hash over the whole (padded) doc."""
+    n = data.shape[0]
+    if n < k:
+        h = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            h = h * _FNV + np.uint64(data[j])
+        return _splitmix(h)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h = h * _FNV + data[j : j + m].astype(np.uint64)
+    return _splitmix(h)
+
+
+def batch_signatures(
+    texts_buf: np.ndarray,
+    doc_offsets: np.ndarray,
+    k: int,
+    num_perm: int,
+    seed: int,
+) -> np.ndarray:
+    """MinHash signatures for a batch of docs, shape (n_docs, num_perm).
+
+    ``texts_buf`` is the concatenation of all docs' utf-8 bytes;
+    ``doc_offsets`` (n_docs+1,) delimits each doc. Work is vectorized per
+    PERMUTATION over the entire batch's shingle stream.
+    """
+    n_docs = doc_offsets.shape[0] - 1
+    sig = np.full((n_docs, num_perm), U64_MAX, dtype=np.uint64)
+    if n_docs == 0:
+        return sig
+    total = int(doc_offsets[-1])
+    # one rolling-hash pass over the whole batch buffer (padded so every
+    # position has a window), then mask shingles that cross a doc boundary
+    pad = np.zeros(k - 1, dtype=np.uint8) if k > 1 else np.empty(0, dtype=np.uint8)
+    buf = np.concatenate([texts_buf[:total], pad]) if k > 1 else texts_buf[:total]
+    stream = np.zeros(total, dtype=np.uint64) if total else np.zeros(0, np.uint64)
+    for j in range(k):
+        stream = stream * _FNV + buf[j : j + total].astype(np.uint64)
+    stream = _splitmix(stream)
+    # invalid: positions whose k-window crosses the NEXT doc boundary
+    lens = np.diff(doc_offsets)
+    valid_counts = np.maximum(lens - k + 1, 0)
+    invalid_mask = np.ones(total, dtype=bool)
+    for d in range(n_docs):  # cheap slice-assign per doc
+        invalid_mask[doc_offsets[d] : doc_offsets[d] + valid_counts[d]] = False
+    invalid_idx = np.flatnonzero(invalid_mask)
+    starts = np.minimum(doc_offsets[:-1], max(total - 1, 0)).astype(np.int64)
+    rng = np.random.default_rng(seed)
+    salts = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64)
+    for p in range(num_perm):
+        permuted = stream ^ salts[p]
+        permuted = _splitmix(permuted)
+        permuted[invalid_idx] = U64_MAX
+        if total:
+            sig[:, p] = np.minimum.reduceat(permuted, starts)
+    # docs with no valid shingle (len < k, incl. empty): hash the whole doc
+    for d in np.flatnonzero(valid_counts == 0):
+        piece = texts_buf[doc_offsets[d] : doc_offsets[d + 1]]
+        h = shingle_hashes(piece, k) if piece.shape[0] else np.array([np.uint64(0)])
+        sig[d, :] = _splitmix(np.full(num_perm, h[0], dtype=np.uint64) ^ salts)
+    return sig
+
+
+def band_hashes(sig: np.ndarray, num_bands: int) -> np.ndarray:
+    """LSH band keys, shape (n_docs, num_bands): docs equal in any band
+    become groupby-shuffle candidates."""
+    n_docs, num_perm = sig.shape
+    r = num_perm // num_bands
+    bands = sig.reshape(n_docs, num_bands, r)
+    h = np.zeros((n_docs, num_bands), dtype=np.uint64)
+    for j in range(r):
+        h = h * _FNV + bands[:, :, j]
+    # fold in the band index so identical row-slices in different bands
+    # don't collide into one bucket
+    h = _splitmix(h ^ np.arange(num_bands, dtype=np.uint64)[None, :])
+    return h
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """MinHash Jaccard estimate = fraction of agreeing permutations."""
+    return float(np.mean(sig_a == sig_b))

@@ -1,0 +1,77 @@
+"""Winnowing document fingerprints for cross-partition substring routing.
+
+Replaces the reference's global SA pseudo-merge (reference
+cpp_engine_dedup.h:502-799) candidate discovery with the winnowing scheme
+of Schleimer, Wilkerson & Aiken (SIGMOD'03, the MOSS fingerprint): take
+the rolling k-gram hash stream of a document and record the MINIMUM hash
+of every w-wide window. Guarantee: any byte-identical region of length
+>= w + k - 1 shared by two documents yields at least one identical selected
+fingerprint in both — so with w = minlen - k + 1, every >=minlen duplicate
+region is routed to a common LSH-style bucket DETERMINISTICALLY (unlike
+doc-level MinHash, which only finds high-Jaccard document pairs).
+
+Expected fingerprint density is 2/(w+1) per byte — for the reference
+production config (minlen=500, k=16, w=485) that's one 8-byte key per
+~240 input bytes, i.e. a ~3% shuffle volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hg_dedup_ray.functions.minhash import _splitmix, shingle_hashes
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def sliding_min(a: np.ndarray, w: int) -> np.ndarray:
+    """Minimum of every w-wide window of ``a`` — O(n), fully vectorized
+    (block prefix/suffix minima)."""
+    n = a.shape[0]
+    if w <= 1 or n == 0:
+        return a
+    if w >= n:
+        return np.array([a.min()], dtype=a.dtype)
+    pad = (-n) % w
+    b = np.concatenate([a, np.full(pad, _U64_MAX, dtype=a.dtype)])
+    m = b.reshape(-1, w)
+    pre = np.minimum.accumulate(m, axis=1).reshape(-1)
+    suf = np.minimum.accumulate(m[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    out_len = n - w + 1
+    return np.minimum(suf[:out_len], pre[w - 1 : w - 1 + out_len])
+
+
+def winnow_params(minlen: int, shingle_k: int) -> tuple[int, int]:
+    """(k, w) such that w + k - 1 <= minlen (detection guarantee)."""
+    k = min(shingle_k, minlen)
+    w = max(1, minlen - k + 1)
+    return k, w
+
+
+def doc_fingerprints(text_bytes: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Unique selected fingerprints of one document (sorted u64)."""
+    if text_bytes.shape[0] == 0:
+        return np.empty(0, dtype=np.uint64)
+    h = shingle_hashes(text_bytes, k)
+    return np.unique(sliding_min(h, w))
+
+
+def batch_fingerprints(
+    buf: np.ndarray, offsets: np.ndarray, k: int, w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fingerprints for a batch of docs.
+
+    Returns (fp values u64, per-doc counts) — flatten-friendly for building
+    the exploded (bucket_key, url, ...) rows.
+    """
+    n = offsets.shape[0] - 1
+    counts = np.zeros(n, dtype=np.int64)
+    chunks: list[np.ndarray] = []
+    for d in range(n):
+        fps = doc_fingerprints(buf[offsets[d] : offsets[d + 1]], k, w)
+        counts[d] = fps.shape[0]
+        chunks.append(fps)
+    values = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+    # salt so winnow keys can never collide with MinHash band keys if the
+    # two streams are ever unioned into one shuffle
+    return _splitmix(values ^ np.uint64(0x57494E4E4F573737)), counts

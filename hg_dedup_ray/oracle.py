@@ -14,11 +14,23 @@ import numpy as np
 SENT = 0xFF
 
 
-def oracle_remove_ranges(texts: list[bytes], minlen: int) -> list[tuple[int, int]]:
+def _suffix_sort(corpus: bytes, fast: bool) -> list[int]:
+    if fast:
+        # scan/coalesce logic stays naive-python; the SA builder itself is
+        # independently property-tested vs brute force in test_suffix_array
+        from hg_dedup_ray.functions.suffix_array import build_suffix_array
+
+        return build_suffix_array(corpus).tolist()
+    return sorted(range(len(corpus)), key=lambda i: corpus[i:])
+
+
+def oracle_remove_ranges(
+    texts: list[bytes], minlen: int, fast_sa: bool = True
+) -> list[tuple[int, int]]:
     """Global remove ranges (corpus byte offsets) for docs in doc_seq order."""
     corpus = b"\xff" + b"\xff".join(texts) if texts else b""
     n = len(corpus)
-    sa = sorted(range(n), key=lambda i: corpus[i:])
+    sa = _suffix_sort(corpus, fast_sa)
 
     remove_ptrs: list[int] = []
     run: list[int] = [sa[0]] if n else []
@@ -52,10 +64,10 @@ def oracle_remove_ranges(texts: list[bytes], minlen: int) -> list[tuple[int, int
 
 
 def oracle_doc_ranges(
-    texts: list[bytes], minlen: int, clip: bool = True
+    texts: list[bytes], minlen: int, clip: bool = True, fast_sa: bool = True
 ) -> list[list[tuple[int, int]]]:
     """Per-doc (doc-relative, optionally UTF-8-clipped) remove ranges."""
-    ranges = oracle_remove_ranges(texts, minlen)
+    ranges = oracle_remove_ranges(texts, minlen, fast_sa)
     # doc text spans
     starts, pos = [], 0
     for t in texts:
@@ -84,7 +96,9 @@ def oracle_doc_ranges(
     return out
 
 
-def oracle_dup_pairs(texts: list[bytes], minlen: int) -> set[tuple[int, int]]:
+def oracle_dup_pairs(
+    texts: list[bytes], minlen: int, fast_sa: bool = True
+) -> set[tuple[int, int]]:
     """Set of (kept_doc, removed_doc) pairs implied by shared >=minlen runs —
     the ground truth for the dup-pair recall >=0.99 criterion."""
     corpus = b"\xff" + b"\xff".join(texts) if texts else b""
@@ -95,7 +109,7 @@ def oracle_dup_pairs(texts: list[bytes], minlen: int) -> set[tuple[int, int]]:
     for d, t in enumerate(texts):
         doc_of[pos : pos + len(t) + 1] = d
         pos += len(t) + 1
-    sa = sorted(range(n), key=lambda i: corpus[i:])
+    sa = _suffix_sort(corpus, fast_sa)
     pairs: set[tuple[int, int]] = set()
     run: list[int] = [sa[0]] if n else []
 

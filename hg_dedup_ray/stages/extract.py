@@ -1,0 +1,62 @@
+"""Extract / project stage — the reference's `parse_line` u8 path
+(reference indexing_v6_sharded.py:41-58) as a zero-copy Arrow batch op.
+
+Projects (id, seq, text) out of the input table, computes byte length, and
+assigns the order-contiguous partition id. Extracted text is byte-identical
+per url to the reference (plain ``utf-8`` encoding, no normalization).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hg_dedup_ray.config import DedupConfig
+
+
+def make_extract_fn(cfg: DedupConfig, seq_min: int, seq_max: int):
+    """Returns a map_batches fn: project + n_bytes + partition id.
+
+    Partition assignment MUST be contiguous in the order key so that
+    (part, corpus_offset) ordering equals global doc order — the
+    keep-first contract (reference cpp_engine_dedup.h:717-724).
+    """
+    P = cfg.num_partitions
+    span = max(seq_max - seq_min + 1, 1)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        seq = batch[cfg.seq_col].cast(pa.int64())
+        seq_np = seq.to_numpy(zero_copy_only=False)
+        part = ((seq_np - seq_min) * P // span).astype(np.int32)
+        n_bytes = pc.binary_length(batch[cfg.text_col].cast(pa.binary()))
+        return pa.table(
+            {
+                "url": batch[cfg.id_col].cast(pa.string()),
+                "doc_seq": seq,
+                "part": pa.array(part, pa.int32()),
+                "text": batch[cfg.text_col].cast(pa.string()),
+                "n_bytes": n_bytes.cast(pa.int64()),
+            }
+        )
+
+    return extract
+
+
+def seq_bounds(ds, cfg: DedupConfig) -> tuple[int, int]:
+    """(min, max) of the order column — one column-pruned aggregate pass.
+
+    At 100 TB scale, prefer deriving bounds from parquet footer statistics
+    (metadata-only); this aggregate is the generic fallback and reads only
+    the seq column thanks to Ray's projection pushdown.
+    """
+    res = ds.select_columns([cfg.seq_col]).aggregate(
+        *_min_max_aggs(cfg.seq_col)
+    )
+    return int(res[f"min({cfg.seq_col})"]), int(res[f"max({cfg.seq_col})"])
+
+
+def _min_max_aggs(col: str):
+    from ray.data.aggregate import Max, Min
+
+    return Min(col), Max(col)

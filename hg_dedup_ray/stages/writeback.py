@@ -1,0 +1,89 @@
+"""Writeback stage: merge spans, clip to UTF-8, annotate/remove, attach
+cluster ids. Ray-side equivalent of reference
+write_back_to_jsonl_sharded.py:58-105 (mode semantics + clip) with the
+original-layout JSONL mirroring replaced by Parquet columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hg_dedup_ray.config import DedupConfig
+from hg_dedup_ray.functions.arrow_utils import ranges_to_struct_list
+from hg_dedup_ray.functions.clip import clip_doc_ranges, excise
+from hg_dedup_ray.functions.pair_scan import union_ranges
+
+
+def _maybe_get(ref):
+    import ray
+
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+class Writeback:
+    """map_batches actor over the partition-scan output.
+
+    ``xranges_ref``: broadcast dict url -> ndarray(R,2) of extra
+    (cross-partition) doc-relative unclipped ranges.
+    ``clusters_ref``: broadcast dict url -> cluster_id.
+    """
+
+    def __init__(self, cfg: DedupConfig, xranges_ref=None, clusters_ref=None):
+        self.cfg = cfg
+        self.xranges: dict[str, np.ndarray] = _maybe_get(xranges_ref) or {}
+        self.clusters: dict[str, int] = _maybe_get(clusters_ref) or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        rr_starts = batch["rr_starts"].to_pylist()
+        rr_ends = batch["rr_ends"].to_pylist()
+        seqs = batch["doc_seq"].to_numpy(zero_copy_only=False)
+
+        counts = np.zeros(n, dtype=np.int64)
+        flat_s: list[int] = []
+        flat_e: list[int] = []
+        deduped: list[str | None] = []
+        n_removed = np.zeros(n, dtype=np.int64)
+        remove_mode = self.cfg.mode == "remove"
+        for i in range(n):
+            rs, re_ = rr_starts[i], rr_ends[i]
+            xr = self.xranges.get(urls[i])
+            if not rs and xr is None:
+                deduped.append(texts[i] if remove_mode else None)
+                continue
+            local = np.array([rs, re_], dtype=np.int64).T.reshape(-1, 2)
+            merged = union_ranges([local, xr]) if xr is not None else local
+            tb = texts[i].encode("utf-8")
+            clipped = clip_doc_ranges(tb, [(int(s), int(e)) for s, e in merged])
+            counts[i] = len(clipped)
+            flat_s.extend(s for s, _ in clipped)
+            flat_e.extend(e for _, e in clipped)
+            n_removed[i] = sum(e - s for s, e in clipped)
+            if remove_mode:
+                deduped.append(excise(tb, clipped).decode("utf-8"))
+            else:
+                deduped.append(None)
+
+        list_offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        sa_remove_ranges = ranges_to_struct_list(
+            list_offsets, np.array(flat_s, dtype=np.int64), np.array(flat_e, dtype=np.int64)
+        )
+        cluster_id = np.array(
+            [self.clusters.get(u, int(s)) for u, s in zip(urls, seqs)], dtype=np.uint64
+        )
+        cols = {
+            "url": batch["url"],
+            "doc_seq": batch["doc_seq"],
+            "part": batch["part"],
+            "text": batch["text"],
+            "n_bytes": batch["n_bytes"],
+            "sa_remove_ranges": sa_remove_ranges,
+            "n_removed_bytes": pa.array(n_removed, pa.int64()),
+            "cluster_id": pa.array(cluster_id, pa.uint64()),
+        }
+        if remove_mode:
+            cols["text_deduped"] = pa.array(deduped, pa.string())
+        return pa.table(cols)
