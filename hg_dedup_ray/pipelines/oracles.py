@@ -1,0 +1,81 @@
+"""DuckDB oracle SQL paired with pipelines/queries.py.
+
+Column names/types match the Ray results exactly (the driver sorts columns
+by name before value-hashing). Ops without an entry here (suffix-array
+dedup, MinHash clustering, SimHash, IVF ANN) are checked rows-only by the
+driver and oracle-tested against the naive Python reimplementation in
+tests/ instead.
+"""
+
+from __future__ import annotations
+
+from hg_dedup_ray.pipelines.queries import ANN_K, ANN_NUM_QUERIES, NEAR_DUP_COS
+from hg_dedup_ray.stages.textstats import EN_STOPWORDS
+
+_stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+ORACLE_SQL = {
+    "exact_dedup": """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+    "token_counts": r"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS n_tokens,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    """,
+    "quality_scores": rf"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS n_words,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x IN ({_stops}))) AS n_stopwords,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha_chars
+        FROM documents
+    """,
+    "lang_id": rf"""
+        SELECT doc_id,
+               CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                         x -> x IN ({_stops}))) > 0
+                    THEN 'en' ELSE 'und' END AS lang_pred
+        FROM documents
+    """,
+    "fingerprints": """
+        SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    "unigram_counts": r"""
+        SELECT token, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ) GROUP BY token
+    """,
+    "corpus_stats": """
+        SELECT lang, source, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY lang, source
+    """,
+    "ann_topk": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < {ANN_NUM_QUERIES}),
+             s AS (SELECT q.qid, e.vec_id AS nid,
+                          list_cosine_similarity(q.qe, e.embedding) AS sim
+                   FROM q, embeddings e WHERE e.vec_id <> q.qid)
+        SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+                       AS rank
+            FROM s)
+        WHERE rank <= {ANN_K}
+    """,
+    "embedding_near_dup_pairs": f"""
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding)
+              >= {NEAR_DUP_COS}
+    """,
+}

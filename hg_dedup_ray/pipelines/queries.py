@@ -1,0 +1,319 @@
+"""Query library backing ``__ray_entry__.queries()``.
+
+Every callable takes ``sf_dir`` (a /root/testdata/sf* directory) and
+returns a Ray Dataset / pyarrow Table. Column names intentionally match
+the paired SQL in ``oracles.py`` (the driver sorts columns by name before
+value-hashing).
+
+NOTE: none of these call ray.init(); the caller owns the Ray session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from hg_dedup_ray.config import DedupConfig
+from hg_dedup_ray.stages import textstats
+from hg_dedup_ray.stages.embed import (
+    IvfAssigner,
+    NearDupPairs,
+    PartialTopK,
+    embedding_matrix,
+    kmeans_centroids,
+    merge_topk,
+)
+from hg_dedup_ray.stages.simhash import SimHasher
+
+ANN_K = 5
+ANN_NUM_QUERIES = 10
+NEAR_DUP_COS = 0.4
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cpus() -> int:
+    return int(ray.cluster_resources().get("CPU", 4))
+
+
+def _pool() -> tuple[int, int]:
+    return (1, max(1, _cpus() - 1))
+
+
+# --------------------------------------------------------------- dedup ops
+def exact_dedup(sf_dir: str):
+    """Exact dedup: keep the min-doc_id doc of every identical text.
+    Pattern: content-hash map_batches -> groupby(hash) -> keep-first
+    (SURVEY.md A6; guide's exact-dedup idiom). The groupby shuffles only
+    after the 8-byte hash column is added; text rides along for test scale
+    (at 100 TB, shuffle (hash, doc_id) only and semi-join the keepers)."""
+    ds = _docs(sf_dir).map_batches(
+        textstats.content_hash_u64, batch_format="pyarrow", batch_size=4096
+    )
+    docs = _docs(sf_dir)
+    keep = ds.groupby("fp").map_groups(
+        lambda g: g.sort_by("doc_id").slice(0, 1), batch_format="pyarrow"
+    )
+    keep_ids = set(
+        keep.select_columns(["doc_id"]).to_pandas()["doc_id"].tolist()
+    )
+    keep_ref = ray.put(keep_ids)
+
+    def filter_keep(batch: pa.Table) -> pa.Table:
+        ids = ray.get(keep_ref) if isinstance(keep_ref, ray.ObjectRef) else keep_ref
+        mask = pc.is_in(batch["doc_id"], value_set=pa.array(list(ids), pa.int64()))
+        return batch.filter(mask)
+
+    return docs.select_columns(["doc_id", "lang", "source", "n_chars"]).map_batches(
+        filter_keep, batch_format="pyarrow"
+    )
+
+
+def minhash_clusters(sf_dir: str, threshold: float = 0.5):
+    """Near-dup cluster ids over documents via the flagship machinery."""
+    from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
+
+    cfg = DedupConfig(
+        minlen=64,
+        num_partitions=4,
+        shingle_k=8,
+        jaccard_threshold=threshold,
+        seq_col="doc_id",
+        id_col="doc_id",
+        text_col="text",
+    )
+    out = dedup_dataset(_docs(sf_dir), cfg)
+    return out.select_columns(["url", "doc_seq", "cluster_id"])
+
+
+def sa_dedup_documents(sf_dir: str, minlen: int = 64):
+    """Flagship substring dedup over the documents table (rows-only check:
+    suffix-array semantics are not SQL-expressible)."""
+    from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
+
+    cfg = DedupConfig(
+        minlen=minlen,
+        num_partitions=4,
+        shingle_k=8,
+        seq_col="doc_id",
+        id_col="doc_id",
+        text_col="text",
+    )
+    out = dedup_dataset(_docs(sf_dir), cfg)
+    return out.select_columns(
+        ["url", "doc_seq", "n_bytes", "n_removed_bytes", "cluster_id"]
+    )
+
+
+def simhash_sigs(sf_dir: str):
+    """64-bit SimHash signatures + 16-bit LSH bands per doc (rows-only)."""
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=_pool()
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
+    """Doc pairs with exact k-shingle Jaccard >= threshold, candidates via
+    MinHash bands (rows-only; O(n^2) SQL is not a reasonable oracle)."""
+    from hg_dedup_ray.pipelines.sa_dedup import candidate_pairs, extract_docs, _collect_texts
+    from hg_dedup_ray.stages.pair_verify import PairVerifier
+
+    cfg = DedupConfig(
+        minlen=64, num_partitions=4, shingle_k=8,
+        seq_col="doc_id", id_col="doc_id", text_col="text",
+    )
+    docs = extract_docs(_docs(sf_dir), cfg).materialize()
+    pair_rows = candidate_pairs(docs, cfg).take_all()
+    if not pair_rows:
+        return pa.table(
+            {"doc_id_a": pa.array([], pa.int64()), "doc_id_b": pa.array([], pa.int64())}
+        )
+    urls = {r["url_a"] for r in pair_rows} | {r["url_b"] for r in pair_rows}
+    texts_ref = ray.put(_collect_texts(docs, urls))
+    verified = (
+        ray.data.from_items(pair_rows)
+        .map_batches(
+            PairVerifier,
+            fn_constructor_args=(cfg, texts_ref),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=_pool(),
+        )
+        .take_all()
+    )
+    a = [int(r["seq_a"]) for r in verified if r["jaccard"] >= threshold]
+    b = [int(r["seq_b"]) for r in verified if r["jaccard"] >= threshold]
+    return pa.table(
+        {"doc_id_a": pa.array(a, pa.int64()), "doc_id_b": pa.array(b, pa.int64())}
+    )
+
+
+# --------------------------------------------------------- text analysis
+def token_counts(sf_dir: str):
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        textstats.token_stats, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def quality_scores(sf_dir: str):
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        textstats.quality_stats, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def lang_id_pred(sf_dir: str):
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        textstats.lang_id, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def fingerprints(sf_dir: str):
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        textstats.md5_fingerprint, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def unigram_counts(sf_dir: str):
+    """token -> count over all docs. Pre-aggregated inside map_batches
+    (one partial count row per token per batch), then a small
+    groupby-aggregate — the guide's combiner pattern (SURVEY.md A4)."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.ascii_split_whitespace(batch["text"]))
+        vc = toks.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "partial": vc.field("counts").cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", batch_size=4096)
+        .groupby("token")
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+
+
+def corpus_stats(sf_dir: str):
+    """Per (lang, source) doc counts and char sums — metrics aggregation
+    (SURVEY.md A3)."""
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _docs(sf_dir, columns=["lang", "source", "n_chars"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
+# ------------------------------------------------------------- embeddings
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: queries = vec_id < ANN_NUM_QUERIES,
+    corpus streamed in batches, per-batch partial top-k then merge."""
+    emb = _emb(sf_dir)
+    qt = emb.filter(expr=f"vec_id < {ANN_NUM_QUERIES}").to_pandas()
+    import pandas  # noqa: F401
+
+    qmat = np.stack(qt.sort_values("vec_id")["embedding"].to_numpy())
+    qids = qt.sort_values("vec_id")["vec_id"].to_numpy()
+    queries_ref = ray.put({"qids": qids, "qmat": qmat})
+    partials = emb.map_batches(
+        PartialTopK,
+        fn_constructor_args=(queries_ref, ANN_K),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=_pool(),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, ANN_K), batch_format="pyarrow"
+    )
+
+
+def embedding_near_dup_pairs(sf_dir: str):
+    """All (a < b) pairs with cosine >= NEAR_DUP_COS — brute force vs a
+    broadcast corpus matrix (baseline; IVF variant in ann_ivf_topk)."""
+    emb = _emb(sf_dir)
+    t = emb.to_pandas()
+    mat = np.stack(t.sort_values("vec_id")["embedding"].to_numpy())
+    vids = t.sort_values("vec_id")["vec_id"].to_numpy()
+    corpus_ref = ray.put({"vids": vids, "qmat": mat})
+    return emb.map_batches(
+        NearDupPairs,
+        fn_constructor_args=(corpus_ref, NEAR_DUP_COS),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=_pool(),
+    )
+
+
+def ann_ivf_topk(sf_dir: str, n_cells: int = 8):
+    """IVF-bucketed near-neighbor demo (rows-only): assign vectors to
+    kmeans cells, then per-cell top-k of each vector's neighbors within
+    its cell. The scale path: one groupby shuffle, pairwise work bounded
+    per cell."""
+    emb = _emb(sf_dir)
+    sample = np.array(
+        [r["embedding"] for r in emb.limit(512).take_all()], dtype=np.float64
+    )
+    cents = kmeans_centroids(sample, n_cells)
+    cents_ref = ray.put(cents)
+    assigned = emb.map_batches(
+        IvfAssigner,
+        fn_constructor_args=(cents_ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=_pool(),
+    )
+
+    def cell_topk(group: pa.Table) -> pa.Table:
+        m = embedding_matrix(group)
+        norm = np.linalg.norm(m, axis=1, keepdims=True)
+        norm[norm == 0] = 1
+        m = m / norm
+        vids = group["vec_id"].to_numpy(zero_copy_only=False)
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        k = min(ANN_K, max(len(vids) - 1, 0))
+        out_q, out_n, out_r = [], [], []
+        for i in range(len(vids)):
+            order = np.lexsort((vids, -sims[i]))[:k]
+            out_q.extend([vids[i]] * len(order))
+            out_n.extend(vids[order])
+            out_r.extend(range(1, len(order) + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "rank": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return assigned.groupby("ivf_cell").map_groups(cell_topk, batch_format="pyarrow")
+
+
+QUERIES = {
+    "exact_dedup": exact_dedup,
+    "sa_dedup_documents": sa_dedup_documents,
+    "minhash_clusters": minhash_clusters,
+    "simhash_sigs": simhash_sigs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "token_counts": token_counts,
+    "quality_scores": quality_scores,
+    "lang_id": lang_id_pred,
+    "fingerprints": fingerprints,
+    "unigram_counts": unigram_counts,
+    "corpus_stats": corpus_stats,
+    "ann_topk": ann_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+}

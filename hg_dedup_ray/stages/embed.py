@@ -1,0 +1,145 @@
+"""Embedding-space operators: brute-force cosine top-k ANN, threshold
+near-dup pairs, and an IVF-bucketed scale variant.
+
+Patterns per the Ray guide: the QUERY side is small -> broadcast it
+(``ray.put`` once, read per actor), stream the corpus side through
+``map_batches`` computing per-batch partial top-k (numpy matmul), then
+merge partials — no all-to-all shuffle for the brute-force path. The IVF
+variant buckets vectors by nearest centroid and shuffles once on
+``ivf_cell``, turning the O(N*Q) scan into per-cell scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+class PartialTopK:
+    """map_batches actor: corpus batch -> per-query partial top-k rows
+    (query_id, neighbor_id, sim). Queries broadcast via object store."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids: np.ndarray = q["qids"]
+        self.qmat: np.ndarray = _normalize(q["qmat"].astype(np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(embedding_matrix(batch))
+        sims = self.qmat @ m.T  # (Q, n)
+        Q, n = sims.shape
+        k = min(self.k + 1, n)  # +1 headroom: query may be in this batch
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(Q):
+            for j in idx[qi]:
+                if vids[j] != self.qids[qi]:
+                    rows_q.append(self.qids[qi])
+                    rows_n.append(vids[j])
+                    rows_s.append(sims[qi, j])
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "neighbor_id": pa.array(rows_n, pa.int64()),
+                "sim": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+
+def merge_topk(group: pa.Table, k: int) -> pa.Table:
+    """Per-query merge of partial top-k rows -> final ranks 1..k.
+    Deterministic tiebreak: (-sim, neighbor_id)."""
+    sims = group["sim"].to_numpy(zero_copy_only=False)
+    nids = group["neighbor_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nids, -sims))[:k]
+    return pa.table(
+        {
+            "query_id": group["query_id"].take(pa.array(order)),
+            "neighbor_id": pa.array(nids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        }
+    )
+
+
+class NearDupPairs:
+    """map_batches actor: emit (vec_id_a < vec_id_b) pairs with cosine >=
+    threshold between the batch and the broadcast corpus matrix.
+
+    Brute force against a broadcast matrix — the honest baseline; at scale
+    replace the broadcast with IVF cells (ivf_assign + groupby)."""
+
+    def __init__(self, corpus_ref, threshold: float):
+        import ray
+
+        c = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
+        self.vids: np.ndarray = c["vids"]
+        self.mat: np.ndarray = _normalize(c["qmat"].astype(np.float64))
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(embedding_matrix(batch))
+        sims = m @ self.mat.T  # (n, N)
+        ii, jj = np.nonzero(sims >= self.threshold)
+        a = vids[ii]
+        b = self.vids[jj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a[keep], pa.int64()),
+                "vec_id_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+
+class IvfAssigner:
+    """map_batches actor: assign each vector to its nearest of C centroids
+    (broadcast), emitting an ``ivf_cell`` column. Downstream
+    groupby("ivf_cell") co-locates candidate neighbors — the scale path
+    for ANN / near-dup (cells bound the pairwise work)."""
+
+    def __init__(self, centroids_ref):
+        import ray
+
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.centroids = _normalize(np.asarray(c, dtype=np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(embedding_matrix(batch))
+        cell = np.argmax(m @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cell, pa.int32()))
+
+
+def kmeans_centroids(sample: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Tiny k-means (numpy) over a driver-side sample to seed IVF cells."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample.astype(np.float64))
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents

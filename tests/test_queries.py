@@ -1,0 +1,82 @@
+"""Driver-contract conformance: run every queries() entry at sf0.001 and
+compare the SQL-expressible ones against DuckDB the way the driver does
+(row count + sorted-column value equality)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+
+    import ray
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as m
+
+    return m.queries(), m.oracle_sql()
+
+
+def test_all_queries_run_and_sql_matches(contract, duck):
+    queries, oracles = contract
+    failures = []
+    for name, fn in queries.items():
+        res = _to_pandas(fn(SF_DIR))
+        assert len(res) >= 0, name
+        if name in oracles:
+            want = duck.execute(oracles[name]).df()
+            got_n, want_n = _normalize(res.copy()), _normalize(want)
+            if got_n.shape != want_n.shape:
+                failures.append(f"{name}: shape {got_n.shape} vs {want_n.shape}")
+                continue
+            if not got_n.equals(want_n):
+                diff = (got_n != want_n).any(axis=1)
+                failures.append(
+                    f"{name}: {int(diff.sum())} differing rows, e.g.\n"
+                    f"got:\n{got_n[diff].head(3)}\nwant:\n{want_n[diff].head(3)}"
+                )
+    assert not failures, "\n".join(failures)
+
+
+def test_oracle_keys_subset_of_queries(contract):
+    queries, oracles = contract
+    assert set(oracles) <= set(queries)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as m
+
+    res = m.entry()
+    df = _to_pandas(res)
+    assert len(df) == 500
+    assert "cluster_id" in df.columns
