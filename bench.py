@@ -1,0 +1,148 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "mb_per_sec": ...}
+
+--scaling: runs the headline pipeline in two fresh subprocesses
+(num_cpus=8 and 32) on the same input and reports throughputs + scaling
+efficiency (the sandbox stand-in for the N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _headline(sf_dir: str):
+    """Flagship: suffix-array substring dedup over the webpages-shaped
+    corpus synthesized deterministically at bench scale (BASELINE.json
+    input_hint shape), plus the documents-table operator suite."""
+    import ray
+
+    from hg_dedup_ray.config import DedupConfig
+    from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
+
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "4000"))
+    fixture_dir = f"/tmp/graft_bench_pages_{n_docs}"
+    if not os.path.isdir(fixture_dir) or not os.listdir(fixture_dir):
+        from hg_dedup_ray.sources.webpages import write_webpages
+
+        write_webpages(fixture_dir, n_docs=n_docs, seed=42, minlen=100, n_files=16)
+    # warm page cache so we measure compute+shuffle, not first disk read
+    for f in os.listdir(fixture_dir):
+        with open(os.path.join(fixture_dir, f), "rb") as fh:
+            fh.read()
+
+    ds = ray.data.read_parquet(fixture_dir)
+    n_cpus = int(ray.cluster_resources().get("CPU", 32))
+    cfg = DedupConfig(minlen=100, num_partitions=max(8, n_cpus), shingle_k=16)
+    t0 = time.time()
+    out = dedup_dataset(ds, cfg)
+    total = out.select_columns(["n_bytes", "n_removed_bytes"]).to_pandas()
+    elapsed = time.time() - t0
+    docs = len(total)
+    mb = float(total["n_bytes"].sum()) / 1e6
+    return elapsed, docs, mb
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from hg_dedup_ray.pipelines import queries as Q
+
+    headline_sec, docs, mb = _headline(sf_dir)
+
+    timings: dict[str, float] = {}
+    bench_queries = [
+        "sa_dedup_documents",
+        "exact_dedup",
+        "minhash_clusters",
+        "simhash_sigs",
+        "token_counts",
+        "unigram_counts",
+        "ann_topk",
+        "embedding_near_dup_pairs",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        res = Q.QUERIES[name](sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.materialize()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "sa_dedup_webpages_e2e",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs": docs,
+        "docs_per_sec": round(docs / headline_sec, 1),
+        "mb_per_sec": round(mb / headline_sec, 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "mb_per_sec_lo": r_lo["mb_per_sec"],
+        "mb_per_sec_hi": r_hi["mb_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -80,10 +80,11 @@ def batch_signatures(
     invalid_idx = np.flatnonzero(invalid_mask)
     starts = np.minimum(doc_offsets[:-1], max(total - 1, 0)).astype(np.int64)
     rng = np.random.default_rng(seed)
-    salts = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64)
+    # odd multipliers: multiplication mod 2^64 by an odd constant is a
+    # bijection of the (already splitmix-mixed) stream — one pass per perm
+    salts = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)
     for p in range(num_perm):
-        permuted = stream ^ salts[p]
-        permuted = _splitmix(permuted)
+        permuted = stream * salts[p]
         permuted[invalid_idx] = U64_MAX
         if total:
             sig[:, p] = np.minimum.reduceat(permuted, starts)
@@ -91,7 +92,7 @@ def batch_signatures(
     for d in np.flatnonzero(valid_counts == 0):
         piece = texts_buf[doc_offsets[d] : doc_offsets[d + 1]]
         h = shingle_hashes(piece, k) if piece.shape[0] else np.array([np.uint64(0)])
-        sig[d, :] = _splitmix(np.full(num_perm, h[0], dtype=np.uint64) ^ salts)
+        sig[d, :] = np.uint64(h[0]) * salts
     return sig
 
 

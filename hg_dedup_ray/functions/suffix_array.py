@@ -24,9 +24,12 @@ def build_suffix_array(data: bytes | bytearray | memoryview | np.ndarray) -> np.
     lexicographic order of suffixes. Equivalent to
     ``sorted(range(n), key=lambda i: data[i:])``.
 
-    Prefix doubling: rank suffixes by their first ``k`` bytes, double ``k``
-    until all ranks are distinct. Each round is one ``np.lexsort`` + a
-    vectorized re-rank; rounds needed = O(log(longest repeat)).
+    Larsson-Sadakane-style prefix doubling, fully vectorized:
+    - initial radix pass sorts by the first 8 bytes at once (big-endian
+      u64 view), so doubling starts at k=8;
+    - each round re-sorts ONLY still-tied segments by the rank k bytes
+      ahead; work per round is O(ties), which collapses after the longest
+      repeats are resolved (O(n log n) worst case, ~O(n) typical).
     """
     if isinstance(data, (bytes, bytearray, memoryview)):
         a = np.frombuffer(bytes(data), dtype=np.uint8)
@@ -38,26 +41,47 @@ def build_suffix_array(data: bytes | bytearray | memoryview | np.ndarray) -> np.
     if n == 1:
         return np.zeros(1, dtype=np.int64)
 
-    rank = a.astype(np.int64)
-    k = 1
-    while True:
-        # Secondary key: rank of the suffix starting k bytes later
-        # (-1 == "past the end", sorts before every real rank).
-        rank2 = np.full(n, -1, dtype=np.int64)
-        rank2[: n - k] = rank[k:]
-        sa = np.lexsort((rank2, rank))
-        r1 = rank[sa]
-        r2 = rank2[sa]
-        changed = np.empty(n, dtype=bool)
-        changed[0] = True
-        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
-        new_rank = np.empty(n, dtype=np.int64)
-        new_rank[sa] = np.cumsum(changed) - 1
-        rank = new_rank
+    K0 = 8
+    b = np.concatenate([a, np.zeros(K0, dtype=np.uint8)])
+    v = np.zeros(n, dtype=np.uint64)
+    for j in range(K0):
+        v = (v << np.uint64(8)) | b[j : j + n].astype(np.uint64)
+    sa = np.argsort(v, kind="stable").astype(np.int64)
+    vs = v[sa]
+    newseg = np.ones(n, dtype=bool)
+    newseg[1:] = vs[1:] != vs[:-1]
+    # rank[suffix] = sa-index of its segment's first element (Larsson-
+    # Sadakane convention: usable as an ordinal AND stable under segment-
+    # local refinement)
+    seg_start = np.maximum.accumulate(np.where(newseg, np.arange(n), -1))
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = seg_start
+
+    # initial tied set: elements of segments with >1 member (computed once;
+    # every later round derives the next tied set from the current one, so
+    # per-round work is O(ties), not O(n))
+    seg_id0 = np.cumsum(newseg) - 1
+    sizes0 = np.bincount(seg_id0)
+    idx = np.flatnonzero((sizes0 > 1)[seg_id0]).astype(np.int64)
+
+    k = K0
+    while idx.size and k < n:
+        suf = sa[idx]
+        seg = rank[suf]  # segment start index = segment key
+        r2 = np.where(suf + k < n, rank[(suf + k) % n], np.int64(-1))
+        order = np.lexsort((r2, seg))
+        suf = suf[order]
+        r2 = r2[order]
+        seg = seg[order]
+        sa[idx] = suf
+        newval = np.ones(idx.shape[0], dtype=bool)
+        newval[1:] = (seg[1:] != seg[:-1]) | (r2[1:] != r2[:-1])
+        grp = np.cumsum(newval) - 1
+        rank[suf] = idx[newval][grp]
+        counts = np.bincount(grp)
+        idx = idx[(counts > 1)[grp]]
         k *= 2
-        if rank[sa[-1]] == n - 1 or k >= n:
-            # all ranks distinct (max rank == n-1) -> fully sorted
-            return sa.astype(np.int64)
+    return sa
 
 
 def build_suffix_array_naive(data: bytes) -> np.ndarray:

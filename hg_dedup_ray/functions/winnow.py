@@ -42,8 +42,13 @@ def sliding_min(a: np.ndarray, w: int) -> np.ndarray:
 
 
 def winnow_params(minlen: int, shingle_k: int) -> tuple[int, int]:
-    """(k, w) such that w + k - 1 <= minlen (detection guarantee)."""
-    k = min(shingle_k, minlen)
+    """(k, w) such that w + k - 1 <= minlen (detection guarantee).
+
+    k is raised to minlen//2 (>= shingle_k) so a shared fingerprint implies
+    a shared k-gram of ~minlen/2 bytes — strong evidence of a real
+    duplicate region — rather than a short gram that unrelated docs share
+    by chance. Fewer false candidate groups, same guarantee."""
+    k = min(max(shingle_k, minlen // 2), minlen)
     w = max(1, minlen - k + 1)
     return k, w
 

@@ -31,6 +31,11 @@ import ray
 
 from hg_dedup_ray.config import DedupConfig
 from hg_dedup_ray.stages.extract import make_extract_fn, seq_bounds
+from hg_dedup_ray.stages.candidates import (
+    CandidateEmitter,
+    bucket_to_candidates,
+    expand_band_pairs,
+)
 from hg_dedup_ray.stages.group_scan import GroupScanner, bucket_to_group
 from hg_dedup_ray.stages.minhash_stage import MinHashBander, bucket_to_pairs, dedupe_pairs
 from hg_dedup_ray.stages.winnow_stage import WinnowFingerprinter
@@ -104,10 +109,37 @@ def dedup_dataset(ds, cfg: DedupConfig):
     xranges_ref = None
     clusters_ref = None
     if cfg.num_partitions > 1:
-        pair_rows = candidate_pairs(docs, cfg).take_all()  # keys + urls only
-        group_rows = candidate_groups(docs, cfg).take_all()
-        # dedupe identical member sets (many buckets select the same docs)
-        groups = sorted({tuple(r["urls"]) for r in group_rows if r["urls"]})
+        # ONE fused pass emits band + fingerprint rows; ONE shuffle buckets
+        # them; the driver receives compact candidate rows (urls/seqs only)
+        cand = docs.map_batches(
+            CandidateEmitter,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=_pool(cfg, "candidate_concurrency"),
+        )
+        cand_rows = (
+            cand.groupby("bucket_key")
+            .map_groups(bucket_to_candidates, batch_format="pyarrow")
+            .take_all()
+        )
+        pair_set: set[tuple] = set()
+        group_set: set[tuple] = set()
+        for r in cand_rows:
+            if not r["urls"]:
+                continue
+            if r["kind"] == 0:
+                pair_set.update(expand_band_pairs(r["urls"], r["seqs"], r["parts"]))
+            else:
+                group_set.add(tuple(r["urls"]))
+        pair_rows = [
+            {
+                "url_a": a, "seq_a": sa_, "part_a": pa_,
+                "url_b": b, "seq_b": sb_, "part_b": pb_,
+            }
+            for (a, sa_, pa_, b, sb_, pb_) in sorted(pair_set)
+        ]
+        groups = sorted(group_set)
         urls_needed = {r["url_a"] for r in pair_rows} | {r["url_b"] for r in pair_rows}
         urls_needed.update(u for g in groups for u in g)
         if urls_needed:

@@ -1,0 +1,105 @@
+"""Fused candidate-routing stage: ONE pass over doc texts emits both
+MinHash/LSH band rows (near-dup document candidates -> cluster edges) and
+winnowing fingerprint rows (substring candidates -> group scans), sharing
+one ``groupby(bucket_key)`` shuffle. Kind is encoded in the row (0=band,
+1=fingerprint); the two key spaces are salt-separated so buckets never mix.
+
+Replaces the separate MinHashBander + WinnowFingerprinter stages (kept for
+direct use/tests) with half the text passes and one less all-to-all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hg_dedup_ray.config import DedupConfig
+from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+from hg_dedup_ray.functions.minhash import band_hashes, batch_signatures
+from hg_dedup_ray.functions.winnow import batch_fingerprints, winnow_params
+
+
+class CandidateEmitter:
+    """map_batches actor: docs -> (bucket_key, kind, url, doc_seq, part)."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        self.kfp, self.w = winnow_params(cfg.minlen, cfg.shingle_k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        buf, offsets = string_column_bytes(batch["text"])
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        seqs = batch["doc_seq"].to_numpy(zero_copy_only=False)
+        parts = batch["part"].to_numpy(zero_copy_only=False)
+
+        sig = batch_signatures(buf, offsets, cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
+        bh = band_hashes(sig, cfg.num_bands)  # (n, B)
+        B = cfg.num_bands
+        fp_vals, fp_counts = batch_fingerprints(buf, offsets, self.kfp, self.w)
+
+        keys = np.concatenate([bh.reshape(-1), fp_vals])
+        kinds = np.concatenate(
+            [np.zeros(bh.size, np.uint8), np.ones(fp_vals.size, np.uint8)]
+        )
+        rep_b = np.repeat(np.arange(len(batch)), B)
+        rep_f = np.repeat(np.arange(len(batch)), fp_counts)
+        idx = np.concatenate([rep_b, rep_f])
+        return pa.table(
+            {
+                "bucket_key": pa.array(keys, pa.uint64()),
+                "kind": pa.array(kinds, pa.uint8()),
+                "url": pa.array(urls[idx]),
+                "doc_seq": pa.array(seqs[idx], pa.int64()),
+                "part": pa.array(parts[idx], pa.int32()),
+            }
+        )
+
+
+def bucket_to_candidates(group: pa.Table) -> pa.Table:
+    """One bucket -> zero or one candidate row {kind, urls, seqs, parts}
+    (members doc_seq-sorted, deduped).
+
+    Band buckets (kind 0) need >=2 distinct docs; fingerprint buckets
+    (kind 1) additionally need >1 partition (same-partition substrings are
+    already exact via the partition scan)."""
+    kind = int(group["kind"][0].as_py())
+    urls = group["url"].to_numpy(zero_copy_only=False)
+    seq = group["doc_seq"].to_numpy(zero_copy_only=False)
+    part = group["part"].to_numpy(zero_copy_only=False)
+    _, uniq_idx = np.unique(urls, return_index=True)
+    empty = pa.table(
+        {
+            "kind": pa.array([], pa.uint8()),
+            "urls": pa.array([], pa.list_(pa.string())),
+            "seqs": pa.array([], pa.list_(pa.int64())),
+            "parts": pa.array([], pa.list_(pa.int32())),
+        }
+    )
+    if len(uniq_idx) < 2:
+        return empty
+    if kind == 1 and len(np.unique(part[uniq_idx])) < 2:
+        return empty
+    order = uniq_idx[np.argsort(seq[uniq_idx], kind="stable")]
+    return pa.table(
+        {
+            "kind": pa.array([kind], pa.uint8()),
+            "urls": pa.array([list(urls[order])], pa.list_(pa.string())),
+            "seqs": pa.array([[int(s) for s in seq[order]]], pa.list_(pa.int64())),
+            "parts": pa.array([[int(p) for p in part[order]]], pa.list_(pa.int32())),
+        }
+    )
+
+
+def expand_band_pairs(
+    urls: list[str], seqs: list[int], parts: list[int]
+) -> list[tuple]:
+    """Chain + rep pairing over a doc_seq-sorted band bucket (see
+    stages/minhash_stage.bucket_to_pairs for rationale)."""
+    m = len(urls)
+    out = []
+    for i in range(1, m):
+        out.append((urls[i - 1], seqs[i - 1], parts[i - 1], urls[i], seqs[i], parts[i]))
+    for i in range(2, m):
+        out.append((urls[0], seqs[0], parts[0], urls[i], seqs[i], parts[i]))
+    return out

@@ -43,16 +43,47 @@ def make_extract_fn(cfg: DedupConfig, seq_min: int, seq_max: int):
     return extract
 
 
-def seq_bounds(ds, cfg: DedupConfig) -> tuple[int, int]:
-    """(min, max) of the order column — one column-pruned aggregate pass.
+def parquet_column_bounds(paths: list[str], col: str) -> tuple[int, int] | None:
+    """(min, max) of an int column from parquet footer statistics only —
+    no data read. Returns None if any row group lacks statistics."""
+    import pyarrow.parquet as pq
 
-    At 100 TB scale, prefer deriving bounds from parquet footer statistics
-    (metadata-only); this aggregate is the generic fallback and reads only
-    the seq column thanks to Ray's projection pushdown.
-    """
-    res = ds.select_columns([cfg.seq_col]).aggregate(
-        *_min_max_aggs(cfg.seq_col)
-    )
+    lo, hi = None, None
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        try:
+            ci = md.schema.to_arrow_schema().get_field_index(col)
+        except Exception:
+            return None
+        if ci < 0:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return (int(lo), int(hi)) if lo is not None else None
+
+
+def seq_bounds(ds, cfg: DedupConfig) -> tuple[int, int]:
+    """(min, max) of the order column.
+
+    Preference order: explicit cfg.extra['seq_bounds'] -> parquet footer
+    statistics of the dataset's input files (metadata-only, the 100 TB
+    path) -> a column-pruned Ray aggregate (generic fallback)."""
+    if "seq_bounds" in cfg.extra:
+        mn, mx = cfg.extra["seq_bounds"]
+        return int(mn), int(mx)
+    try:
+        paths = ds.input_files()
+    except Exception:
+        paths = []
+    if paths and all(p.endswith((".parquet", ".pq")) for p in paths):
+        bounds = parquet_column_bounds(paths, cfg.seq_col)
+        if bounds is not None:
+            return bounds
+    res = ds.select_columns([cfg.seq_col]).aggregate(*_min_max_aggs(cfg.seq_col))
     return int(res[f"min({cfg.seq_col})"]), int(res[f"max({cfg.seq_col})"])
 
 
