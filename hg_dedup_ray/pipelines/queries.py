@@ -301,11 +301,105 @@ def ann_ivf_topk(sf_dir: str, n_cells: int = 8):
     return assigned.groupby("ivf_cell").map_groups(cell_topk, batch_format="pyarrow")
 
 
+def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
+    """Near-dup doc pairs via SimHash: band explode -> groupby(band_key)
+    -> within-bucket Hamming filter -> pair dedupe (rows-only; the banded
+    Hamming search is not SQL-expressible)."""
+    from hg_dedup_ray.stages.simhash import SimHashBandEmitter, simhash_bucket_pairs
+
+    bands = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        SimHashBandEmitter,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=_pool(),
+    )
+    pairs = bands.groupby("band_key").map_groups(
+        simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
+    )
+    # a pair can surface from several bands: keep one row per pair
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def sa_dedup_resumable(sf_dir: str):
+    """Flagship pipeline through the checkpointing driver: writes
+    partitioned parquet + per-partition lineage manifests under /tmp,
+    returns the re-read output (rows-only; exercises resume machinery)."""
+    import shutil
+    import tempfile
+
+    from hg_dedup_ray.pipelines.resumable import run_dedup_resumable
+
+    out_dir = tempfile.mkdtemp(prefix="hgdr_resume_")
+    try:
+        cfg = DedupConfig(
+            minlen=64, num_partitions=4, shingle_k=8,
+            seq_col="doc_id", id_col="doc_id", text_col="text",
+        )
+        run_dedup_resumable(f"{sf_dir}/documents.parquet", out_dir, cfg)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            out_dir, columns=["url", "doc_seq", "n_bytes", "n_removed_bytes", "cluster_id"]
+        )
+        return t.sort_by("doc_seq")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ------------------------------------------------------------- multimodal
+def _multimodal(sf_dir: str, kind: str, stage_cls, batch_size: int, **kw):
+    from hg_dedup_ray.stages import multimodal as mm
+
+    return (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(
+            lambda b: mm.attach_payloads(b, kind),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        .map_batches(
+            stage_cls,
+            batch_format="pyarrow",
+            batch_size=batch_size,  # payload-heavy rows: small batches
+            concurrency=_pool(),
+            **kw,
+        )
+    )
+
+
+def image_features(sf_dir: str):
+    """Opaque binary image payloads -> typed feature columns via an
+    actor-pool decode stage (decode stubbed: stages/multimodal.py)."""
+    from hg_dedup_ray.stages.multimodal import ImageFeatures
+
+    return _multimodal(sf_dir, "image", ImageFeatures, 256)
+
+
+def audio_features(sf_dir: str):
+    from hg_dedup_ray.stages.multimodal import AudioFeatures
+
+    return _multimodal(sf_dir, "audio", AudioFeatures, 256)
+
+
+def video_frame_sample(sf_dir: str):
+    """Video payloads -> one row per sampled frame (stride 4)."""
+    from hg_dedup_ray.stages.multimodal import FrameSampler
+
+    return _multimodal(sf_dir, "video", FrameSampler, 64)
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "sa_dedup_documents": sa_dedup_documents,
     "minhash_clusters": minhash_clusters,
     "simhash_sigs": simhash_sigs,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "sa_dedup_resumable": sa_dedup_resumable,
+    "image_features": image_features,
+    "audio_features": audio_features,
+    "video_frame_sample": video_frame_sample,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "token_counts": token_counts,
     "quality_scores": quality_scores,

@@ -92,6 +92,91 @@ def candidate_groups(docs, cfg: DedupConfig):
     return winnows.groupby("bucket_key").map_groups(bucket_to_group, batch_format="pyarrow")
 
 
+def compute_cross_partition(docs, cfg: DedupConfig):
+    """Cross-partition stage: (xranges, clusters) dicts.
+
+    ONE fused pass emits band + fingerprint rows; ONE shuffle buckets
+    them; the driver receives compact candidate rows (urls/seqs only),
+    then dup-set texts are broadcast once for group scans + pair verify.
+
+    Returns ``(xranges: dict[url, ndarray(R,2)], clusters: dict[url, int])``.
+    """
+    cand = docs.map_batches(
+        CandidateEmitter,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=_pool(cfg, "candidate_concurrency"),
+    )
+    cand_rows = (
+        cand.groupby("bucket_key")
+        .map_groups(bucket_to_candidates, batch_format="pyarrow")
+        .take_all()
+    )
+    pair_set: set[tuple] = set()
+    group_set: set[tuple] = set()
+    for r in cand_rows:
+        if not r["urls"]:
+            continue
+        if r["kind"] == 0:
+            pair_set.update(expand_band_pairs(r["urls"], r["seqs"], r["parts"]))
+        else:
+            group_set.add(tuple(r["urls"]))
+    pair_rows = [
+        {
+            "url_a": a, "seq_a": sa_, "part_a": pa_,
+            "url_b": b, "seq_b": sb_, "part_b": pb_,
+        }
+        for (a, sa_, pa_, b, sb_, pb_) in sorted(pair_set)
+    ]
+    groups = sorted(group_set)
+    urls_needed = {r["url_a"] for r in pair_rows} | {r["url_b"] for r in pair_rows}
+    urls_needed.update(u for g in groups for u in g)
+    xranges: dict[str, np.ndarray] = {}
+    edges: list[tuple] = []
+    if urls_needed:
+        texts_ref = ray.put(_collect_texts(docs, urls_needed))
+
+        if groups:
+            span_rows = (
+                ray.data.from_items([{"urls": list(g)} for g in groups])
+                .map_batches(
+                    GroupScanner,
+                    fn_constructor_args=(cfg, texts_ref),
+                    batch_format="pyarrow",
+                    batch_size=64,
+                    concurrency=_pool(cfg, "group_scan_concurrency"),
+                )
+                .take_all()
+            )
+            for r in span_rows:
+                rr = np.array([[r["start"], r["end"]]], dtype=np.int64)
+                prev = xranges.get(r["url"])
+                xranges[r["url"]] = (
+                    np.concatenate([prev, rr]) if prev is not None else rr
+                )
+
+        if pair_rows:
+            verified = (
+                ray.data.from_items(pair_rows)
+                .map_batches(
+                    PairVerifier,
+                    fn_constructor_args=(cfg, texts_ref),
+                    batch_format="pyarrow",
+                    batch_size=256,
+                    concurrency=_pool(cfg, "verify_concurrency"),
+                )
+                .take_all()
+            )
+            edges = [
+                (r["url_a"], r["url_b"], r["seq_a"], r["seq_b"])
+                for r in verified
+                if r["jaccard"] >= cfg.jaccard_threshold
+            ]
+    clusters = union_find_clusters(edges)
+    return xranges, clusters
+
+
 def dedup_dataset(ds, cfg: DedupConfig):
     """Full dedup: input dataset -> annotated/deduped docs dataset."""
     docs = extract_docs(ds, cfg)
@@ -109,83 +194,9 @@ def dedup_dataset(ds, cfg: DedupConfig):
     xranges_ref = None
     clusters_ref = None
     if cfg.num_partitions > 1:
-        # ONE fused pass emits band + fingerprint rows; ONE shuffle buckets
-        # them; the driver receives compact candidate rows (urls/seqs only)
-        cand = docs.map_batches(
-            CandidateEmitter,
-            fn_constructor_args=(cfg,),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=_pool(cfg, "candidate_concurrency"),
-        )
-        cand_rows = (
-            cand.groupby("bucket_key")
-            .map_groups(bucket_to_candidates, batch_format="pyarrow")
-            .take_all()
-        )
-        pair_set: set[tuple] = set()
-        group_set: set[tuple] = set()
-        for r in cand_rows:
-            if not r["urls"]:
-                continue
-            if r["kind"] == 0:
-                pair_set.update(expand_band_pairs(r["urls"], r["seqs"], r["parts"]))
-            else:
-                group_set.add(tuple(r["urls"]))
-        pair_rows = [
-            {
-                "url_a": a, "seq_a": sa_, "part_a": pa_,
-                "url_b": b, "seq_b": sb_, "part_b": pb_,
-            }
-            for (a, sa_, pa_, b, sb_, pb_) in sorted(pair_set)
-        ]
-        groups = sorted(group_set)
-        urls_needed = {r["url_a"] for r in pair_rows} | {r["url_b"] for r in pair_rows}
-        urls_needed.update(u for g in groups for u in g)
-        if urls_needed:
-            texts_ref = ray.put(_collect_texts(docs, urls_needed))
-
-            xranges: dict[str, np.ndarray] = {}
-            if groups:
-                span_rows = (
-                    ray.data.from_items([{"urls": list(g)} for g in groups])
-                    .map_batches(
-                        GroupScanner,
-                        fn_constructor_args=(cfg, texts_ref),
-                        batch_format="pyarrow",
-                        batch_size=64,
-                        concurrency=_pool(cfg, "group_scan_concurrency"),
-                    )
-                    .take_all()
-                )
-                for r in span_rows:
-                    rr = np.array([[r["start"], r["end"]]], dtype=np.int64)
-                    prev = xranges.get(r["url"])
-                    xranges[r["url"]] = (
-                        np.concatenate([prev, rr]) if prev is not None else rr
-                    )
-
-            edges = []
-            if pair_rows:
-                verified = (
-                    ray.data.from_items(pair_rows)
-                    .map_batches(
-                        PairVerifier,
-                        fn_constructor_args=(cfg, texts_ref),
-                        batch_format="pyarrow",
-                        batch_size=256,
-                        concurrency=_pool(cfg, "verify_concurrency"),
-                    )
-                    .take_all()
-                )
-                edges = [
-                    (r["url_a"], r["url_b"], r["seq_a"], r["seq_b"])
-                    for r in verified
-                    if r["jaccard"] >= cfg.jaccard_threshold
-                ]
-            clusters = union_find_clusters(edges)
-            xranges_ref = ray.put(xranges)
-            clusters_ref = ray.put(clusters)
+        xranges, clusters = compute_cross_partition(docs, cfg)
+        xranges_ref = ray.put(xranges)
+        clusters_ref = ray.put(clusters)
 
     return scanned.map_batches(
         Writeback,

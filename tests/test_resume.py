@@ -1,0 +1,118 @@
+"""Resumable-run tests (SURVEY.md §5(e), north_rule checkpoint contract).
+
+Run 1 completes; we then delete some partition manifests + outputs
+(simulating a crash that lost those partitions) and rerun: the rerun must
+skip completed partitions, recompute only the missing ones, reuse the
+cross-partition candidate checkpoint, and produce byte-identical output
+to a fresh run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from hg_dedup_ray.config import DedupConfig
+from hg_dedup_ray.pipelines.resumable import run_dedup_resumable
+from hg_dedup_ray.sources.webpages import write_webpages
+from hg_dedup_ray.state import checkpoint as ck
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("resume_pages")
+    write_webpages(str(d), n_docs=300, seed=11, minlen=48, n_files=6)
+    return str(d)
+
+
+def _cfg(ckpt_dir: str) -> DedupConfig:
+    return DedupConfig(
+        minlen=48, num_partitions=4, shingle_k=8, checkpoint_dir=ckpt_dir
+    )
+
+
+def _read_out(output_dir: str) -> pd.DataFrame:
+    df = pq.read_table(output_dir).to_pandas()
+    drop = [c for c in ("part",) if c in df.columns]
+    return (
+        df.drop(columns=drop)
+        .sort_values("doc_seq")
+        .reset_index(drop=True)
+        .astype({"n_removed_bytes": "int64"})
+    )
+
+
+def test_resume_skips_completed_and_matches_fresh(pages_dir, tmp_path):
+    out1 = str(tmp_path / "out_fresh")
+    s1 = run_dedup_resumable(pages_dir, out1, _cfg(str(tmp_path / "ck1")))
+    assert s1["parts_total"] == 4
+    assert sorted(s1["parts_processed_this_run"]) == [0, 1, 2, 3]
+    assert s1["parts_skipped_this_run"] == []
+
+    # rerun with intact checkpoints: everything skipped, nothing recomputed
+    s1b = run_dedup_resumable(pages_dir, out1, _cfg(str(tmp_path / "ck1")))
+    assert s1b["parts_processed_this_run"] == []
+    assert s1b["parts_total"] == 4
+
+    # crash simulation: lose partitions 1 and 3
+    ck1 = str(tmp_path / "ck1")
+    for p in (1, 3):
+        os.remove(ck.part_manifest_path(ck1, p))
+        os.remove(os.path.join(out1, f"part={p}", "data.parquet"))
+    s2 = run_dedup_resumable(pages_dir, out1, _cfg(ck1))
+    assert sorted(s2["parts_processed_this_run"]) == [1, 3]
+    assert sorted(s2["parts_skipped_this_run"]) == [0, 2]
+
+    # candidate-stage checkpoint was reused (manifest untouched -> done)
+    with open(os.path.join(ck1, "candidates", "manifest.json")) as f:
+        assert json.load(f)["status"] == "done"
+
+    # resumed output == a fresh run in a clean directory
+    out2 = str(tmp_path / "out_clean")
+    run_dedup_resumable(pages_dir, out2, _cfg(str(tmp_path / "ck2")))
+    a, b = _read_out(out1), _read_out(out2)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_removed_bytes"].sum() > 0  # fixtures contain duplicates
+
+
+def test_manifest_lineage_fields(pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckd = str(tmp_path / "ck")
+    cfg = _cfg(ckd)
+    run_dedup_resumable(pages_dir, out, cfg)
+    manifests = ck.load_completed_parts(ckd, cfg)
+    assert set(manifests) == {0, 1, 2, 3}
+    for p, m in manifests.items():
+        assert m["cfg_hash"] == ck.cfg_fingerprint(cfg)
+        assert m["n_docs"] > 0
+        assert m["corpus_bytes"] > m["n_docs"]  # sentinel + text bytes
+        assert len(m["content_hash"]) == 16
+        assert m["input_files"], "lineage must record input files"
+        assert os.path.exists(m["output_file"])
+        assert m["doc_seq_min"] <= m["doc_seq_max"]
+
+    # doc_seq ranges must tile [0, n_docs) contiguously (order-contiguous
+    # partitioning is what makes keep-first == global doc order)
+    spans = sorted(
+        (m["doc_seq_min"], m["doc_seq_max"]) for m in manifests.values()
+    )
+    assert spans[0][0] == 0
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert b0 == a1 + 1
+
+
+def test_cfg_change_invalidates_checkpoints(pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckd = str(tmp_path / "ck")
+    run_dedup_resumable(pages_dir, out, _cfg(ckd))
+    cfg2 = DedupConfig(
+        minlen=64, num_partitions=4, shingle_k=8, checkpoint_dir=ckd
+    )
+    assert ck.load_completed_parts(ckd, cfg2) == {}
+    assert ck.load_candidates(ckd, cfg2) is None
