@@ -69,14 +69,74 @@ def batch_fingerprints(
     Returns (fp values u64, per-doc counts) — flatten-friendly for building
     the exploded (bucket_key, url, ...) rows.
     """
+    from hg_dedup_ray.functions.minhash import _FNV
+
     n = offsets.shape[0] - 1
-    counts = np.zeros(n, dtype=np.int64)
-    chunks: list[np.ndarray] = []
-    for d in range(n):
-        fps = doc_fingerprints(buf[offsets[d] : offsets[d + 1]], k, w)
-        counts[d] = fps.shape[0]
-        chunks.append(fps)
-    values = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+    total = int(offsets[-1]) if n else 0
+    if n == 0 or total == 0:
+        counts = np.zeros(n, dtype=np.int64)
+        vals = np.empty(0, np.uint64)
+        # empty docs still get the single whole-doc fingerprint
+        chunks = []
+        for d in range(n):
+            fps = doc_fingerprints(buf[offsets[d] : offsets[d + 1]], k, w)
+            counts[d] = fps.shape[0]
+            chunks.append(fps)
+        if chunks:
+            vals = np.concatenate(chunks)
+        return _splitmix(vals ^ np.uint64(0x57494E4E4F573737)), counts
+
+    # ONE rolling-hash pass over the batch's concatenated bytes and ONE
+    # global sliding_min; per-doc results are slices of it (every window
+    # we select lies fully inside one doc, so cross-doc bytes never leak)
+    lens = np.diff(offsets)
+    nsh = np.maximum(lens - k + 1, 0)  # valid shingle starts per doc
+    nwin = np.maximum(nsh - w + 1, 0)  # fully-inside window starts per doc
+    pad = np.zeros(k - 1, dtype=np.uint8) if k > 1 else np.empty(0, np.uint8)
+    b = np.concatenate([buf[:total], pad]) if k > 1 else buf[:total]
+    stream = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        stream = stream * _FNV + b[j : j + total].astype(np.uint64)
+    stream = _splitmix(stream)
+
+    sm = sliding_min(stream, w) if total >= w else stream
+    starts = offsets[:-1].astype(np.int64)
+    tot_win = int(nwin.sum())
+    doc_idx = np.repeat(np.arange(n), nwin)
+    base = np.repeat(starts, nwin)
+    grp0 = np.repeat(np.concatenate(([0], np.cumsum(nwin)))[:-1], nwin)
+    vals = sm[base + (np.arange(tot_win) - grp0)] if tot_win else np.empty(0, np.uint64)
+    if tot_win:
+        # collapse consecutive repeats first: the same window-min persists
+        # across ~w adjacent windows, so this shrinks the array ~w/2 x
+        # before the (much more expensive) per-doc unique below
+        run = np.ones(tot_win, dtype=bool)
+        run[1:] = (vals[1:] != vals[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+        vals = vals[run]
+        doc_idx = doc_idx[run]
+
+    # short docs (no full window): one fingerprint = min over their own
+    # shingle hashes (or the whole-doc hash if shorter than k)
+    short = np.flatnonzero((nwin == 0) & (lens > 0))
+    s_idx = np.empty(short.shape[0], dtype=np.int64)
+    s_val = np.empty(short.shape[0], dtype=np.uint64)
+    for i, d in enumerate(short):
+        s_idx[i] = d
+        if nsh[d] > 0:
+            s_val[i] = stream[offsets[d] : offsets[d] + nsh[d]].min()
+        else:  # 0 < len < k: single whole-doc hash (empty docs emit none)
+            piece = buf[offsets[d] : offsets[d + 1]]
+            s_val[i] = shingle_hashes(piece, k)[0]
+    doc_idx = np.concatenate([doc_idx, s_idx])
+    vals = np.concatenate([vals, s_val])
+
+    # per-doc dedupe of selected values (winnowing emits repeats)
+    order = np.lexsort((vals, doc_idx))
+    di, va = doc_idx[order], vals[order]
+    keep = np.ones(di.shape[0], dtype=bool)
+    keep[1:] = (di[1:] != di[:-1]) | (va[1:] != va[:-1])
+    di, va = di[keep], va[keep]
+    counts = np.bincount(di, minlength=n).astype(np.int64)
     # salt so winnow keys can never collide with MinHash band keys if the
     # two streams are ever unioned into one shuffle
-    return _splitmix(values ^ np.uint64(0x57494E4E4F573737)), counts
+    return _splitmix(va ^ np.uint64(0x57494E4E4F573737)), counts
