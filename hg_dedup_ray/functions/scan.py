@@ -127,6 +127,49 @@ def coalesce_ptrs_to_ranges(remove_ptrs: np.ndarray, minlen: int) -> np.ndarray:
     return np.stack([starts, ends], axis=1).astype(np.int64)
 
 
+def find_dup_ptrs(
+    corpus: np.ndarray, sa: np.ndarray, minlen: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Diagnostic scan (reference `find_dup_ptrs`, cpp_engine_dedup.h:801-837):
+    ALL members of every duplicate run, tagged kept (run minimum) vs
+    dropped. Returns (ptrs int64 sorted, kept bool) — a superset of the
+    remove-pointers (dropped == the remove set)."""
+    mask = adjacent_run_mask(corpus, sa, minlen, sentinel_positions(corpus))
+    if mask.size == 0 or not mask.any():
+        return np.empty(0, np.int64), np.empty(0, bool)
+    padded = np.concatenate(([False], mask, [False]))
+    edges = np.flatnonzero(padded[1:] != padded[:-1])
+    starts, ends = edges[0::2], edges[1::2]
+    lengths = ends - starts + 1
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    member_idx = np.repeat(starts, lengths) + (
+        np.arange(lengths.sum()) - np.repeat(offsets, lengths)
+    )
+    members = sa[member_idx]
+    run_id = np.repeat(np.arange(len(starts)), lengths)
+    mins = np.minimum.reduceat(members, offsets)
+    kept = members == mins[run_id]
+    order = np.argsort(members, kind="stable")
+    return members[order].astype(np.int64), kept[order]
+
+
+def dup_ptrs_to_docs(
+    ptrs: np.ndarray, kept: np.ndarray, doc_starts: np.ndarray, doc_ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Group dup pointers by containing doc (reference `find_dup_docs`,
+    cpp_engine_dedup.h:839-867 — offset->doc binary search). Returns
+    (doc_ix per doc with >=1 dup ptr, n_kept, n_dropped)."""
+    if ptrs.size == 0:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    doc_ix = np.searchsorted(doc_starts, ptrs, side="right") - 1
+    assert (ptrs < doc_ends[doc_ix]).all(), "dup ptr outside its doc"
+    uniq = np.unique(doc_ix)
+    n_kept = np.bincount(doc_ix, weights=kept)[uniq].astype(np.int64)
+    n_drop = np.bincount(doc_ix, weights=~kept)[uniq].astype(np.int64)
+    return uniq.astype(np.int64), n_kept, n_drop
+
+
 def find_remove_ranges(
     corpus: np.ndarray, sa: np.ndarray, minlen: int
 ) -> np.ndarray:

@@ -390,8 +390,108 @@ def video_frame_sample(sf_dir: str):
     return _multimodal(sf_dir, "video", FrameSampler, 64)
 
 
+def dup_doc_report(sf_dir: str, minlen: int = 64):
+    """Diagnostic D5/D6 (reference find_dup_ptrs/find_dup_docs,
+    cpp_engine_dedup.h:801-867): per doc containing duplicate-run
+    members, the count of kept vs dropped pointers (rows-only)."""
+    from hg_dedup_ray.pipelines.sa_dedup import extract_docs
+    from hg_dedup_ray.stages.sa_scan import texts_to_corpus
+    from hg_dedup_ray.functions.scan import dup_ptrs_to_docs, find_dup_ptrs
+    from hg_dedup_ray.functions.suffix_array import build_suffix_array
+
+    cfg = DedupConfig(
+        minlen=minlen, num_partitions=4,
+        seq_col="doc_id", id_col="doc_id", text_col="text",
+    )
+    docs = extract_docs(_docs(sf_dir), cfg)
+
+    def part_report(group: pa.Table) -> pa.Table:
+        group = group.sort_by("doc_seq")
+        corpus, starts, ends = texts_to_corpus(group["text"])
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_kept_ptrs": pa.array([], pa.int64()),
+                "n_dropped_ptrs": pa.array([], pa.int64()),
+            }
+        )
+        if corpus.shape[0] == 0:
+            return empty
+        sa = build_suffix_array(corpus)
+        ptrs, kept = find_dup_ptrs(corpus, sa, minlen)
+        d_ix, n_kept, n_drop = dup_ptrs_to_docs(ptrs, kept, starts, ends)
+        if d_ix.size == 0:
+            return empty
+        ids = group["doc_seq"].to_numpy(zero_copy_only=False)[d_ix]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_kept_ptrs": pa.array(n_kept, pa.int64()),
+                "n_dropped_ptrs": pa.array(n_drop, pa.int64()),
+            }
+        )
+
+    return docs.groupby("part").map_groups(part_report, batch_format="pyarrow")
+
+
+def jsonl_roundtrip_dedup(sf_dir: str):
+    """Reference user journey (S1/S2/S4 + annotate): documents exported
+    as a JSONL tree, deduped via the jsonl workflow, read back — returns
+    (doc_seq, n_ranges, cluster_id) per doc (rows-only)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from hg_dedup_ray.pipelines.jsonl_workflow import run_jsonl_dedup
+
+    work = tempfile.mkdtemp(prefix="hgdr_jsonl_")
+    try:
+        src = f"{work}/src"
+        t = _docs(sf_dir, columns=["doc_id", "text", "lang"]).to_pandas()
+        import os as _os
+
+        _os.makedirs(src, exist_ok=True)
+        n_files = 4
+        for f in range(n_files):
+            part = t[t["doc_id"] % n_files == f]
+            with open(f"{src}/part{f}.jsonl", "w") as fh:
+                for _, row in part.iterrows():
+                    fh.write(
+                        _json.dumps(
+                            {"text": row["text"], "doc_id": int(row["doc_id"]),
+                             "lang": row["lang"]}
+                        ) + "\n"
+                    )
+        out = f"{work}/out"
+        run_jsonl_dedup(src, out, minlen=64, num_partitions=4)
+        rows = []
+        for f in range(n_files):
+            with open(f"{out}/part{f}.jsonl") as fh:
+                for line in fh:
+                    obj = _json.loads(line)
+                    rows.append(
+                        {
+                            "doc_id": int(obj["doc_id"]),
+                            "n_ranges": len(obj.get("sa_remove_ranges", [])),
+                            "cluster_id": int(obj["cluster_id"]),
+                        }
+                    )
+        rows.sort(key=lambda r: r["doc_id"])
+        return pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "n_ranges": pa.array([r["n_ranges"] for r in rows], pa.int64()),
+                "cluster_id": pa.array([r["cluster_id"] for r in rows], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "dup_doc_report": dup_doc_report,
+    "jsonl_roundtrip_dedup": jsonl_roundtrip_dedup,
     "sa_dedup_documents": sa_dedup_documents,
     "minhash_clusters": minhash_clusters,
     "simhash_sigs": simhash_sigs,
