@@ -43,8 +43,13 @@ class DedupConfig:
     num_bands: int = 16
     shingle_k: int = 16          # byte-shingle width for MinHash
     minhash_seed: int = 42
-    # Hot-band salting: bands whose bucket exceeds this many docs are
-    # split into salted sub-buckets (skew handling; north_rule).
+    # Skew handling (north_rule "skew-aware salting of hot shingles"):
+    # a candidate bucket larger than this many docs (a hot shingle /
+    # boilerplate band) is CHUNKED into doc_seq-ordered sub-groups that
+    # each carry the bucket's global keep-first representative. Sound for
+    # removal: every non-first member's shared window is checked against
+    # the earliest occurrence; bounded: no mini-corpus scan or pair fan-
+    # out ever exceeds ~max_band_bucket docs.
     max_band_bucket: int = 256
     # Cap on candidate pairs emitted per LSH bucket (pairs are formed
     # against the bucket's doc_seq-minimum representative, so a bucket of

@@ -35,8 +35,9 @@ from hg_dedup_ray.config import DedupConfig
 from hg_dedup_ray.stages.extract import make_extract_fn, seq_bounds
 from hg_dedup_ray.stages.candidates import (
     CandidateEmitter,
-    bucket_to_candidates,
+    chunk_members,
     expand_band_pairs,
+    make_bucket_to_candidates,
 )
 from hg_dedup_ray.stages.group_scan import GroupScanner, bucket_to_group
 from hg_dedup_ray.stages.minhash_stage import MinHashBander, bucket_to_pairs, dedupe_pairs
@@ -160,7 +161,7 @@ def _hot_keys_distributed(cand) -> np.ndarray:
     return np.array([r["bucket_key"] for r in rows], dtype=np.uint64)
 
 
-def _driver_buckets(cand, hot: np.ndarray) -> list[dict]:
+def _driver_buckets(cand, hot: np.ndarray, max_docs: int = 256) -> list[dict]:
     """Build candidate buckets on the driver: one streaming filter pass
     (rows with hot keys are a vanishing fraction), then vectorized
     grouping. Mirrors stages.candidates.bucket_to_candidates semantics.
@@ -198,14 +199,15 @@ def _driver_buckets(cand, hot: np.ndarray) -> list[dict]:
         gi = s + np.sort(first)  # doc_seq order (already seq-sorted)
         if kind == 1 and np.unique(parts[gi]).shape[0] < 2:
             continue
-        out.append(
-            {
-                "kind": kind,
-                "urls": [str(x) for x in urls[gi]],
-                "seqs": [int(x) for x in seqs[gi]],
-                "parts": [int(x) for x in parts[gi]],
-            }
-        )
+        for c in chunk_members(gi, max_docs):
+            out.append(
+                {
+                    "kind": kind,
+                    "urls": [str(x) for x in urls[c]],
+                    "seqs": [int(x) for x in seqs[c]],
+                    "parts": [int(x) for x in parts[c]],
+                }
+            )
     return out
 
 
@@ -235,7 +237,7 @@ def compute_cross_partition(docs, cfg: DedupConfig):
     if hot.shape[0] == 0:
         return {}, union_find_clusters([])
     if driver_path:
-        cand_rows = _driver_buckets(cand, hot)
+        cand_rows = _driver_buckets(cand, hot, cfg.max_band_bucket)
     else:
         hot_ref = ray.put(pa.array(hot, pa.uint64()))
 
@@ -246,7 +248,10 @@ def compute_cross_partition(docs, cfg: DedupConfig):
         cand_rows = (
             cand.map_batches(_keep_hot, batch_format="pyarrow")
             .groupby("bucket_key")
-            .map_groups(bucket_to_candidates, batch_format="pyarrow")
+            .map_groups(
+                make_bucket_to_candidates(cfg.max_band_bucket),
+                batch_format="pyarrow",
+            )
             .take_all()
         )
     pair_set: set[tuple] = set()

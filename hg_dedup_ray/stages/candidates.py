@@ -56,39 +56,78 @@ class CandidateEmitter:
         )
 
 
-def bucket_to_candidates(group: pa.Table) -> pa.Table:
-    """One bucket -> zero or one candidate row {kind, urls, seqs, parts}
-    (members doc_seq-sorted, deduped).
+def chunk_members(order: np.ndarray, max_docs: int) -> list[np.ndarray]:
+    """Skew handling: split doc_seq-sorted member indices of an oversized
+    (hot-shingle/boilerplate) bucket into chunks that EACH carry the
+    bucket's global first member (the keep-first representative).
+
+    Sound for removal semantics: a non-first member's shared window only
+    needs SOME earlier doc containing it to be marked, and the earliest
+    occurrence is in every chunk. Bounds every downstream mini-corpus
+    scan / pair fan-out to ~max_docs regardless of bucket size."""
+    m = order.shape[0]
+    if m <= max_docs:
+        return [order]
+    first = order[:1]
+    rest = order[1:]
+    step = max(max_docs - 1, 1)
+    return [
+        np.concatenate([first, rest[i : i + step]])
+        for i in range(0, rest.shape[0], step)
+    ]
+
+
+def make_bucket_to_candidates(max_docs: int = 256):
+    """map_groups fn factory: one bucket -> 0..k candidate rows
+    {kind, urls, seqs, parts} (members doc_seq-sorted, deduped; oversized
+    buckets chunked via ``chunk_members``).
 
     Band buckets (kind 0) need >=2 distinct docs; fingerprint buckets
     (kind 1) additionally need >1 partition (same-partition substrings are
     already exact via the partition scan)."""
-    kind = int(group["kind"][0].as_py())
-    urls = group["url"].to_numpy(zero_copy_only=False)
-    seq = group["doc_seq"].to_numpy(zero_copy_only=False)
-    part = group["part"].to_numpy(zero_copy_only=False)
-    _, uniq_idx = np.unique(urls, return_index=True)
-    empty = pa.table(
-        {
-            "kind": pa.array([], pa.uint8()),
-            "urls": pa.array([], pa.list_(pa.string())),
-            "seqs": pa.array([], pa.list_(pa.int64())),
-            "parts": pa.array([], pa.list_(pa.int32())),
-        }
-    )
-    if len(uniq_idx) < 2:
-        return empty
-    if kind == 1 and len(np.unique(part[uniq_idx])) < 2:
-        return empty
-    order = uniq_idx[np.argsort(seq[uniq_idx], kind="stable")]
-    return pa.table(
-        {
-            "kind": pa.array([kind], pa.uint8()),
-            "urls": pa.array([list(urls[order])], pa.list_(pa.string())),
-            "seqs": pa.array([[int(s) for s in seq[order]]], pa.list_(pa.int64())),
-            "parts": pa.array([[int(p) for p in part[order]]], pa.list_(pa.int32())),
-        }
-    )
+
+    def fn(group: pa.Table) -> pa.Table:
+        kind = int(group["kind"][0].as_py())
+        urls = group["url"].to_numpy(zero_copy_only=False)
+        seq = group["doc_seq"].to_numpy(zero_copy_only=False)
+        part = group["part"].to_numpy(zero_copy_only=False)
+        _, uniq_idx = np.unique(urls, return_index=True)
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.uint8()),
+                "urls": pa.array([], pa.list_(pa.string())),
+                "seqs": pa.array([], pa.list_(pa.int64())),
+                "parts": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+        if len(uniq_idx) < 2:
+            return empty
+        if kind == 1 and len(np.unique(part[uniq_idx])) < 2:
+            return empty
+        order = uniq_idx[np.argsort(seq[uniq_idx], kind="stable")]
+        chunks = chunk_members(order, max_docs)
+        return pa.table(
+            {
+                "kind": pa.array([kind] * len(chunks), pa.uint8()),
+                "urls": pa.array(
+                    [list(urls[c]) for c in chunks], pa.list_(pa.string())
+                ),
+                "seqs": pa.array(
+                    [[int(s) for s in seq[c]] for c in chunks],
+                    pa.list_(pa.int64()),
+                ),
+                "parts": pa.array(
+                    [[int(p) for p in part[c]] for c in chunks],
+                    pa.list_(pa.int32()),
+                ),
+            }
+        )
+
+    return fn
+
+
+# default-config instance (back-compat for tests / direct use)
+bucket_to_candidates = make_bucket_to_candidates()
 
 
 def expand_band_pairs(
