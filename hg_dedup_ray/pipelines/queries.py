@@ -51,29 +51,43 @@ def _pool() -> tuple[int, int]:
 
 # --------------------------------------------------------------- dedup ops
 def exact_dedup(sf_dir: str):
-    """Exact dedup: keep the min-doc_id doc of every identical text.
-    Pattern: content-hash map_batches -> groupby(hash) -> keep-first
-    (SURVEY.md A6; guide's exact-dedup idiom). The groupby shuffles only
-    after the 8-byte hash column is added; text rides along for test scale
-    (at 100 TB, shuffle (hash, doc_id) only and semi-join the keepers)."""
-    ds = _docs(sf_dir).map_batches(
+    """Exact dedup: keep the min-doc_id doc of every identical text
+    (SURVEY.md A6; the guide's exact-dedup idiom).
+
+    Only (fp:u64, doc_id) enters the shuffle — never text — and the
+    keep-first reduction is a VECTORIZED Min aggregate (no per-group
+    Python). Keeper ids (8 B/doc) stream to the driver for a broadcast
+    semi-join; at a scale where that outgrows the driver, replace with
+    bucket = hash(doc_id)%B on both sides + per-bucket join."""
+    from ray.data.aggregate import Min
+
+    hashed = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         textstats.content_hash_u64, batch_format="pyarrow", batch_size=4096
     )
-    docs = _docs(sf_dir)
-    keep = ds.groupby("fp").map_groups(
-        lambda g: g.sort_by("doc_id").slice(0, 1), batch_format="pyarrow"
-    )
-    keep_ids = set(
-        keep.select_columns(["doc_id"]).to_pandas()["doc_id"].tolist()
+    keepers = hashed.groupby("fp").aggregate(Min("doc_id", alias_name="keep_id"))
+    keep_ids = np.sort(
+        np.concatenate(
+            [
+                b["keep_id"].to_numpy(zero_copy_only=False)
+                for b in keepers.select_columns(["keep_id"]).iter_batches(
+                    batch_size=1 << 18, batch_format="pyarrow"
+                )
+            ]
+            or [np.empty(0, np.int64)]
+        )
     )
     keep_ref = ray.put(keep_ids)
 
     def filter_keep(batch: pa.Table) -> pa.Table:
-        ids = ray.get(keep_ref) if isinstance(keep_ref, ray.ObjectRef) else keep_ref
-        mask = pc.is_in(batch["doc_id"], value_set=pa.array(list(ids), pa.int64()))
-        return batch.filter(mask)
+        from hg_dedup_ray.stages.broadcast import get_broadcast
 
-    return docs.select_columns(["doc_id", "lang", "source", "n_chars"]).map_batches(
+        ids = get_broadcast(keep_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, d)
+        mask = (pos < ids.shape[0]) & (ids[np.minimum(pos, ids.shape[0] - 1)] == d)
+        return batch.filter(pa.array(mask))
+
+    return _docs(sf_dir, columns=["doc_id", "lang", "source", "n_chars"]).map_batches(
         filter_keep, batch_format="pyarrow"
     )
 
