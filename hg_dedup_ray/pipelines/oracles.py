@@ -20,6 +20,30 @@ ORACLE_SQL = {
         FROM documents
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
     """,
+    "event_sessions": """
+        SELECT user_id,
+               count(*)::BIGINT AS n_events,
+               sum(CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+        FROM (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        )
+        GROUP BY user_id
+    """,
+    "event_type_stats": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               round(sum(value), 6) AS sum_value,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    "top_docs_by_chars": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 10
+    """,
     "token_counts": r"""
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0

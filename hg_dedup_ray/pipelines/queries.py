@@ -502,8 +502,82 @@ def jsonl_roundtrip_dedup(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+# ------------------------------------------------- relational breadth ops
+def _events(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def event_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization — the windowed-aggregate shape Ray Data lacks as a
+    builtin: per user, events sorted by time split into sessions at
+    >gap_minutes silences. groupby(user).map_groups with a vectorized
+    np.diff per group (group count = number of users, bounded)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        ts = group["ts"].take(order).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        n_sessions = 1 + int((np.diff(ts) > gap).sum()) if n else 0
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, columns=["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+def event_type_stats(sf_dir: str):
+    """Multi-aggregate groupby over events (count / sum / mean). Float
+    aggregates rounded to 6 dp on both sides: distributed summation
+    order differs from DuckDB's in the low bits."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    agg = (
+        _events(sf_dir, columns=["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sum_value"),
+            Mean("value", alias_name="avg_value"),
+        )
+    )
+
+    def round6(batch: pa.Table) -> pa.Table:
+        for c in ("sum_value", "avg_value"):
+            batch = batch.set_column(
+                batch.column_names.index(c),
+                c,
+                pc.round(batch[c], ndigits=6),
+            )
+        return batch
+
+    return agg.map_batches(round6, batch_format="pyarrow")
+
+
+def top_docs_by_chars(sf_dir: str, k: int = 10):
+    """Global sort + limit (top-k docs by n_chars, doc_id tiebreak)."""
+    return (
+        _docs(sf_dir, columns=["doc_id", "n_chars"])
+        .sort(key=["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "event_sessions": event_sessions,
+    "event_type_stats": event_type_stats,
+    "top_docs_by_chars": top_docs_by_chars,
     "dup_doc_report": dup_doc_report,
     "jsonl_roundtrip_dedup": jsonl_roundtrip_dedup,
     "sa_dedup_documents": sa_dedup_documents,

@@ -29,13 +29,20 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith(("int", "uint")):
             df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("float"):
+            # distributed sums differ from DuckDB's in the low bits
+            # (summation order); compare to 6 decimals
+            df[c] = df[c].astype("float64").round(6)
     return df
 
 
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con
 
