@@ -35,45 +35,67 @@ class Writeback:
         self.clusters: dict[str, int] = _maybe_get(clusters_ref) or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = len(batch)
-        urls = batch["url"].to_pylist()
-        texts = batch["text"].to_pylist()
-        rr_starts = batch["rr_starts"].to_pylist()
-        rr_ends = batch["rr_ends"].to_pylist()
         seqs = batch["doc_seq"].to_numpy(zero_copy_only=False)
+        remove_mode = self.cfg.mode == "remove"
+
+        # vectorized fast path: docs with no local ranges and no
+        # cross-partition ranges pass through untouched (the overwhelming
+        # majority) — only the affected subset pays the per-row merge
+        local_counts = pc.list_value_length(batch["rr_starts"]).to_numpy(
+            zero_copy_only=False
+        )
+        affected = local_counts > 0
+        if self.xranges:
+            has_x = pc.is_in(
+                batch["url"],
+                value_set=pa.array(list(self.xranges.keys()), pa.string()),
+            ).to_numpy(zero_copy_only=False)
+            affected = affected | has_x
 
         counts = np.zeros(n, dtype=np.int64)
         flat_s: list[int] = []
         flat_e: list[int] = []
-        deduped: list[str | None] = []
         n_removed = np.zeros(n, dtype=np.int64)
-        remove_mode = self.cfg.mode == "remove"
-        for i in range(n):
-            rs, re_ = rr_starts[i], rr_ends[i]
-            xr = self.xranges.get(urls[i])
-            if not rs and xr is None:
-                deduped.append(texts[i] if remove_mode else None)
-                continue
-            local = np.array([rs, re_], dtype=np.int64).T.reshape(-1, 2)
-            merged = union_ranges([local, xr]) if xr is not None else local
-            tb = texts[i].encode("utf-8")
-            clipped = clip_doc_ranges(tb, [(int(s), int(e)) for s, e in merged])
-            counts[i] = len(clipped)
-            flat_s.extend(s for s, _ in clipped)
-            flat_e.extend(e for _, e in clipped)
-            n_removed[i] = sum(e - s for s, e in clipped)
-            if remove_mode:
-                deduped.append(excise(tb, clipped).decode("utf-8"))
-            else:
-                deduped.append(None)
+        deduped: list[str | None] = (
+            batch["text"].to_pylist() if remove_mode else [None] * n
+        )
+        if affected.any():
+            idx = np.flatnonzero(affected)
+            urls_a = batch["url"].take(pa.array(idx)).to_pylist()
+            texts_a = batch["text"].take(pa.array(idx)).to_pylist()
+            rs_a = batch["rr_starts"].take(pa.array(idx)).to_pylist()
+            re_a = batch["rr_ends"].take(pa.array(idx)).to_pylist()
+            for j, i in enumerate(idx):
+                rs, re_ = rs_a[j], re_a[j]
+                xr = self.xranges.get(urls_a[j])
+                local = np.array([rs, re_], dtype=np.int64).T.reshape(-1, 2)
+                merged = union_ranges([local, xr]) if xr is not None else local
+                tb = texts_a[j].encode("utf-8")
+                clipped = clip_doc_ranges(
+                    tb, [(int(s), int(e)) for s, e in merged]
+                )
+                counts[i] = len(clipped)
+                flat_s.extend(s for s, _ in clipped)
+                flat_e.extend(e for _, e in clipped)
+                n_removed[i] = sum(e - s for s, e in clipped)
+                if remove_mode:
+                    deduped[i] = excise(tb, clipped).decode("utf-8")
 
         list_offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
         sa_remove_ranges = ranges_to_struct_list(
             list_offsets, np.array(flat_s, dtype=np.int64), np.array(flat_e, dtype=np.int64)
         )
-        cluster_id = np.array(
-            [self.clusters.get(u, int(s)) for u, s in zip(urls, seqs)], dtype=np.uint64
-        )
+        if self.clusters:
+            urls = batch["url"].to_pylist()
+            cluster_id = np.array(
+                [self.clusters.get(u, int(s)) for u, s in zip(urls, seqs)],
+                dtype=np.uint64,
+            )
+        else:  # no cross-partition clusters: every doc is its own cluster
+            cluster_id = seqs.astype(np.uint64)
         cols = {
             "url": batch["url"],
             "doc_seq": batch["doc_seq"],
