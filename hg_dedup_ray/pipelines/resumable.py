@@ -138,6 +138,13 @@ def run_dedup_resumable(
     cfgh = ck.cfg_fingerprint(cfg)
 
     ds = ray.data.read_parquet(input_paths, columns=columns)
+    if cfg.num_partitions == 0:  # auto-size from data volume
+        from dataclasses import replace
+
+        from hg_dedup_ray.stages.extract import resolve_num_partitions
+
+        cfg = replace(cfg, num_partitions=resolve_num_partitions(ds, cfg))
+        cfgh = ck.cfg_fingerprint(cfg)
     try:
         input_files = sorted(ds.input_files())
     except Exception:

@@ -32,7 +32,11 @@ import pyarrow.compute as pc
 import ray
 
 from hg_dedup_ray.config import DedupConfig
-from hg_dedup_ray.stages.extract import make_extract_fn, seq_bounds
+from hg_dedup_ray.stages.extract import (
+    make_extract_fn,
+    resolve_num_partitions,
+    seq_bounds,
+)
 from hg_dedup_ray.stages.candidates import (
     CandidateEmitter,
     chunk_members,
@@ -315,7 +319,14 @@ def compute_cross_partition(docs, cfg: DedupConfig):
 
 
 def dedup_dataset(ds, cfg: DedupConfig):
-    """Full dedup: input dataset -> annotated/deduped docs dataset."""
+    """Full dedup: input dataset -> annotated/deduped docs dataset.
+
+    ``cfg.num_partitions == 0`` auto-sizes partitions from the text
+    column's bytes / cfg.target_partition_bytes (footer metadata)."""
+    if cfg.num_partitions == 0:
+        from dataclasses import replace
+
+        cfg = replace(cfg, num_partitions=resolve_num_partitions(ds, cfg))
     docs = extract_docs(ds, cfg)
     if cfg.num_partitions > 1:
         # docs feeds three consumers (scan, banding, dup-set text fetch);

@@ -66,6 +66,51 @@ def parquet_column_bounds(paths: list[str], col: str) -> tuple[int, int] | None:
     return (int(lo), int(hi)) if lo is not None else None
 
 
+def resolve_num_partitions(ds, cfg: DedupConfig) -> int:
+    """num_partitions == 0 means AUTO: derive from the text column's
+    uncompressed bytes (parquet footer metadata only — no data read)
+    divided by cfg.target_partition_bytes. This is the 100 TB sizing
+    knob: a partition corpus must fit one task's heap (SA build is
+    ~9 bytes/byte transient), so partition count scales with data."""
+    if cfg.num_partitions > 0:
+        return cfg.num_partitions
+    import pyarrow.parquet as pq
+
+    try:
+        paths = ds.input_files()
+    except Exception:
+        paths = []
+    total = 0
+    for p in paths:
+        if not p.endswith((".parquet", ".pq")):
+            total = 0
+            break
+        md = pq.ParquetFile(p).metadata
+        try:
+            ci = md.schema.to_arrow_schema().get_field_index(cfg.text_col)
+        except Exception:
+            ci = -1
+        if ci < 0:
+            total = 0
+            break
+        for rg in range(md.num_row_groups):
+            total += md.row_group(rg).column(ci).total_uncompressed_size
+    if total <= 0:
+        # generic fallback: one column-pruned aggregate of text lengths
+        def _len_batch(b: pa.Table) -> pa.Table:
+            ln = pc.binary_length(b[cfg.text_col].cast(pa.binary()))
+            return pa.table(
+                {"n": pa.array([pc.sum(ln).as_py() or 0], pa.int64())}
+            )
+
+        total = int(
+            ds.select_columns([cfg.text_col])
+            .map_batches(_len_batch, batch_format="pyarrow")
+            .sum("n")
+        )
+    return max(1, -(-total // cfg.target_partition_bytes))
+
+
 def seq_bounds(ds, cfg: DedupConfig) -> tuple[int, int]:
     """(min, max) of the order column.
 
