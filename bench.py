@@ -57,7 +57,9 @@ def _headline(sf_dir: str):
         _warm, batch_size=1
     ).materialize()
 
-    ds = ray.data.read_parquet(fixture_dir)
+    # prune at the read: the dedup needs 3 of the 6 page columns (html,
+    # warc_ts, lang never leave storage)
+    ds = ray.data.read_parquet(fixture_dir, columns=["url", "doc_seq", "text"])
     cfg = DedupConfig(minlen=100, num_partitions=max(8, n_cpus), shingle_k=16)
     t0 = time.time()
     out = dedup_dataset(ds, cfg)

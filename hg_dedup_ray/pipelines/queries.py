@@ -105,7 +105,7 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.5):
         id_col="doc_id",
         text_col="text",
     )
-    out = dedup_dataset(_docs(sf_dir), cfg)
+    out = dedup_dataset(_docs(sf_dir, columns=["doc_id", "text"]), cfg)
     return out.select_columns(["url", "doc_seq", "cluster_id"])
 
 
@@ -122,7 +122,7 @@ def sa_dedup_documents(sf_dir: str, minlen: int = 64):
         id_col="doc_id",
         text_col="text",
     )
-    out = dedup_dataset(_docs(sf_dir), cfg)
+    out = dedup_dataset(_docs(sf_dir, columns=["doc_id", "text"]), cfg)
     return out.select_columns(
         ["url", "doc_seq", "n_bytes", "n_removed_bytes", "cluster_id"]
     )
@@ -145,7 +145,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
         minlen=64, num_partitions=4, shingle_k=8,
         seq_col="doc_id", id_col="doc_id", text_col="text",
     )
-    docs = extract_docs(_docs(sf_dir), cfg).materialize()
+    docs = extract_docs(_docs(sf_dir, columns=["doc_id", "text"]), cfg).materialize()
     pair_rows = candidate_pairs(docs, cfg).take_all()
     if not pair_rows:
         return pa.table(
@@ -417,7 +417,7 @@ def dup_doc_report(sf_dir: str, minlen: int = 64):
         minlen=minlen, num_partitions=4,
         seq_col="doc_id", id_col="doc_id", text_col="text",
     )
-    docs = extract_docs(_docs(sf_dir), cfg)
+    docs = extract_docs(_docs(sf_dir, columns=["doc_id", "text"]), cfg)
 
     def part_report(group: pa.Table) -> pa.Table:
         group = group.sort_by("doc_seq")
