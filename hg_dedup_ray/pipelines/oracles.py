@@ -20,6 +20,28 @@ ORACLE_SQL = {
         FROM documents
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
     """,
+    "bpe_token_counts": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+               ))::BIGINT AS n_bpe_tokens
+        FROM documents
+    """,
+    "events_hourly": """
+        SELECT user_id,
+               (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket,
+               count(*)::BIGINT AS n,
+               round(sum(value), 6) AS sum_value
+        FROM events GROUP BY user_id, hour_bucket
+    """,
+    "orders_per_nation": """
+        SELECT n_name, count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 6) AS sum_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
     "event_sessions": """
         SELECT user_id,
                count(*)::BIGINT AS n_events,

@@ -573,8 +573,120 @@ def top_docs_by_chars(sf_dir: str, k: int = 10):
     )
 
 
+# GPT-2-style pretokenizer pattern, restricted to RE2 syntax (no
+# lookahead) so Arrow and DuckDB count identically
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_counts(sf_dir: str):
+    """BPE-ish pretokenization counts per doc (brief: 'token counting —
+    whitespace + a BPE-ish regex'); the whitespace variant is
+    token_counts."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pc.count_substring_regex(
+                    batch["text"], BPE_PATTERN
+                ).cast(pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: per (user, hour) event count + value
+    sum. Window key computed vectorized in map_batches (epoch-hour
+    int64), then a combiner-friendly groupby-aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())  # epoch microseconds
+        hour = pc.divide(us, 3_600_000_000)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "hour_bucket": hour.cast(pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    agg = (
+        _events(sf_dir, columns=["ts", "user_id", "value"])
+        .map_batches(add_hour, batch_format="pyarrow", batch_size=8192)
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def round6(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_value")
+        return batch.set_column(
+            i, "sum_value", pc.round(batch["sum_value"], ndigits=6)
+        )
+
+    return agg.map_batches(round6, batch_format="pyarrow")
+
+
+def orders_per_nation(sf_dir: str):
+    """Broadcast hash join (guide's small-side pattern): customer
+    (c_custkey -> c_nationkey) and nation (key -> name) are ray.put once
+    and looked up per batch inside map_batches — no shuffle join; the
+    only shuffle is the final small groupby-aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    side_ref = ray.put((c2n, n2name))
+
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        c2n_, n2name_ = get_broadcast(side_ref)
+        cust_keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        names = [n2name_[c2n_[int(k)]] for k in cust_keys]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(attach_nation, batch_format="pyarrow", batch_size=8192)
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_price"),
+        )
+    )
+
+    def round6(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_price")
+        return batch.set_column(
+            i, "sum_price", pc.round(batch["sum_price"], ndigits=6)
+        )
+
+    return agg.map_batches(round6, batch_format="pyarrow")
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "bpe_token_counts": bpe_token_counts,
+    "events_hourly": events_hourly,
+    "orders_per_nation": orders_per_nation,
     "event_sessions": event_sessions,
     "event_type_stats": event_type_stats,
     "top_docs_by_chars": top_docs_by_chars,
