@@ -93,15 +93,31 @@ def extract_docs(ds, cfg: DedupConfig):
 
 
 def candidate_pairs(docs, cfg: DedupConfig):
-    """MinHash/LSH banding -> deduped near-dup DOC pairs (cluster edges)."""
+    """MinHash/LSH banding -> deduped near-dup DOC pairs (cluster edges).
+
+    Same hot-key prefilter as the fused flagship path: band keys seen
+    only once (the overwhelming majority) never reach the per-group
+    Python stage."""
     bands = docs.map_batches(
-        MinHashBander,
-        fn_constructor_args=(cfg,),
+        _task_stage(MinHashBander, cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=_pool(cfg, "minhash_concurrency"),
+    ).materialize()
+    hot = _hot_keys_driver(bands)
+    if hot.shape[0] == 0:
+        return ray.data.from_items([])
+    hot_ref = ray.put(pa.array(hot, pa.uint64()))
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        return b.filter(pc.is_in(b["bucket_key"], value_set=get_broadcast(hot_ref)))
+
+    pairs = (
+        bands.map_batches(keep_hot, batch_format="pyarrow")
+        .groupby("bucket_key")
+        .map_groups(bucket_to_pairs, batch_format="pyarrow")
     )
-    pairs = bands.groupby("bucket_key").map_groups(bucket_to_pairs, batch_format="pyarrow")
     return pairs.groupby(["url_a", "url_b"]).map_groups(dedupe_pairs, batch_format="pyarrow")
 
 
