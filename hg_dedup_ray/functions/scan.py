@@ -70,12 +70,28 @@ def adjacent_run_mask(
     # reference condition.
     ok &= window_sentinel_free(left, sent_pos, minlen)
     cand = np.flatnonzero(ok)
-    # column-by-column equality over the shrinking still-equal set
-    for j in range(minlen):
-        if cand.size == 0:
-            break
-        eq_j = corpus[left[cand] + j] == corpus[right[cand] + j]
-        cand = cand[eq_j]
+    # equality 8 BYTES AT A TIME: v8[i] packs corpus[i:i+8] into one u64
+    # (big-endian, so u64 equality == bytewise equality), turning the
+    # memcmp into minlen/8 gather-compares over the shrinking still-equal
+    # set — adjacent suffixes naturally share long prefixes, so the set
+    # shrinks slowly and per-byte columns were the scan's hot loop
+    if cand.size:
+        pad = np.zeros(8, dtype=np.uint8)
+        bp = np.concatenate([corpus, pad])
+        v8 = np.zeros(N, dtype=np.uint64)
+        for j in range(8):
+            v8 = (v8 << np.uint64(8)) | bp[j : j + N].astype(np.uint64)
+        step_end = minlen - 7
+        for j in range(0, step_end, 8):
+            if cand.size == 0:
+                break
+            eq_j = v8[left[cand] + j] == v8[right[cand] + j]
+            cand = cand[eq_j]
+        for j in range(max(0, step_end + (-step_end % 8)), minlen):
+            if cand.size == 0:
+                break
+            eq_j = corpus[left[cand] + j] == corpus[right[cand] + j]
+            cand = cand[eq_j]
     mask = np.zeros(n - 1, dtype=bool)
     mask[cand] = True
     return mask

@@ -682,8 +682,43 @@ def orders_per_nation(sf_dir: str):
     return agg.map_batches(round6, batch_format="pyarrow")
 
 
+def kept_middle_lengths(sf_dir: str, minlen: int = 64):
+    """Reference QA stat (write_back_to_jsonl_sharded.py:91-111): lengths
+    of kept gaps BETWEEN two removed ranges inside one doc, as a
+    (length, count) histogram (rows-only; depends on our ranges)."""
+    from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
+    from ray.data.aggregate import Sum
+
+    cfg = DedupConfig(
+        minlen=minlen, num_partitions=4, shingle_k=8,
+        seq_col="doc_id", id_col="doc_id", text_col="text",
+    )
+    out = dedup_dataset(_docs(sf_dir, columns=["doc_id", "text"]), cfg)
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        lens: list[int] = []
+        for rr in batch["sa_remove_ranges"].to_pylist():
+            for a, b in zip(rr, rr[1:]):
+                lens.append(int(b["start"]) - int(a["end"]))
+        vals, counts = np.unique(np.array(lens, np.int64), return_counts=True)
+        return pa.table(
+            {
+                "gap_len": pa.array(vals, pa.int64()),
+                "partial": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        out.select_columns(["sa_remove_ranges"])
+        .map_batches(gaps, batch_format="pyarrow")
+        .groupby("gap_len")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "kept_middle_lengths": kept_middle_lengths,
     "bpe_token_counts": bpe_token_counts,
     "events_hourly": events_hourly,
     "orders_per_nation": orders_per_nation,
