@@ -27,9 +27,13 @@ class DedupConfig:
     # doc_seq so that (partition, byte_offset) order == global doc order
     # (keep-first semantics, reference cpp_engine_dedup.h:717-724).
     num_partitions: int = 8
-    # Soft cap on per-partition corpus bytes; at 100 TB scale num_partitions
-    # is derived from total_bytes / target_partition_bytes.
-    target_partition_bytes: int = 256 * 1024 * 1024
+    # Soft cap on per-partition corpus bytes when num_partitions == 0
+    # (auto): partitions = total_text_bytes / this. The numpy suffix-array
+    # build is cache-bound and measures fastest at 1-4 MB partitions
+    # (7.5 MB partitions scanned 4x slower than 1.9 MB at equal total
+    # bytes); a compiled SA builder would move the sweet spot up to the
+    # reference's 100 MB-class shards — this is THE knob to retune then.
+    target_partition_bytes: int = 2 * 1024 * 1024
 
     # --- column names ----------------------------------------------------
     id_col: str = "url"          # document identity (unique)

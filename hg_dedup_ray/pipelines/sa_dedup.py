@@ -143,11 +143,14 @@ def _hot_keys_driver(cand) -> np.ndarray:
     8 bytes/key, no shuffle. Measured 30-100x faster than a Ray groupby
     at sandbox scale, where the all-to-all's per-row overhead dominates
     the tiny payload."""
+    # read the materialized blocks zero-copy from plasma; a
+    # select_columns here would launch a whole projection execution
+    # (one task per block) just to drop columns we never deserialize
+    tabs = ray.get(cand.to_arrow_refs())
     chunks = [
-        b["bucket_key"].to_numpy(zero_copy_only=False)
-        for b in cand.select_columns(["bucket_key"]).iter_batches(
-            batch_size=1 << 18, batch_format="pyarrow"
-        )
+        t["bucket_key"].to_numpy(zero_copy_only=False)
+        for t in tabs
+        if len(t)
     ]
     allk = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
     u, c = np.unique(allk, return_counts=True)
