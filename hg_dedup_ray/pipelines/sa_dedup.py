@@ -333,7 +333,12 @@ def compute_cross_partition(docs, cfg: DedupConfig):
                 for r in verified
                 if r["jaccard"] >= cfg.jaccard_threshold
             ]
-    clusters = union_find_clusters(edges)
+    if len(edges) > int(cfg.extra.get("driver_edge_limit", 1_000_000)):
+        from hg_dedup_ray.state.cluster import distributed_min_label
+
+        clusters = distributed_min_label(edges)
+    else:
+        clusters = union_find_clusters(edges)
     return xranges, clusters
 
 

@@ -46,3 +46,78 @@ def union_find_clusters(
         union(ua, ub)
 
     return {u: seq_of[find(u)] for u in parent}
+
+
+def distributed_min_label(
+    edges: list[tuple[str, str, int, int]], max_rounds: int = 32
+) -> dict[str, int]:
+    """Connected components as ITERATED GROUPBY min-label propagation —
+    the groupby-aggregate union-find of the rebuild contract, for edge
+    sets too large for the driver.
+
+    Round r: every edge sends each endpoint the other endpoint's current
+    label; ``groupby(node).aggregate(Min(label))`` folds messages with the
+    node's own label. Converges in O(component diameter) rounds; LSH
+    components are star/chain-shaped (bucket pairing links members to the
+    doc_seq-min rep), so 1-2 rounds are typical. Labels are doc_seq of
+    the component minimum — identical to ``union_find_clusters``.
+
+    Each round = ONE shuffle of (node, candidate_label) rows; the edge
+    table itself is never re-shuffled (labels are looked up via a
+    broadcast of the label table, which holds only dup-set nodes — the
+    same boundedness argument as the pair-verify text broadcast).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from ray.data.aggregate import Min
+
+    if not edges:
+        return {}
+    ea = np.array([e[0] for e in edges], dtype=object)
+    eb = np.array([e[1] for e in edges], dtype=object)
+    labels: dict[str, int] = {}
+    for ua, ub, sa_, sb_ in edges:
+        labels[ua] = min(labels.get(ua, sa_), sa_)
+        labels[ub] = min(labels.get(ub, sb_), sb_)
+
+    edges_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(ea), pa.string()),
+                "b": pa.array(list(eb), pa.string()),
+            }
+        )
+    )
+    for _ in range(max_rounds):
+        lab_ref = ray.put(labels)
+
+        def messages(batch: pa.Table) -> pa.Table:
+            from hg_dedup_ray.stages.broadcast import get_broadcast
+
+            lab = get_broadcast(lab_ref)
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            nodes = a + b
+            # each endpoint receives the other's label AND keeps its own
+            cand = [lab[x] for x in b] + [lab[x] for x in a]
+            own = [lab[x] for x in nodes]
+            return pa.table(
+                {
+                    "node": pa.array(nodes + nodes, pa.string()),
+                    "label": pa.array(cand + own, pa.int64()),
+                }
+            )
+
+        new_rows = (
+            edges_ds.map_batches(messages, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .take_all()
+        )
+        new_labels = {r["node"]: int(r["label"]) for r in new_rows}
+        if new_labels == labels:
+            break
+        labels = new_labels
+    return labels
