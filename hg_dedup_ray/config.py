@@ -47,6 +47,9 @@ class DedupConfig:
     num_bands: int = 16
     shingle_k: int = 16          # byte-shingle width for MinHash
     minhash_seed: int = 42
+    # One-Permutation Hashing (one stream pass; ~2x faster emit) vs k
+    # independent permutations; estimation error measured equal.
+    minhash_oph: bool = True
     # Skew handling (north_rule "skew-aware salting of hot shingles"):
     # a candidate bucket larger than this many docs (a hot shingle /
     # boilerplate band) is CHUNKED into doc_seq-ordered sub-groups that

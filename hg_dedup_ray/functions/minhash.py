@@ -96,6 +96,72 @@ def batch_signatures(
     return sig
 
 
+def batch_signatures_oph(
+    texts_buf: np.ndarray,
+    doc_offsets: np.ndarray,
+    k: int,
+    num_perm: int,
+    seed: int,
+) -> np.ndarray:
+    """One-Permutation Hashing MinHash (Li, Owen & Zhang '12) with
+    rotation densification (Shrivastava & Li '14): ONE pass over the
+    shingle stream — each hash lands in bin ``h >> (64-log2(P))`` and the
+    per-(doc, bin) minimum is the signature slot; empty bins borrow the
+    next non-empty bin's value (rotating), preserving the unbiased
+    Jaccard estimate. ~num_perm x less work than k independent
+    permutations; same (n_docs, num_perm) contract as batch_signatures.
+    """
+    assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of 2"
+    n_docs = doc_offsets.shape[0] - 1
+    sig = np.full((n_docs, num_perm), U64_MAX, dtype=np.uint64)
+    if n_docs == 0:
+        return sig
+    total = int(doc_offsets[-1])
+    pad = np.zeros(k - 1, dtype=np.uint8) if k > 1 else np.empty(0, np.uint8)
+    buf = np.concatenate([texts_buf[:total], pad]) if k > 1 else texts_buf[:total]
+    stream = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        stream = stream * _FNV + buf[j : j + total].astype(np.uint64)
+    seed_mix = np.uint64((int(seed) * int(_MIX1)) & 0xFFFFFFFFFFFFFFFF)
+    stream = _splitmix(stream ^ seed_mix)
+
+    lens = np.diff(doc_offsets)
+    valid_counts = np.maximum(lens - k + 1, 0)
+    pbits = int(num_perm).bit_length() - 1
+    bins = (stream >> np.uint64(64 - pbits)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+    valid = np.zeros(total, dtype=bool)
+    for d in range(n_docs):  # cheap slice-assign per doc
+        valid[doc_offsets[d] : doc_offsets[d] + valid_counts[d]] = True
+    di, bi, hv = doc_idx[valid], bins[valid], stream[valid]
+    # min per (doc, bin): single minimum.at scatter (C-speed ufunc)
+    np.minimum.at(sig, (di, bi), hv)
+
+    # docs with no valid shingle (len < k, incl empty): whole-doc hash
+    for d in np.flatnonzero(valid_counts == 0):
+        piece = texts_buf[doc_offsets[d] : doc_offsets[d + 1]]
+        h = shingle_hashes(piece, k) if piece.shape[0] else np.array([np.uint64(0)])
+        hh = _splitmix(np.uint64(h[0]) ^ seed_mix)
+        sig[d, int(hh >> np.uint64(64 - pbits))] = hh
+
+    # rotation densification: empty bins take the value of the next
+    # non-empty bin to the right (cyclically), offset-mixed so two docs
+    # that share only non-empty bins don't spuriously match on empties
+    empty = sig == U64_MAX
+    if empty.any():
+        filled = sig.copy()
+        for shift in range(1, num_perm):
+            rolled = np.roll(sig, -shift, axis=1)
+            take = (filled == U64_MAX) & (rolled != U64_MAX)
+            if take.any():
+                shift_mix = np.uint64((int(shift) * int(_MIX2)) & 0xFFFFFFFFFFFFFFFF)
+                filled[take] = _splitmix(rolled[take] + shift_mix)
+            if not (filled == U64_MAX).any():
+                break
+        sig = filled
+    return sig
+
+
 def band_hashes(sig: np.ndarray, num_bands: int) -> np.ndarray:
     """LSH band keys, shape (n_docs, num_bands): docs equal in any band
     become groupby-shuffle candidates."""

@@ -15,7 +15,11 @@ import pyarrow as pa
 
 from hg_dedup_ray.config import DedupConfig
 from hg_dedup_ray.functions.arrow_utils import string_column_bytes
-from hg_dedup_ray.functions.minhash import band_hashes, batch_signatures
+from hg_dedup_ray.functions.minhash import (
+    band_hashes,
+    batch_signatures,
+    batch_signatures_oph,
+)
 from hg_dedup_ray.functions.winnow import batch_fingerprints, winnow_params
 
 
@@ -33,7 +37,8 @@ class CandidateEmitter:
         seqs = batch["doc_seq"].to_numpy(zero_copy_only=False)
         parts = batch["part"].to_numpy(zero_copy_only=False)
 
-        sig = batch_signatures(buf, offsets, cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
+        sig_fn = batch_signatures_oph if cfg.minhash_oph else batch_signatures
+        sig = sig_fn(buf, offsets, cfg.shingle_k, cfg.num_perm, cfg.minhash_seed)
         bh = band_hashes(sig, cfg.num_bands)  # (n, B)
         B = cfg.num_bands
         fp_vals, fp_counts = batch_fingerprints(buf, offsets, self.kfp, self.w)

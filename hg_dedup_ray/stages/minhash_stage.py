@@ -16,7 +16,11 @@ import pyarrow as pa
 
 from hg_dedup_ray.config import DedupConfig
 from hg_dedup_ray.functions.arrow_utils import string_column_bytes
-from hg_dedup_ray.functions.minhash import band_hashes, batch_signatures
+from hg_dedup_ray.functions.minhash import (
+    band_hashes,
+    batch_signatures,
+    batch_signatures_oph,
+)
 
 
 class MinHashBander:
@@ -27,10 +31,11 @@ class MinHashBander:
         self.num_perm = cfg.num_perm
         self.num_bands = cfg.num_bands
         self.seed = cfg.minhash_seed
+        self.sig_fn = batch_signatures_oph if cfg.minhash_oph else batch_signatures
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         buf, doc_offsets = string_column_bytes(batch["text"])
-        sig = batch_signatures(buf, doc_offsets, self.k, self.num_perm, self.seed)
+        sig = self.sig_fn(buf, doc_offsets, self.k, self.num_perm, self.seed)
         bh = band_hashes(sig, self.num_bands)  # (n, B)
         B = self.num_bands
         return pa.table(

@@ -117,3 +117,48 @@ def test_auto_partitions(ray_session, tmp_path):
     assert len(out) == 400
     assert out["part"].nunique() > 1
     assert out["n_removed_bytes"].sum() > 0
+
+
+def test_oph_signatures_estimate_jaccard():
+    """OPH + densification must estimate Jaccard about as well as k
+    independent permutations (both within ~0.08 abs error at 128 perms)."""
+    from hg_dedup_ray.functions.minhash import (
+        batch_signatures,
+        batch_signatures_oph,
+        estimate_jaccard,
+        shingle_hashes,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        base = rng.integers(32, 127, size=1500, dtype=np.uint8)
+        near = base.copy()
+        e = rng.integers(0, 1300)
+        near[e : e + 200] = rng.integers(32, 127, size=200, dtype=np.uint8)
+        sa_ = set(np.unique(shingle_hashes(base, 16)).tolist())
+        sb_ = set(np.unique(shingle_hashes(near, 16)).tolist())
+        true_j = len(sa_ & sb_) / len(sa_ | sb_)
+        arr = np.concatenate([base, near])
+        off = np.array([0, 1500, 3000])
+        for fn in (batch_signatures, batch_signatures_oph):
+            sig = fn(arr, off, 16, 128, 42)
+            est = estimate_jaccard(sig[0], sig[1])
+            assert abs(est - true_j) < 0.12, (fn.__name__, est, true_j)
+
+    # identical docs -> estimate exactly 1; disjoint -> near 0
+    a = rng.integers(32, 127, size=800, dtype=np.uint8)
+    b = rng.integers(32, 127, size=800, dtype=np.uint8)
+    arr = np.concatenate([a, a, b])
+    off = np.array([0, 800, 1600, 2400])
+    from hg_dedup_ray.functions.minhash import batch_signatures_oph as oph, estimate_jaccard as est_
+
+    sig = oph(arr, off, 16, 128, 1)
+    assert est_(sig[0], sig[1]) == 1.0
+    assert est_(sig[0], sig[2]) < 0.1
+    # short + empty docs produce full, deterministic signatures
+    so = np.array([0, 3, 3, 20])
+    sb = rng.integers(32, 127, size=20, dtype=np.uint8)
+    s1 = oph(sb, so, 16, 128, 1)
+    s2 = oph(sb, so, 16, 128, 1)
+    assert np.array_equal(s1, s2)
+    assert not (s1 == np.uint64(0xFFFFFFFFFFFFFFFF)).all(axis=1).any()
