@@ -118,3 +118,26 @@ def test_remove_mode_consistent_with_annotate(pipeline_input):
             prev = e
         keep.append(t[prev:])
         assert b"".join(keep).decode("utf-8") == row["text_deduped"]
+
+
+def test_single_doc_and_tiny_inputs(ray_session):
+    import pandas as pd
+
+    import ray as _ray
+    from hg_dedup_ray.config import DedupConfig
+    from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
+
+    cfg = DedupConfig(
+        minlen=32, num_partitions=2, shingle_k=8,
+        seq_col="doc_id", id_col="doc_id", text_col="text",
+    )
+    one = _ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["just one doc"]}))
+    out = dedup_dataset(one, cfg).to_pandas()
+    assert len(out) == 1 and out["n_removed_bytes"].iloc[0] == 0
+
+    empty_text = _ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", "", "x"]})
+    )
+    out = dedup_dataset(empty_text, cfg).to_pandas()
+    assert len(out) == 3
+    assert (out["n_removed_bytes"] == 0).all()  # nothing >= minlen
