@@ -144,3 +144,108 @@ def test_pipeline_recall_vs_reference(ref_setup, ray_session):
     soundness = inter / max(int(our_mask.sum()), 1)
     assert recall >= 0.99, recall
     assert soundness >= 0.99, soundness
+
+
+SHARDED_DRIVER_SRC = """
+#include "cpp_engine_dedup.h"
+int main(int argc, char **argv) {
+    // usage: ref_scan_sharded <min_len> <num_threads> <num_batches> <dir>...
+    if (argc < 5) { return 1; }
+    vector<string> dirs;
+    for (int i = 4; i < argc; i++) dirs.push_back(argv[i]);
+    EngineDedup<U8> engine(dirs, false);
+    engine.find_remove_ranges_parallel_sharded(
+        (size_t)stoi(argv[1]), (size_t)stoi(argv[2]), false, (size_t)stoi(argv[3]));
+    return 0;
+}
+"""
+
+
+@toolchain
+def test_pipeline_vs_reference_sharded_mode(ref_setup, ray_session, tmp_path):
+    """The reference's PRODUCTION path (multi-shard pseudo-merge,
+    cpp_engine_dedup.h:502-799) with shard boundaries equal to our
+    partition boundaries, compared against our full Ray pipeline."""
+    import pandas as pd
+
+    import ray
+
+    from hg_dedup_ray.config import DedupConfig
+    from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
+
+    corpus, starts, ends, texts, _ = ref_setup
+    n = len(texts)
+    P = 4
+    bounds = [(n * p // P, n * (p + 1) // P) for p in range(P)]  # == extract's map
+
+    dirs = []
+    shard_starts = []
+    for p, (lo, hi) in enumerate(bounds):
+        c, st, en = build_corpus([t.encode() for t in texts[lo:hi]])
+        idx = str(tmp_path / f"shard{p}")
+        os.makedirs(idx)
+        with open(os.path.join(idx, "tokenized"), "wb") as f:
+            f.write(c.tobytes())
+        with open(os.path.join(idx, "offset"), "wb") as f:
+            f.write((st - 1).astype(np.uint64).tobytes())
+        sa_dir = os.path.join(idx, "sa")
+        os.makedirs(sa_dir)
+        subprocess.run(
+            [RUST, "make-part", "--data-file", os.path.join(idx, "tokenized"),
+             "--parts-dir", sa_dir, "--start-byte", "0",
+             "--end-byte", str(int(c.shape[0])),
+             "--ratio", str(math.ceil(math.log2(int(c.shape[0])) / 8)),
+             "--token-width", "1"],
+            check=True, capture_output=True,
+        )
+        (part,) = os.listdir(sa_dir)
+        os.replace(os.path.join(sa_dir, part), os.path.join(idx, "table"))
+        dirs.append(idx)
+        shard_starts.append(st)
+
+    src = tmp_path / "ref_scan_sharded.cpp"
+    src.write_text(SHARDED_DRIVER_SRC)
+    binp = str(tmp_path / "ref_scan_sharded")
+    subprocess.run(
+        ["g++", "-O2", "-std=c++20", "-pthread", f"-I{REF}", str(src), "-o", binp],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        [binp, str(MINLEN), "2", "1"] + dirs, check=True, capture_output=True
+    )
+
+    # reference global removed-byte mask in GLOBAL corpus coordinates
+    N = corpus.shape[0]
+    ref_mask = np.zeros(N, dtype=bool)
+    for p, (lo, hi) in enumerate(bounds):
+        rr = np.fromfile(
+            os.path.join(dirs[p], f"dedup_minlen{MINLEN}", "remove_ranges"),
+            dtype=np.uint64,
+        ).reshape(-1, 2).astype(np.int64)
+        st = shard_starts[p]
+        for s, e in rr:
+            # shard-local offset -> (doc, in-doc) -> global
+            d = int(np.searchsorted(st, s, side="right") - 1)
+            g = starts[lo + d] + (s - st[d])
+            ref_mask[g : g + (e - s)] = True
+
+    df = pd.DataFrame({"doc_id": np.arange(n), "text": texts})
+    cfg = DedupConfig(
+        minlen=MINLEN, num_partitions=P, shingle_k=16,
+        seq_col="doc_id", id_col="doc_id", text_col="text",
+    )
+    out = (
+        dedup_dataset(ray.data.from_pandas(df), cfg)
+        .to_pandas().sort_values("doc_seq").reset_index(drop=True)
+    )
+    our_mask = np.zeros(N, dtype=bool)
+    for d, rr in enumerate(out["sa_remove_ranges"]):
+        for r in rr:
+            our_mask[starts[d] + r["start"] : starts[d] + r["end"]] = True
+
+    inter = int((ref_mask & our_mask).sum())
+    recall = inter / max(int(ref_mask.sum()), 1)
+    soundness = inter / max(int(our_mask.sum()), 1)
+    assert int(ref_mask.sum()) > 0
+    assert recall >= 0.99, recall
+    assert soundness >= 0.99, soundness
