@@ -29,7 +29,6 @@ from hg_dedup_ray.functions.suffix_array import build_suffix_array
 
 REF = "/root/reference"
 RUST = os.path.join(REF, "rust_indexing")
-MINLEN = 64
 
 DRIVER_SRC = """
 #include "cpp_engine_dedup.h"
@@ -47,14 +46,17 @@ toolchain = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def ref_setup(tmp_path_factory):
-    """(corpus, starts, ends, texts, reference_ranges) on a shared fixture."""
+# 64 = toy config (reference workflow_toy.sh:18 uses 32-class values);
+# 500 = the production scan config (reference aws_workflow.sh:2)
+@pytest.fixture(scope="module", params=[64, 500])
+def ref_setup(request, tmp_path_factory):
+    """(minlen, corpus, starts, ends, texts, reference_ranges)."""
     from hg_dedup_ray.sources.webpages import write_webpages
 
-    work = tmp_path_factory.mktemp("refparity")
+    minlen = request.param
+    work = tmp_path_factory.mktemp(f"refparity{minlen}")
     pages = str(work / "pages")
-    write_webpages(pages, n_docs=400, seed=13, minlen=MINLEN, n_files=5)
+    write_webpages(pages, n_docs=400, seed=13, minlen=minlen, n_files=5)
     texts = [
         t
         for p in sorted(os.listdir(pages))
@@ -89,18 +91,18 @@ def ref_setup(tmp_path_factory):
         ["g++", "-O2", "-std=c++20", "-pthread", f"-I{REF}", str(src), "-o", binp],
         check=True, capture_output=True,
     )
-    subprocess.run([binp, idx, str(MINLEN)], check=True, capture_output=True)
+    subprocess.run([binp, idx, str(minlen)], check=True, capture_output=True)
     rr = np.fromfile(
-        os.path.join(idx, f"dedup_minlen{MINLEN}", "remove_ranges"),
+        os.path.join(idx, f"dedup_minlen{minlen}", "remove_ranges"),
         dtype=np.uint64,
     ).reshape(-1, 2).astype(np.int64)
-    return corpus, starts, ends, texts, rr
+    return minlen, corpus, starts, ends, texts, rr
 
 
 @toolchain
 def test_scan_byte_identical_to_reference(ref_setup):
-    corpus, starts, ends, texts, ref_ranges = ref_setup
-    ours = find_remove_ranges(corpus, build_suffix_array(corpus), MINLEN)
+    minlen, corpus, starts, ends, texts, ref_ranges = ref_setup
+    ours = find_remove_ranges(corpus, build_suffix_array(corpus), minlen)
     assert ref_ranges.shape[0] > 0
     assert np.array_equal(ours, ref_ranges)
 
@@ -114,10 +116,10 @@ def test_pipeline_recall_vs_reference(ref_setup, ray_session):
     from hg_dedup_ray.config import DedupConfig
     from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
 
-    corpus, starts, ends, texts, ref_ranges = ref_setup
+    minlen, corpus, starts, ends, texts, ref_ranges = ref_setup
     df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
     cfg = DedupConfig(
-        minlen=MINLEN, num_partitions=4, shingle_k=16,
+        minlen=minlen, num_partitions=4, shingle_k=16,
         seq_col="doc_id", id_col="doc_id", text_col="text",
     )
     out = (
@@ -173,7 +175,7 @@ def test_pipeline_vs_reference_sharded_mode(ref_setup, ray_session, tmp_path):
     from hg_dedup_ray.config import DedupConfig
     from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
 
-    corpus, starts, ends, texts, _ = ref_setup
+    minlen, corpus, starts, ends, texts, _ = ref_setup
     n = len(texts)
     P = 4
     bounds = [(n * p // P, n * (p + 1) // P) for p in range(P)]  # == extract's map
@@ -211,7 +213,7 @@ def test_pipeline_vs_reference_sharded_mode(ref_setup, ray_session, tmp_path):
         check=True, capture_output=True,
     )
     subprocess.run(
-        [binp, str(MINLEN), "2", "1"] + dirs, check=True, capture_output=True
+        [binp, str(minlen), "2", "1"] + dirs, check=True, capture_output=True
     )
 
     # reference global removed-byte mask in GLOBAL corpus coordinates
@@ -219,7 +221,7 @@ def test_pipeline_vs_reference_sharded_mode(ref_setup, ray_session, tmp_path):
     ref_mask = np.zeros(N, dtype=bool)
     for p, (lo, hi) in enumerate(bounds):
         rr = np.fromfile(
-            os.path.join(dirs[p], f"dedup_minlen{MINLEN}", "remove_ranges"),
+            os.path.join(dirs[p], f"dedup_minlen{minlen}", "remove_ranges"),
             dtype=np.uint64,
         ).reshape(-1, 2).astype(np.int64)
         st = shard_starts[p]
@@ -231,7 +233,7 @@ def test_pipeline_vs_reference_sharded_mode(ref_setup, ray_session, tmp_path):
 
     df = pd.DataFrame({"doc_id": np.arange(n), "text": texts})
     cfg = DedupConfig(
-        minlen=MINLEN, num_partitions=P, shingle_k=16,
+        minlen=minlen, num_partitions=P, shingle_k=16,
         seq_col="doc_id", id_col="doc_id", text_col="text",
     )
     out = (
