@@ -47,8 +47,6 @@ def run_jsonl_dedup(
     ann = dedup_dataset(src, cfg)
 
     def significant(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         seqs = b["doc_seq"].to_numpy(zero_copy_only=False)
         cid = b["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = (
