@@ -22,6 +22,7 @@ import ray
 
 from hg_dedup_ray.config import DedupConfig
 from hg_dedup_ray.functions.clip import excise
+from hg_dedup_ray.pipelines.annotate import collect_annotations
 from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
 from hg_dedup_ray.sources.jsonl import read_jsonl, write_jsonl
 
@@ -45,29 +46,9 @@ def run_jsonl_dedup(
     )
     src = read_jsonl(in_root)
     ann = dedup_dataset(src, cfg)
-
-    def significant(b: pa.Table) -> pa.Table:
-        seqs = b["doc_seq"].to_numpy(zero_copy_only=False)
-        cid = b["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = (
-            b["n_removed_bytes"].to_numpy(zero_copy_only=False) > 0
-        ) | (cid != seqs)
-        return b.filter(pa.array(keep))
-
-    rows = (
-        ann.select_columns(
-            ["doc_seq", "sa_remove_ranges", "cluster_id", "n_removed_bytes"]
-        )
-        .map_batches(significant, batch_format="pyarrow")
-        .take_all()
-    )
-    amap = {
-        int(r["doc_seq"]): (
-            [(int(x["start"]), int(x["end"])) for x in r["sa_remove_ranges"]],
-            int(r["cluster_id"]),
-        )
-        for r in rows
-    }
+    # keyed by url == str(doc_seq) here (id_col="doc_seq")
+    amap_s = collect_annotations(ann, cfg.id_col)
+    amap = {int(k): v for k, v in amap_s.items()}
     aref = ray.put(amap)
     remove_mode = mode == "remove"
 

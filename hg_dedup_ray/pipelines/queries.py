@@ -716,8 +716,25 @@ def kept_middle_lengths(sf_dir: str, minlen: int = 64):
     )
 
 
+def annotate_documents(sf_dir: str):
+    """annotate-in-place over the documents table: ALL original columns
+    preserved (lang, source, n_chars never enter a shuffle), dedup
+    results attached (rows-only)."""
+    from hg_dedup_ray.pipelines.annotate import annotate_dataset
+
+    cfg = DedupConfig(
+        minlen=64, num_partitions=4, shingle_k=8,
+        seq_col="doc_id", id_col="doc_id", text_col="text",
+    )
+    out = annotate_dataset(_docs(sf_dir), cfg)
+    return out.select_columns(
+        ["doc_id", "lang", "source", "n_chars", "n_removed_bytes", "cluster_id"]
+    )
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "annotate_documents": annotate_documents,
     "kept_middle_lengths": kept_middle_lengths,
     "bpe_token_counts": bpe_token_counts,
     "events_hourly": events_hourly,
