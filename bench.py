@@ -187,6 +187,7 @@ def run_scaling() -> dict:
             r_hi = b
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    hw = _hardware_ceiling(lo, hi)
     return {
         "metric": "scaling_efficiency",
         "cpus_lo": lo,
@@ -196,7 +197,49 @@ def run_scaling() -> dict:
         "mb_per_sec_lo": r_lo["mb_per_sec"],
         "mb_per_sec_hi": r_hi["mb_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # single-box ceiling: PERFECTLY parallel zero-coordination work
+        # (independent SA builds via bare multiprocessing) measured at the
+        # same two levels. On one box, lo-CPU workers enjoy private cache/
+        # memory bandwidth that hi-CPU workers must share — a distortion
+        # real N- vs 4N-NODE clusters (full per-node resources) don't
+        # have. pipeline_vs_hw ~ 1.0 means the pipeline adds no
+        # coordination loss beyond the box's own limits.
+        "hw_ceiling_efficiency": round(hw, 3),
+        "pipeline_vs_hw": round(eff / hw, 3) if hw else None,
     }
+
+
+def _hardware_ceiling(lo: int, hi: int) -> float:
+    """8-vs-32-proc throughput ratio of embarrassingly parallel SA builds
+    (no Ray, no shuffles, no shared state)."""
+    import multiprocessing as mp
+
+    def measure(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_sa_build_probe, range(procs * 2))
+            return (procs * 2) / (time.time() - t0)
+
+    thr_lo, thr_hi = measure(lo), measure(hi)
+    return (thr_hi / thr_lo) / (hi / lo)
+
+
+def _sa_build_probe(seed: int) -> float:
+    import numpy as np
+
+    from hg_dedup_ray.functions.scan import find_remove_ranges
+    from hg_dedup_ray.functions.suffix_array import build_suffix_array
+
+    rng = np.random.default_rng(seed)
+    words = [
+        rng.integers(97, 123, size=rng.integers(3, 9), dtype=np.uint8)
+        for _ in range(500)
+    ]
+    parts = [words[int(i)] for i in rng.integers(0, 500, size=400_000)]
+    corpus = np.concatenate(parts)[:2_000_000]
+    t0 = time.time()
+    find_remove_ranges(corpus, build_suffix_array(corpus), 100)
+    return time.time() - t0
 
 
 if __name__ == "__main__":
