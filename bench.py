@@ -31,7 +31,7 @@ def _headline(sf_dir: str):
     from hg_dedup_ray.config import DedupConfig
     from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
 
-    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "24000"))
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "96000"))
     fixture_dir = f"/tmp/graft_bench_pages_{n_docs}"
     if not os.path.isdir(fixture_dir) or not os.listdir(fixture_dir):
         from hg_dedup_ray.sources.webpages import write_webpages
@@ -160,7 +160,7 @@ def run_scaling() -> dict:
             # candidate passes) caps efficiency at small inputs; the
             # criterion targets 10^12-doc scale where F ~ 0, so size the
             # fixture until compute C >> F (240 MB -> C/32 ~ 8s >> F)
-            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "320000"),
+            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "96000"),
             GRAFT_HEADLINE_ONLY="1",
         )
         out = subprocess.run(
