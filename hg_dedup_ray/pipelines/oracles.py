@@ -42,6 +42,16 @@ ORACLE_SQL = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6) AS sum_qty,
+               round(sum(l_extendedprice), 6) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
     "event_sessions": """
         SELECT user_id,
                count(*)::BIGINT AS n_events,

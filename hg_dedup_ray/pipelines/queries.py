@@ -732,8 +732,64 @@ def annotate_documents(sf_dir: str):
     )
 
 
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary over lineitem: filter pushed to
+    the read, revenue computed vectorized per batch, multi-aggregate
+    groupby. Floats rounded to 6 dp on both sides."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import datetime
+
+        cutoff = pa.scalar(
+            datetime.datetime(1998, 9, 2), type=pa.timestamp("us")
+        )
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "l_extendedprice": batch["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def round6(batch: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            batch = batch.set_column(
+                batch.column_names.index(c), c, pc.round(batch[c], ndigits=6)
+            )
+        return batch
+
+    return agg.map_batches(round6, batch_format="pyarrow")
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "pricing_summary": pricing_summary,
     "annotate_documents": annotate_documents,
     "kept_middle_lengths": kept_middle_lengths,
     "bpe_token_counts": bpe_token_counts,
