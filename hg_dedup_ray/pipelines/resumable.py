@@ -123,7 +123,13 @@ def _make_partition_processor(
         )
         from dataclasses import asdict
 
-        row = {k: [v] for k, v in asdict(m).items() if k != "input_files"}
+        # input_files/input_sizes are driver-known; keep the metrics row
+        # arrow-friendly (no dict columns)
+        row = {
+            k: [v]
+            for k, v in asdict(m).items()
+            if k not in ("input_files", "input_sizes")
+        }
         row["input_files"] = [list(input_files)]
         return pa.table(row)
 
@@ -149,10 +155,11 @@ def run_dedup_resumable(
         input_files = sorted(ds.input_files())
     except Exception:
         input_files = list(np.atleast_1d(input_paths))
+    sizes = ck.input_sizes(input_files)
     docs = extract_docs(ds, cfg)
-    completed = ck.load_completed_parts(ckpt_dir, cfg)
+    completed = ck.load_completed_parts(ckpt_dir, cfg, sizes)
     multi = cfg.num_partitions > 1
-    need_candidates = multi and ck.load_candidates(ckpt_dir, cfg) is None
+    need_candidates = multi and ck.load_candidates(ckpt_dir, cfg, sizes) is None
     todo_unknown = len(completed) < cfg.num_partitions
     if multi and (need_candidates or todo_unknown):
         docs = docs.materialize()
@@ -160,13 +167,14 @@ def run_dedup_resumable(
     # --- cross-partition stage (whole-stage checkpoint) ------------------
     xranges_ref = clusters_ref = None
     if multi:
-        cached = ck.load_candidates(ckpt_dir, cfg)
+        cached = ck.load_candidates(ckpt_dir, cfg, sizes)
         if cached is None:
             t0 = time.time()
             xranges, clusters = compute_cross_partition(docs, cfg)
             ck.save_candidates(
                 ckpt_dir, cfg, xranges, clusters,
                 metrics={"stage_s": round(time.time() - t0, 3)},
+                input_sizes_map=sizes,
             )
         else:
             xranges, clusters = cached
@@ -206,7 +214,8 @@ def run_dedup_resumable(
                 **{
                     k: (v if k != "input_files" else list(v))
                     for k, v in row.items()
-                }
+                },
+                input_sizes=sizes,
             )
             ck.write_part_manifest(ckpt_dir, m)
             processed.append(m.part)

@@ -68,11 +68,25 @@ def content_hash(urls, n_bytes) -> str:
     return h.hexdigest()
 
 
+def input_sizes(paths) -> dict[str, int]:
+    """{path: byte size} — the cheap input-staleness fingerprint stored
+    in manifests: a rerun whose input files changed size is NOT resumed
+    from stale partitions."""
+    out = {}
+    for p in paths:
+        try:
+            out[str(p)] = os.path.getsize(p)
+        except OSError:
+            out[str(p)] = -1
+    return out
+
+
 @dataclass
 class PartitionManifest:
     part: int
     cfg_hash: str
     input_files: list = field(default_factory=list)
+    input_sizes: dict = field(default_factory=dict)
     doc_seq_min: int = 0
     doc_seq_max: int = 0
     n_docs: int = 0
@@ -113,9 +127,12 @@ def write_part_manifest(ckpt_dir: str, m: PartitionManifest) -> None:
     _atomic_write_json(part_manifest_path(ckpt_dir, m.part), asdict(m))
 
 
-def load_completed_parts(ckpt_dir: str, cfg: DedupConfig) -> dict[int, dict]:
+def load_completed_parts(
+    ckpt_dir: str, cfg: DedupConfig, current_input_sizes: dict | None = None
+) -> dict[int, dict]:
     """part -> manifest dict, for manifests matching the cfg fingerprint
-    whose output file still exists."""
+    whose output file still exists and (when ``current_input_sizes`` is
+    given) whose recorded input sizes still match."""
     out: dict[int, dict] = {}
     d = os.path.join(ckpt_dir, "parts")
     if not os.path.isdir(d):
@@ -133,6 +150,12 @@ def load_completed_parts(ckpt_dir: str, cfg: DedupConfig) -> dict[int, dict]:
             continue
         if m.get("output_file") and not os.path.exists(m["output_file"]):
             continue
+        if (
+            current_input_sizes is not None
+            and m.get("input_sizes")
+            and m["input_sizes"] != current_input_sizes
+        ):
+            continue  # input changed since this partition was produced
         out[int(m["part"])] = m
     return out
 
@@ -148,6 +171,7 @@ def save_candidates(
     xranges: dict[str, np.ndarray],
     clusters: dict[str, int],
     metrics: dict | None = None,
+    input_sizes_map: dict | None = None,
 ) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -187,13 +211,14 @@ def save_candidates(
             "status": "done",
             "n_xrange_urls": len(xranges),
             "n_clustered_urls": len(clusters),
+            "input_sizes": input_sizes_map or {},
             **(metrics or {}),
         },
     )
 
 
 def load_candidates(
-    ckpt_dir: str, cfg: DedupConfig
+    ckpt_dir: str, cfg: DedupConfig, current_input_sizes: dict | None = None
 ) -> tuple[dict[str, np.ndarray], dict[str, int]] | None:
     """(xranges, clusters) if a valid checkpoint exists, else None."""
     import pyarrow.parquet as pq
@@ -209,6 +234,12 @@ def load_candidates(
         return None
     if m.get("cfg_hash") != cfg_fingerprint(cfg) or m.get("status") != "done":
         return None
+    if (
+        current_input_sizes is not None
+        and m.get("input_sizes")
+        and m["input_sizes"] != current_input_sizes
+    ):
+        return None  # input changed since the candidate stage ran
     xt = pq.read_table(os.path.join(d, "xranges.parquet"))
     xranges: dict[str, np.ndarray] = {}
     if len(xt):

@@ -116,3 +116,28 @@ def test_cfg_change_invalidates_checkpoints(pages_dir, tmp_path):
     )
     assert ck.load_completed_parts(ckd, cfg2) == {}
     assert ck.load_candidates(ckd, cfg2) is None
+
+
+def test_changed_input_invalidates_checkpoints(pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckd = str(tmp_path / "ck")
+    cfg = _cfg(ckd)
+    s1 = run_dedup_resumable(pages_dir, out, cfg)
+    assert sorted(s1["parts_processed_this_run"]) == [0, 1, 2, 3]
+
+    # grow one input file (append a page) -> ALL partitions stale
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    victim = sorted(os.listdir(pages_dir))[0]
+    src2 = str(tmp_path / "pages2")
+    import shutil as _sh
+
+    _sh.copytree(pages_dir, src2)
+    p = os.path.join(src2, victim)
+    t = pq.read_table(p)
+    pq.write_table(pa.concat_tables([t, t.slice(0, 1)]), p)
+
+    s2 = run_dedup_resumable(src2, out, cfg)
+    assert sorted(s2["parts_processed_this_run"]) == [0, 1, 2, 3], s2
+    assert s2["parts_skipped_this_run"] == []
