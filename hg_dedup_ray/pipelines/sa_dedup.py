@@ -357,9 +357,19 @@ def dedup_dataset(ds, cfg: DedupConfig):
         # pin the pruned projection once instead of re-running the read +
         # extract per consumer. Blocks spill to disk under memory pressure.
         docs = docs.materialize()
-    scanned = docs.groupby("part").map_groups(
-        make_partition_scan(cfg.minlen), batch_format="pyarrow"
-    )
+    if (
+        cfg.extra.get("scan_strategy") == "pruned"
+        and cfg.num_partitions > 1
+    ):
+        # range partitioning of the already-ordered blocks: no sort
+        # shuffle, one targeted-block task per partition (range_scan.py)
+        from hg_dedup_ray.stages.range_scan import scan_partitions_pruned
+
+        scanned = scan_partitions_pruned(docs, cfg)
+    else:
+        scanned = docs.groupby("part").map_groups(
+            make_partition_scan(cfg.minlen), batch_format="pyarrow"
+        )
 
     # --- cross-partition candidates (skipped when only one partition:
     # the partition scan is already globally exact) -----------------------

@@ -141,3 +141,35 @@ def test_single_doc_and_tiny_inputs(ray_session):
     out = dedup_dataset(empty_text, cfg).to_pandas()
     assert len(out) == 3
     assert (out["n_removed_bytes"] == 0).all()  # nothing >= minlen
+
+
+def test_pruned_scan_strategy_matches_sort(ray_session, pipeline_input):
+    """Range-partitioned block-pruned scan (no sort shuffle) must produce
+    exactly the groupby path's output."""
+    ds, texts, tags = pipeline_input
+    rows_sort, _ = run_pipeline(ds, num_partitions=4)
+    import pandas as pd
+
+    from hg_dedup_ray.config import DedupConfig
+    from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
+
+    cfg = DedupConfig(
+        minlen=MINLEN, num_partitions=4, shingle_k=8,
+        jaccard_threshold=0.2,
+        extra={"scan_strategy": "pruned"},
+    )
+    out = (
+        dedup_dataset(ds, cfg).to_pandas().sort_values("doc_seq").reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame(rows_sort).sort_values("doc_seq").reset_index(drop=True)
+    )
+    assert (out["n_removed_bytes"].to_numpy() == want["n_removed_bytes"].to_numpy()).all()
+    assert (out["cluster_id"].to_numpy() == want["cluster_id"].to_numpy()).all()
+
+    def norm(col):
+        return [
+            [(int(r["start"]), int(r["end"])) for r in rr] for rr in col
+        ]
+
+    assert norm(out["sa_remove_ranges"]) == norm(want["sa_remove_ranges"])
