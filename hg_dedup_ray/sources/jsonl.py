@@ -6,8 +6,7 @@ discovery, write_back_to_jsonl_sharded.py:39-56 `write_buf`).
   stripped for sort order — this ordering DEFINES global doc order, so
   ``doc_seq`` is assigned from (file rank, line number).
 - Formats: ``.jsonl`` plain, ``.jsonl.gz`` (stdlib gzip), ``.jsonl.zst``
-  gated behind an import-try of ``zstandard`` (absent in this container —
-  files raise a clear error instead of silently misparsing).
+  (pyarrow's built-in zstd codec) — full reference format parity.
 - Schema: required ``text``; every other JSON field is carried as one
   opaque ``metadata`` JSON-string column (the reference keeps metadata as
   opaque JSON too); plus ``path``, ``linenum``, ``doc_seq``.
@@ -35,21 +34,13 @@ import ray
 
 def _open_bytes(data: bytes, path: str) -> str:
     """Decompress by MAGIC BYTES, not extension: some readers (including
-    Ray's read_binary_files) already auto-decompress .gz on read."""
-    if data[:4] == b"\x28\xb5\x2f\xfd":  # zstd frame
-        try:
-            import zstandard  # type: ignore
-        except ImportError as e:  # pragma: no cover - zstd absent here
-            raise NotImplementedError(
-                f"{path}: .zst needs the 'zstandard' package (not in this "
-                "container); recompress as .gz or plain .jsonl"
-            ) from e
-        data = zstandard.ZstdDecompressor().stream_reader(
-            io.BytesIO(data)
-        ).read()
+    Ray's read_binary_files) already auto-decompress on read."""
+    if data[:4] == b"\x28\xb5\x2f\xfd":  # zstd frame (pyarrow codec)
+        with pa.input_stream(pa.BufferReader(data), compression="zstd") as s:
+            data = s.read()
     elif data[:2] == b"\x1f\x8b":  # gzip
         data = gzip.decompress(data)
-    return data.decode("utf-8")
+    return bytes(data).decode("utf-8")
 
 
 def discover_files(root: str) -> list[str]:
@@ -137,10 +128,11 @@ def write_jsonl(ds: ray.data.Dataset, out_root: str) -> list[str]:
         target = os.path.join(out_root, path)
         os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
         if path.endswith(".zst"):
-            raise NotImplementedError(
-                "zstd recompression unavailable in this container"
-            )
-        if path.endswith(".gz"):
+            sink = pa.BufferOutputStream()
+            with pa.CompressedOutputStream(sink, "zstd") as s:
+                s.write(payload)
+            payload = sink.getvalue().to_pybytes()
+        elif path.endswith(".gz"):
             payload = gzip.compress(payload)
         tmp = target + ".tmp"
         with open(tmp, "wb") as f:

@@ -132,3 +132,30 @@ def test_find_dup_ptrs_superset_of_remove(ray_session=None):
     d_ix, n_kept, n_drop = dup_ptrs_to_docs(ptrs, kept, starts, ends)
     assert set(d_ix.tolist()) == {0, 1}  # doc 2 clean
     assert (n_kept + n_drop > 0).all()
+
+
+def test_zst_roundtrip(ray_session, tmp_path):
+    """.jsonl.zst read + write via pyarrow's built-in zstd codec."""
+    import pyarrow as pa
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    rows = [{"text": "zstd doc " + "x" * 50, "k": 1}, {"text": "another", "k": 2}]
+    payload = "".join(json.dumps(r) + "\n" for r in rows).encode()
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as s:
+        s.write(payload)
+    (src / "a.jsonl.zst").write_bytes(sink.getvalue().to_pybytes())
+
+    ds = read_jsonl(str(src))
+    got = sorted(ds.take_all(), key=lambda r: r["linenum"])
+    assert [g["text"] for g in got] == [r["text"] for r in rows]
+
+    out = tmp_path / "out"
+    write_jsonl(ds, str(out))
+    raw = (out / "a.jsonl.zst").read_bytes()
+    assert raw[:4] == b"\x28\xb5\x2f\xfd"
+    with pa.input_stream(pa.BufferReader(raw), compression="zstd") as s:
+        back = [json.loads(l) for l in s.read().decode().splitlines()]
+    assert [b["text"] for b in back] == [r["text"] for r in rows]
+    assert back[0]["k"] == 1

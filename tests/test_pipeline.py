@@ -173,3 +173,27 @@ def test_pruned_scan_strategy_matches_sort(ray_session, pipeline_input):
         ]
 
     assert norm(out["sa_remove_ranges"]) == norm(want["sa_remove_ranges"])
+
+
+def test_no_duplicates_negative_control(ray_session):
+    """A corpus with no >=minlen repeats: zero ranges, every doc its own
+    cluster, both scan strategies."""
+    import pandas as pd
+
+    import ray as _ray
+    from hg_dedup_ray.config import DedupConfig
+    from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
+
+    texts = [
+        " ".join(f"u{d}w{i}" for i in range(30)) for d in range(120)
+    ]
+    ds = _ray.data.from_pandas(pd.DataFrame({"doc_id": range(120), "text": texts}))
+    for extra in ({}, {"scan_strategy": "pruned"}):
+        cfg = DedupConfig(
+            minlen=48, num_partitions=3, shingle_k=8,
+            seq_col="doc_id", id_col="doc_id", text_col="text",
+            extra=dict(extra),
+        )
+        out = dedup_dataset(ds, cfg).to_pandas()
+        assert (out["n_removed_bytes"] == 0).all()
+        assert out["cluster_id"].nunique() == 120
