@@ -87,3 +87,32 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(res)
     assert len(df) == 500
     assert "cluster_id" in df.columns
+
+
+def test_kept_middle_lengths_positive(ray_session, tmp_path):
+    """Docs with TWO separated duplicate ranges yield gap-length rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray
+    from hg_dedup_ray.pipelines.queries import kept_middle_lengths
+
+    blk_a = "alpha " + " ".join(f"a{i}" for i in range(20)) + "."
+    blk_b = "beta " + " ".join(f"b{i}" for i in range(20)) + "."
+    texts = []
+    for d in range(8):
+        mid = f" gap{d} filler words here " * 2
+        if d == 0:
+            texts.append(blk_a + " intro " + blk_b)  # keep-first doc
+        else:
+            texts.append(f"u{d} start " + blk_a + mid + blk_b + f" end u{d}")
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts,
+                       "lang": "en", "source": "s", "n_chars": [len(t) for t in texts]})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(__import__("pyarrow").Table.from_pandas(df), str(sf / "documents.parquet"))
+    out = kept_middle_lengths(str(sf), minlen=64).to_pandas()
+    assert len(out) > 0, "no gap rows"
+    assert (out["gap_len"] > 0).all()
+    assert out["n"].sum() >= 6  # docs 1..7 each contribute a gap
