@@ -23,5 +23,33 @@ Layout:
 
 from hg_dedup_ray.config import DedupConfig
 
-__all__ = ["DedupConfig"]
+__all__ = [
+    "DedupConfig",
+    "annotate_dataset",
+    "dedup_dataset",
+    "run_dedup",
+    "run_dedup_resumable",
+    "run_jsonl_dedup",
+]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing ray at package import)."""
+    if name == "dedup_dataset" or name == "run_dedup":
+        from hg_dedup_ray.pipelines import sa_dedup
+
+        return getattr(sa_dedup, name)
+    if name == "annotate_dataset":
+        from hg_dedup_ray.pipelines.annotate import annotate_dataset
+
+        return annotate_dataset
+    if name == "run_dedup_resumable":
+        from hg_dedup_ray.pipelines.resumable import run_dedup_resumable
+
+        return run_dedup_resumable
+    if name == "run_jsonl_dedup":
+        from hg_dedup_ray.pipelines.jsonl_workflow import run_jsonl_dedup
+
+        return run_jsonl_dedup
+    raise AttributeError(name)
