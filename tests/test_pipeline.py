@@ -197,3 +197,24 @@ def test_no_duplicates_negative_control(ray_session):
         out = dedup_dataset(ds, cfg).to_pandas()
         assert (out["n_removed_bytes"] == 0).all()
         assert out["cluster_id"].nunique() == 120
+
+
+def test_run_dedup_writes_partitioned_parquet(ray_session, webpages_small, tmp_path):
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.config import DedupConfig
+    from hg_dedup_ray.pipelines.sa_dedup import run_dedup
+
+    out_dir, paths, tags = webpages_small
+    cfg = DedupConfig(minlen=MINLEN, num_partitions=3, shingle_k=8,
+                      jaccard_threshold=0.2)
+    dest = str(tmp_path / "out")
+    run_dedup(sorted(paths), dest, cfg, columns=["url", "doc_seq", "text"])
+    import os as _os
+
+    parts = sorted(d for d in _os.listdir(dest) if d.startswith("part="))
+    assert len(parts) == 3, parts
+    t = pq.read_table(dest)
+    n_in = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    assert len(t) == n_in
+    assert "sa_remove_ranges" in t.column_names
