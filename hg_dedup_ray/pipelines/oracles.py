@@ -36,17 +36,25 @@ ORACLE_SQL = {
     """,
     "orders_per_nation": """
         SELECT n_name, count(*)::BIGINT AS n_orders,
-               round(sum(o_totalprice), 6) AS sum_price
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_price
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
     "pricing_summary": """
+        -- exact integer-unit sums (cents / 1e-4 dollars) divided once at
+        -- the end: bit-identical float64 vs the Ray side's int64 Sum
+        -- aggregates regardless of distributed reduction order
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 6) AS sum_qty,
-               round(sum(l_extendedprice), 6) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_base_price,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS sum_disc_price,
                count(*)::BIGINT AS count_order
         FROM lineitem
         WHERE l_shipdate <= DATE '1998-09-02'

@@ -632,32 +632,57 @@ def events_hourly(sf_dir: str):
 
 
 def orders_per_nation(sf_dir: str):
-    """Broadcast hash join (guide's small-side pattern): customer
-    (c_custkey -> c_nationkey) and nation (key -> name) are ray.put once
-    and looked up per batch inside map_batches — no shuffle join; the
-    only shuffle is the final small groupby-aggregate."""
+    """Broadcast hash join (guide's small-side pattern), fully
+    vectorized: customer's (sorted c_custkey -> nation index) arrays and
+    the 25-row nation name array are ``ray.put`` once; each batch does a
+    ``np.searchsorted`` gather (custkey -> row -> nationkey) then maps
+    nationkey -> name via ``pc.take`` on the broadcast name array — no
+    per-row Python, no shuffle join; the only shuffle is the final
+    25-group aggregate. Price summed in exact integer cents (same
+    distributed-float-order fix as pricing_summary).
+
+    Scale note: nation is the true small side (fixed 25 rows); customer
+    grows with sf. At 100 TB-class scale the customer side would switch
+    to a bucketed hash join (hash(o_custkey) % B == hash(c_custkey) % B
+    co-grouping); at bench scale the two-int-array broadcast (16 bytes
+    per customer) is the faster pattern and is what the reference-shaped
+    workloads use.
+    """
     from ray.data.aggregate import Count, Sum
 
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
-    nat = ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    side_ref = ray.put((c2n, n2name))
+    nat = (
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+        .to_pandas()
+        .sort_values("n_nationkey", ignore_index=True)
+    )
+    ckeys = cust["c_custkey"].to_numpy(np.int64)
+    order = np.argsort(ckeys, kind="stable")
+    ckeys_sorted = ckeys[order]
+    cnation_sorted = cust["c_nationkey"].to_numpy(np.int64)[order]
+    nkeys_sorted = nat["n_nationkey"].to_numpy(np.int64)
+    names_arr = pa.array(nat["n_name"], pa.string())
+    side_ref = ray.put((ckeys_sorted, cnation_sorted, nkeys_sorted, names_arr))
 
     def attach_nation(batch: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
 
-        c2n_, n2name_ = get_broadcast(side_ref)
-        cust_keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        names = [n2name_[c2n_[int(k)]] for k in cust_keys]
+        ck, cn, nk, names = get_broadcast(side_ref)
+        cust_keys = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.searchsorted(ck, cust_keys)
+        nation_keys = cn[rows]
+        nation_rows = np.searchsorted(nk, nation_keys)
+        price_c = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
+        )
         return pa.table(
             {
-                "n_name": pa.array(names, pa.string()),
-                "o_totalprice": batch["o_totalprice"],
+                "n_name": pc.take(names, pa.array(nation_rows, pa.int64())),
+                "price_c": price_c,
             }
         )
 
@@ -669,23 +694,33 @@ def orders_per_nation(sf_dir: str):
         .groupby("n_name")
         .aggregate(
             Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="sum_price"),
+            Sum("price_c", alias_name="sum_price_c"),
         )
     )
 
-    def round6(batch: pa.Table) -> pa.Table:
-        i = batch.column_names.index("sum_price")
-        return batch.set_column(
-            i, "sum_price", pc.round(batch["sum_price"], ndigits=6)
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch["n_name"],
+                "n_orders": batch["n_orders"],
+                "sum_price": pc.divide(
+                    pc.cast(batch["sum_price_c"], pa.float64()), 100.0
+                ),
+            }
         )
 
-    return agg.map_batches(round6, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def kept_middle_lengths(sf_dir: str, minlen: int = 64):
+def kept_middle_lengths(sf_dir: str, minlen: int = 24):
     """Reference QA stat (write_back_to_jsonl_sharded.py:91-111): lengths
     of kept gaps BETWEEN two removed ranges inside one doc, as a
-    (length, count) histogram (rows-only; depends on our ranges)."""
+    (length, count) histogram (rows-only; depends on our ranges).
+
+    Default minlen=24: on the sf0.001/sf0.01 fixtures this is the largest
+    window that produces docs with TWO separated removed ranges, so the
+    driver-visible run is a real signal (minlen=64 returned 0 rows in
+    round 1 — vacuous)."""
     from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
     from ray.data.aggregate import Sum
 
@@ -735,7 +770,16 @@ def annotate_documents(sf_dir: str):
 def pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary over lineitem: filter pushed to
     the read, revenue computed vectorized per batch, multi-aggregate
-    groupby. Floats rounded to 6 dp on both sides."""
+    groupby.
+
+    Money columns are 2-decimal doubles; summing float64 across a
+    distributed reduction is order-dependent and at sf0.1 the error on
+    ~1e9-scale sums exceeds the 6-dp round (round-1 hash mismatch).
+    Scale-proof fix: accumulate in EXACT integer units (cents for
+    qty/price, 1e-4 units for disc_price) as int64, divide once at the
+    end — the oracle SQL does the identical integer-unit sum, so both
+    sides produce bit-identical float64.
+    """
     from ray.data.aggregate import Count, Sum
 
     ds = ray.data.read_parquet(
@@ -753,16 +797,21 @@ def pricing_summary(sf_dir: str):
             datetime.datetime(1998, 9, 2), type=pa.timestamp("us")
         )
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
-        disc = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        i64 = pa.int64()
+        qty_c = pc.cast(pc.round(pc.multiply(batch["l_quantity"], 100.0)), i64)
+        base_c = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), i64
         )
+        disc_c = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)), i64)
+        # extendedprice_cents * (100 - discount_cents): units of 1e-4 dollars
+        disc_1e4 = pc.multiply(base_c, pc.subtract(pa.scalar(100, i64), disc_c))
         return pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "l_quantity": batch["l_quantity"],
-                "l_extendedprice": batch["l_extendedprice"],
-                "disc_price": disc,
+                "qty_c": qty_c,
+                "base_c": base_c,
+                "disc_1e4": disc_1e4,
             }
         )
 
@@ -770,21 +819,30 @@ def pricing_summary(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("base_c", alias_name="sum_base_c"),
+            Sum("disc_1e4", alias_name="sum_disc_1e4"),
             Count(alias_name="count_order"),
         )
     )
 
-    def round6(batch: pa.Table) -> pa.Table:
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            batch = batch.set_column(
-                batch.column_names.index(c), c, pc.round(batch[c], ndigits=6)
-            )
-        return batch
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pc.divide(pc.cast(batch["sum_qty_c"], pa.float64()), 100.0),
+                "sum_base_price": pc.divide(
+                    pc.cast(batch["sum_base_c"], pa.float64()), 100.0
+                ),
+                "sum_disc_price": pc.divide(
+                    pc.cast(batch["sum_disc_1e4"], pa.float64()), 10000.0
+                ),
+                "count_order": batch["count_order"],
+            }
+        )
 
-    return agg.map_batches(round6, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 QUERIES = {

@@ -84,9 +84,9 @@ def _task_stage(cls, *args):
     return fn
 
 
-def extract_docs(ds, cfg: DedupConfig):
+def extract_docs(ds, cfg: DedupConfig, bounds: tuple[int, int] | None = None):
     """read -> (url, doc_seq, part, text, n_bytes) dataset."""
-    mn, mx = seq_bounds(ds, cfg)
+    mn, mx = bounds if bounds is not None else seq_bounds(ds, cfg)
     return ds.map_batches(
         make_extract_fn(cfg, mn, mx), batch_format="pyarrow", batch_size=cfg.batch_size
     )
@@ -234,6 +234,57 @@ def _driver_buckets(cand, hot: np.ndarray, max_docs: int = 256) -> list[dict]:
     return out
 
 
+def _resolve_clusters(edges, cfg: DedupConfig):
+    if len(edges) > int(cfg.extra.get("driver_edge_limit", 1_000_000)):
+        from hg_dedup_ray.state.cluster import distributed_min_label
+
+        return distributed_min_label(edges)
+    return union_find_clusters(edges)
+
+
+def compute_cross_partition_bucketed(docs, cfg: DedupConfig):
+    """The distributed dup-set path (stages/dupset_join.py): candidate
+    buckets -> exploded member rows -> bucketed hash join on doc_seq to
+    attach texts -> per-group assembly (SA scan / pair verify). No text
+    ever lands on the driver; select with
+    ``cfg.extra["dupset_strategy"] = "bucketed"``.
+
+    Returns ``(("tables", span_block_refs), clusters_dict)`` — Writeback
+    resolves the span blocks per worker (compact: url + part + 2 ints)."""
+    from hg_dedup_ray.stages.dupset_join import (
+        dupset_spans_and_edges,
+        make_bucket_to_members,
+    )
+
+    cand = docs.map_batches(
+        _task_stage(CandidateEmitter, cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    ).materialize()
+    limit = int(cfg.extra.get("driver_key_limit", 30_000_000))
+    hot = (
+        _hot_keys_driver if cand.count() <= limit else _hot_keys_distributed
+    )(cand)
+    if hot.shape[0] == 0:
+        return ("tables", []), {}
+    hot_ref = ray.put(pa.array(hot, pa.uint64()))
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        return b.filter(pc.is_in(b["bucket_key"], value_set=get_broadcast(hot_ref)))
+
+    members = (
+        cand.map_batches(keep_hot, batch_format="pyarrow")
+        .groupby("bucket_key")
+        .map_groups(make_bucket_to_members(cfg), batch_format="pyarrow")
+    )
+    spans, edges = dupset_spans_and_edges(docs, members, cfg)
+    spans_mat = spans.materialize()
+    span_refs = list(spans_mat.to_arrow_refs())
+    return ("tables", span_refs), _resolve_clusters(edges, cfg)
+
+
 def compute_cross_partition(docs, cfg: DedupConfig):
     """Cross-partition stage: (xranges, clusters) dicts.
 
@@ -333,13 +384,7 @@ def compute_cross_partition(docs, cfg: DedupConfig):
                 for r in verified
                 if r["jaccard"] >= cfg.jaccard_threshold
             ]
-    if len(edges) > int(cfg.extra.get("driver_edge_limit", 1_000_000)):
-        from hg_dedup_ray.state.cluster import distributed_min_label
-
-        clusters = distributed_min_label(edges)
-    else:
-        clusters = union_find_clusters(edges)
-    return xranges, clusters
+    return xranges, _resolve_clusters(edges, cfg)
 
 
 def dedup_dataset(ds, cfg: DedupConfig):
@@ -351,7 +396,8 @@ def dedup_dataset(ds, cfg: DedupConfig):
         from dataclasses import replace
 
         cfg = replace(cfg, num_partitions=resolve_num_partitions(ds, cfg))
-    docs = extract_docs(ds, cfg)
+    bounds = seq_bounds(ds, cfg)
+    docs = extract_docs(ds, cfg, bounds)
     if cfg.num_partitions > 1:
         # docs feeds three consumers (scan, banding, dup-set text fetch);
         # pin the pruned projection once instead of re-running the read +
@@ -365,7 +411,7 @@ def dedup_dataset(ds, cfg: DedupConfig):
         # shuffle, one targeted-block task per partition (range_scan.py)
         from hg_dedup_ray.stages.range_scan import scan_partitions_pruned
 
-        scanned = scan_partitions_pruned(docs, cfg)
+        scanned = scan_partitions_pruned(docs, cfg, *bounds)
     else:
         scanned = docs.groupby("part").map_groups(
             make_partition_scan(cfg.minlen), batch_format="pyarrow"
@@ -376,8 +422,12 @@ def dedup_dataset(ds, cfg: DedupConfig):
     xranges_ref = None
     clusters_ref = None
     if cfg.num_partitions > 1:
-        xranges, clusters = compute_cross_partition(docs, cfg)
-        xranges_ref = ray.put(xranges)
+        if cfg.extra.get("dupset_strategy", "broadcast") == "bucketed":
+            xranges_payload, clusters = compute_cross_partition_bucketed(docs, cfg)
+            xranges_ref = ray.put(xranges_payload)  # refs only — no text
+        else:
+            xranges, clusters = compute_cross_partition(docs, cfg)
+            xranges_ref = ray.put(xranges)
         clusters_ref = ray.put(clusters)
 
     return scanned.map_batches(

@@ -15,6 +15,19 @@ import pyarrow.compute as pc
 from hg_dedup_ray.config import DedupConfig
 
 
+def partition_boundaries(seq_min: int, seq_max: int, P: int) -> np.ndarray:
+    """int64[P+1] boundary seqs: partition p covers
+    [boundaries[p], boundaries[p+1]). Computed with PYTHON ints —
+    the naive ``(seq - mn) * P // span`` form overflows int64 when
+    span (e.g. jsonl's ``(file_rank << 32) | linenum`` seq space) times a
+    large auto-sized P exceeds 2^63."""
+    span = max(seq_max - seq_min + 1, 1)
+    return np.array(
+        [-(-p * span // P) + seq_min for p in range(P)] + [seq_max + 1],
+        dtype=np.int64,
+    )
+
+
 def make_extract_fn(cfg: DedupConfig, seq_min: int, seq_max: int):
     """Returns a map_batches fn: project + n_bytes + partition id.
 
@@ -23,12 +36,15 @@ def make_extract_fn(cfg: DedupConfig, seq_min: int, seq_max: int):
     keep-first contract (reference cpp_engine_dedup.h:717-724).
     """
     P = cfg.num_partitions
-    span = max(seq_max - seq_min + 1, 1)
+    boundaries = partition_boundaries(seq_min, seq_max, P)
 
     def extract(batch: pa.Table) -> pa.Table:
         seq = batch[cfg.seq_col].cast(pa.int64())
         seq_np = seq.to_numpy(zero_copy_only=False)
-        part = ((seq_np - seq_min) * P // span).astype(np.int32)
+        # overflow-safe, order-preserving assignment (vs multiply-divide)
+        part = np.clip(
+            np.searchsorted(boundaries, seq_np, side="right") - 1, 0, P - 1
+        ).astype(np.int32)
         n_bytes = pc.binary_length(batch[cfg.text_col].cast(pa.binary()))
         return pa.table(
             {

@@ -13,6 +13,15 @@ of blocks. This stage exploits that:
    on-node; at multi-node scale this is targeted block fetch, not an
    all-to-all), filters its seq range, and runs the partition scan.
 
+The partition ranges come from the SAME ``partition_boundaries`` (and the
+same extract-time seq bounds, threaded in by the caller) that stamped the
+``part`` column — never re-derived from block stats, which would disagree
+whenever explicit ``cfg.extra['seq_bounds']`` are wider than the data.
+
+Output blocks stay in the object store: the result dataset is built with
+``from_arrow_refs`` — the driver never ``ray.get``s a scanned partition
+(they carry full text columns).
+
 This is the documented Dataset-API escape hatch (a sorted input's range
 partitioning needs no sort); the ``groupby`` path remains the default —
 select with ``cfg.extra["scan_strategy"] = "pruned"``.
@@ -26,6 +35,7 @@ import pyarrow as pa
 import ray
 
 from hg_dedup_ray.config import DedupConfig
+from hg_dedup_ray.stages.extract import partition_boundaries
 
 
 @ray.remote
@@ -39,7 +49,8 @@ def _block_stats(tab: pa.Table) -> tuple[int, int, int]:
 @ray.remote
 def _scan_partition(minlen: int, lo: int, hi: int, *tabs: pa.Table) -> pa.Table:
     """Filter [lo, hi) doc_seq rows out of the candidate blocks and run
-    the partition scan kernel."""
+    the partition scan kernel. Always returns a (possibly empty) table so
+    the caller can assemble the result dataset from refs alone."""
     import pyarrow.compute as pc
 
     from hg_dedup_ray.stages.sa_scan import make_partition_scan
@@ -54,36 +65,29 @@ def _scan_partition(minlen: int, lo: int, hi: int, *tabs: pa.Table) -> pa.Table:
         f = t.filter(mask)
         if len(f):
             pieces.append(f)
-    if not pieces:
-        return None
-    group = pa.concat_tables(pieces)
+    group = pa.concat_tables(pieces) if pieces else tabs[0].slice(0, 0)
     return make_partition_scan(minlen)(group)
 
 
-def scan_partitions_pruned(docs_mat, cfg: DedupConfig):
+def scan_partitions_pruned(
+    docs_mat, cfg: DedupConfig, seq_min: int, seq_max: int
+):
     """Materialized extract output -> scanned dataset, one raw Ray task
-    per partition with block pruning. Returns a Ray Dataset with the same
-    schema as the groupby path."""
+    per partition with block pruning. ``seq_min``/``seq_max`` are the
+    extract-time bounds (stages/extract.seq_bounds) so partition ranges
+    match the stamped ``part`` column exactly. Returns a Ray Dataset with
+    the same schema as the groupby path; blocks never touch the driver."""
+    import ray.data as rd
+
     refs = docs_mat.to_arrow_refs()
     stats = ray.get([_block_stats.remote(r) for r in refs])
-    nonempty = [(smin, smax) for n, smin, smax in stats if n > 0]
-    if not nonempty:
-        import ray.data as rd
-
+    if not any(n > 0 for n, _, _ in stats):
         return rd.from_items([])
-    # global seq bounds from the block stats (the extracted dataset's
-    # order column is always "doc_seq"); partition ranges must mirror
-    # stages/extract.make_extract_fn's (seq-mn)*P//span assignment
-    mn = min(s for s, _ in nonempty)
-    mx = max(e for _, e in nonempty)
     P = cfg.num_partitions
-    span = max(mx - mn + 1, 1)
-    # partition p covers seqs with (seq-mn)*P//span == p
-    # -> [ceil(p*span/P)+mn, ceil((p+1)*span/P)+mn)
+    boundaries = partition_boundaries(seq_min, seq_max, P)
     out_refs = []
     for p in range(P):
-        lo = -(-p * span // P) + mn
-        hi = -(-(p + 1) * span // P) + mn
+        lo, hi = int(boundaries[p]), int(boundaries[p + 1])
         cand = [
             refs[i]
             for i, (n, smin, smax) in enumerate(stats)
@@ -92,11 +96,6 @@ def scan_partitions_pruned(docs_mat, cfg: DedupConfig):
         if not cand:
             continue
         out_refs.append(_scan_partition.remote(cfg.minlen, lo, hi, *cand))
-    tabs = [t for t in ray.get(out_refs) if t is not None and len(t)]
-    if not tabs:
-        import ray.data as rd
-
+    if not out_refs:
         return rd.from_items([])
-    import ray.data as rd
-
-    return rd.from_arrow(tabs)
+    return rd.from_arrow_refs(out_refs)

@@ -31,18 +31,36 @@ def token_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _stopword_token_counts(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-row count of whitespace-split tokens EXACTLY equal to a stopword.
+
+    Matches the oracle's `list_filter(regexp_split_to_array(trim(text),
+    '\\s+'), x -> x IN stops)` semantics — a `\\b(the|a|of)\\b` regex would
+    also match inside 'the,' or 'state-of-the-art' where the token test
+    doesn't. Vectorized: trim → split → flatten → is_in → bincount by the
+    flat values' parent row."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    hit = pc.is_in(flat, value_set=pa.array(EN_STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    counts = np.bincount(parents[hit], minlength=len(toks)).astype(np.int64)
+    return pa.array(counts, pa.int64())
+
+
 def quality_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """(id, n_words, n_stopwords, n_alpha_chars) quality signals."""
     text = batch[text_col]
     n_words = pc.count_substring_regex(text, r"\S+")
-    stop_re = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
-    n_stop = pc.count_substring_regex(text, stop_re)
     n_alpha = pc.count_substring_regex(text, r"[A-Za-z]")
     return pa.table(
         {
             id_col: batch[id_col],
             "n_words": n_words.cast(pa.int64()),
-            "n_stopwords": n_stop.cast(pa.int64()),
+            "n_stopwords": _stopword_token_counts(text),
             "n_alpha_chars": n_alpha.cast(pa.int64()),
         }
     )
@@ -52,8 +70,7 @@ def lang_id(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> 
     """(id, lang_pred): 'en' if any English stopword token occurs, else
     'und'. A deliberately simple, SQL-mirrorable heuristic; the honest
     n-gram scorer lives in ``lang_id_ngram`` (no SQL oracle)."""
-    stop_re = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
-    n_stop = pc.count_substring_regex(batch[text_col], stop_re)
+    n_stop = _stopword_token_counts(batch[text_col])
     pred = pc.if_else(pc.greater(n_stop, 0), "en", "und")
     return pa.table({id_col: batch[id_col], "lang_pred": pred})
 

@@ -21,6 +21,27 @@ def _maybe_get(ref):
     return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
 
+def _xranges_from_tables(tables) -> dict[str, np.ndarray]:
+    """Concatenate span block tables (url, part, start, end) into the
+    per-worker url -> ndarray(R,2) lookup. Vectorized: one sort over the
+    span rows, sliced at url boundaries."""
+    tables = [t for t in tables if t is not None and len(t)]
+    if not tables:
+        return {}
+    tab = pa.concat_tables([t.select(["url", "start", "end"]) for t in tables])
+    urls = np.asarray(tab["url"].to_pylist(), dtype=object)
+    s = tab["start"].to_numpy(zero_copy_only=False)
+    e = tab["end"].to_numpy(zero_copy_only=False)
+    order = np.argsort(urls, kind="stable")
+    urls, s, e = urls[order], s[order], e[order]
+    bounds = np.flatnonzero(np.concatenate(([True], urls[1:] != urls[:-1])))
+    out: dict[str, np.ndarray] = {}
+    for i, b in enumerate(bounds):
+        hi = bounds[i + 1] if i + 1 < len(bounds) else urls.shape[0]
+        out[str(urls[b])] = np.stack([s[b:hi], e[b:hi]], axis=1).astype(np.int64)
+    return out
+
+
 class Writeback:
     """map_batches actor over the partition-scan output.
 
@@ -31,7 +52,14 @@ class Writeback:
 
     def __init__(self, cfg: DedupConfig, xranges_ref=None, clusters_ref=None):
         self.cfg = cfg
-        self.xranges: dict[str, np.ndarray] = _maybe_get(xranges_ref) or {}
+        x = _maybe_get(xranges_ref)
+        if isinstance(x, tuple) and len(x) == 2 and x[0] == "tables":
+            # bucketed dup-set path: span BLOCK REFS (url+ints, no text);
+            # fetched zero-copy from the object store once per worker
+            import ray
+
+            x = _xranges_from_tables(ray.get(list(x[1])) if x[1] else [])
+        self.xranges: dict[str, np.ndarray] = x or {}
         self.clusters: dict[str, int] = _maybe_get(clusters_ref) or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
