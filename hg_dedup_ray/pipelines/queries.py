@@ -20,7 +20,6 @@ from hg_dedup_ray.config import DedupConfig
 from hg_dedup_ray.stages import textstats
 from hg_dedup_ray.stages.embed import (
     IvfAssigner,
-    NearDupPairs,
     PartialTopK,
     embedding_matrix,
     kmeans_centroids,
@@ -254,20 +253,14 @@ def ann_topk(sf_dir: str):
 
 
 def embedding_near_dup_pairs(sf_dir: str):
-    """All (a < b) pairs with cosine >= NEAR_DUP_COS — brute force vs a
-    broadcast corpus matrix (baseline; IVF variant in ann_ivf_topk)."""
-    emb = _emb(sf_dir)
-    t = emb.to_pandas()
-    mat = np.stack(t.sort_values("vec_id")["embedding"].to_numpy())
-    vids = t.sort_values("vec_id")["vec_id"].to_numpy()
-    corpus_ref = ray.put({"vids": vids, "qmat": mat})
-    return emb.map_batches(
-        NearDupPairs,
-        fn_constructor_args=(corpus_ref, NEAR_DUP_COS),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=_pool(),
-    )
+    """All (a < b) pairs with cosine >= NEAR_DUP_COS, exact, block-
+    pairwise: C blocks -> C(C+1)/2 zero-copy tile tasks, results via
+    from_arrow_refs — no whole-corpus driver to_pandas / broadcast
+    (stages/embed.near_dup_pairs_blocked). Matches the SQL oracle
+    exactly; ann_ivf_topk is the approximate sub-quadratic path."""
+    from hg_dedup_ray.stages.embed import near_dup_pairs_blocked
+
+    return near_dup_pairs_blocked(_emb(sf_dir), NEAR_DUP_COS)
 
 
 def ann_ivf_topk(sf_dir: str, n_cells: int = 8):
@@ -316,9 +309,16 @@ def ann_ivf_topk(sf_dir: str, n_cells: int = 8):
 
 
 def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
-    """Near-dup doc pairs via SimHash: band explode -> groupby(band_key)
-    -> within-bucket Hamming filter -> pair dedupe (rows-only; the banded
-    Hamming search is not SQL-expressible)."""
+    """Near-dup doc pairs via SimHash: band explode -> hot-band prefilter
+    -> groupby(band_key) -> within-bucket Hamming filter -> vectorized
+    pair distinct (rows-only; the banded Hamming search is not
+    SQL-expressible).
+
+    No per-singleton-group Python anywhere: band keys seen once are
+    filtered out before the groupby, and duplicate pairs from multiple
+    bands are removed by an in-block lexsort distinct + a native Min
+    aggregate (functions/pair_distinct.py), not a map_groups per pair."""
+    from hg_dedup_ray.functions.pair_distinct import distinct_pairs, hot_u64_keys
     from hg_dedup_ray.stages.simhash import SimHashBandEmitter, simhash_bucket_pairs
 
     bands = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
@@ -326,13 +326,33 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=_pool(),
+    ).materialize()
+    hot = hot_u64_keys(bands, "band_key")
+    if hot.shape[0] == 0:
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    hot_ref = ray.put(pa.array(hot, pa.uint64()))
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        return b.filter(pc.is_in(b["band_key"], value_set=get_broadcast(hot_ref)))
+
+    pairs = (
+        bands.map_batches(keep_hot, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(simhash_bucket_pairs(max_hamming), batch_format="pyarrow")
     )
-    pairs = bands.groupby("band_key").map_groups(
-        simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
-    )
-    # a pair can surface from several bands: keep one row per pair
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    return distinct_pairs(
+        pairs,
+        key_cols=["doc_id_a", "doc_id_b"],
+        int_key_cols=("doc_id_a", "doc_id_b"),
+        carry_cols=["hamming"],
     )
 
 
@@ -367,9 +387,9 @@ def _multimodal(sf_dir: str, kind: str, stage_cls, batch_size: int, **kw):
     from hg_dedup_ray.stages import multimodal as mm
 
     return (
-        _docs(sf_dir, columns=["doc_id"])
+        _docs(sf_dir, columns=["doc_id", "text"])
         .map_batches(
-            lambda b: mm.attach_payloads(b, kind),
+            lambda b: mm.attach_payloads(b, kind),  # payload = REAL text bytes
             batch_format="pyarrow",
             batch_size=batch_size,
         )
@@ -402,6 +422,34 @@ def video_frame_sample(sf_dir: str):
     from hg_dedup_ray.stages.multimodal import FrameSampler
 
     return _multimodal(sf_dir, "video", FrameSampler, 64)
+
+
+def html_features(sf_dir: str):
+    """Real HTML parsing over the input_hint webpages table's
+    ``html:binary`` column: tag/link counts, title, visible-text ratio
+    via the stdlib-parser actor stage (stages/multimodal.HtmlFeatures).
+
+    The webpages table is the deterministic synthetic fixture
+    (sources/webpages.py) sized to the sf dir's documents row count — the
+    BASELINE.json input shape, synthesized because no external data
+    exists in this sandbox. Rows-only (HTML parsing has no reasonable
+    SQL oracle)."""
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.sources.webpages import generate_webpages
+    from hg_dedup_ray.stages.multimodal import HtmlFeatures
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    table, _ = generate_webpages(n_docs=n_docs, seed=42, minlen=64)
+    return (
+        ray.data.from_arrow(table.select(["url", "html"]))
+        .map_batches(
+            HtmlFeatures,
+            batch_format="pyarrow",
+            batch_size=512,
+            concurrency=_pool(),
+        )
+    )
 
 
 def dup_doc_report(sf_dir: str, minlen: int = 64):
@@ -866,6 +914,7 @@ QUERIES = {
     "image_features": image_features,
     "audio_features": audio_features,
     "video_frame_sample": video_frame_sample,
+    "html_features": html_features,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "token_counts": token_counts,
     "quality_scores": quality_scores,

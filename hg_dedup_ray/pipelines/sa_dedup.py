@@ -44,7 +44,7 @@ from hg_dedup_ray.stages.candidates import (
     make_bucket_to_candidates,
 )
 from hg_dedup_ray.stages.group_scan import GroupScanner, bucket_to_group
-from hg_dedup_ray.stages.minhash_stage import MinHashBander, bucket_to_pairs, dedupe_pairs
+from hg_dedup_ray.stages.minhash_stage import MinHashBander, bucket_to_pairs
 from hg_dedup_ray.stages.winnow_stage import WinnowFingerprinter
 from hg_dedup_ray.stages.pair_verify import PairVerifier
 from hg_dedup_ray.stages.sa_scan import make_partition_scan
@@ -118,7 +118,16 @@ def candidate_pairs(docs, cfg: DedupConfig):
         .groupby("bucket_key")
         .map_groups(bucket_to_pairs, batch_format="pyarrow")
     )
-    return pairs.groupby(["url_a", "url_b"]).map_groups(dedupe_pairs, batch_format="pyarrow")
+    # multi-band duplicates removed vectorized (in-block lexsort distinct
+    # + native Min aggregate) — NOT a map_groups per mostly-singleton pair
+    from hg_dedup_ray.functions.pair_distinct import distinct_pairs
+
+    return distinct_pairs(
+        pairs,
+        key_cols=["url_a", "url_b"],
+        int_key_cols=("seq_a", "seq_b"),
+        carry_cols=["seq_a", "part_a", "seq_b", "part_b"],
+    )
 
 
 def candidate_groups(docs, cfg: DedupConfig):

@@ -168,7 +168,28 @@ def generate_webpages(
     warc_ts = (ts0 + np.arange(n_docs, dtype=np.int64) * 1_000_000 + jitter).astype(
         "datetime64[us]"
     )
-    html = [b"<html><body>" + t.encode("utf-8") + b"</body></html>" for t in texts]
+    # realistic-enough page markup: title, nav links, entities, a script
+    # block (excluded from visible text), paragraph-split body — gives the
+    # HtmlFeatures parser (stages/multimodal.py) real structure to extract
+    def _page(i: int, t: str) -> bytes:
+        words = t.split()
+        title = " ".join(words[:6]) if words else f"page {i}"
+        mid = max(1, len(words) // 2)
+        nav = "".join(
+            f'<a href="/p/{(i + k) % n_docs:08d}">link {k}</a>'
+            for k in range(1 + i % 3)
+        )
+        return (
+            f"<!DOCTYPE html><html lang=\"{langs[i % len(langs)]}\">"
+            f"<head><title>{title}</title>"
+            f"<script>var pageId={i};</script></head>"
+            f"<body><nav>{nav}</nav>"
+            f"<p>{' '.join(words[:mid])}</p>"
+            f"<p>{' '.join(words[mid:])} &amp; more</p>"
+            f"</body></html>"
+        ).encode("utf-8")
+
+    html = [_page(i, t) for i, t in enumerate(texts)]
     table = pa.table(
         {
             "url": pa.array(urls, pa.string()),

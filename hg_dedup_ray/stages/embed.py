@@ -81,35 +81,65 @@ def merge_topk(group: pa.Table, k: int) -> pa.Table:
     )
 
 
-class NearDupPairs:
-    """map_batches actor: emit (vec_id_a < vec_id_b) pairs with cosine >=
-    threshold between the batch and the broadcast corpus matrix.
+def _block_pair_table(ta: pa.Table, tb: pa.Table, threshold: float) -> pa.Table:
+    va = ta["vec_id"].to_numpy(zero_copy_only=False)
+    vb = tb["vec_id"].to_numpy(zero_copy_only=False)
+    ma = _normalize(embedding_matrix(ta))
+    mb = _normalize(embedding_matrix(tb))
+    sims = ma @ mb.T
+    ii, jj = np.nonzero(sims >= threshold)
+    a, b = va[ii], vb[jj]
+    # orient (a < b) regardless of block/vec_id alignment, then distinct
+    # (the diagonal tile sees each unordered pair twice)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo < hi
+    lo, hi = lo[keep], hi[keep]
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    uniq = np.concatenate(
+        ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))
+    ) if lo.size else np.empty(0, bool)
+    return pa.table(
+        {
+            "vec_id_a": pa.array(lo[uniq], pa.int64()),
+            "vec_id_b": pa.array(hi[uniq], pa.int64()),
+        }
+    )
 
-    Brute force against a broadcast matrix — the honest baseline; at scale
-    replace the broadcast with IVF cells (ivf_assign + groupby)."""
 
-    def __init__(self, corpus_ref, threshold: float):
-        import ray
+def near_dup_pairs_blocked(emb_ds, threshold: float):
+    """EXACT all-(a < b) cosine-threshold pairs, block-pairwise.
 
-        c = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
-        self.vids: np.ndarray = c["vids"]
-        self.mat: np.ndarray = _normalize(c["qmat"].astype(np.float64))
-        self.threshold = threshold
+    The corpus never leaves the object store: the materialized dataset's
+    C blocks spawn C(C+1)/2 raw tasks, each fetching two blocks zero-copy
+    and emitting that tile's qualifying pairs; results assemble via
+    ``from_arrow_refs`` (refs only — no driver matrix, no per-batch
+    broadcast re-ship). This is the exact O(N^2)-compute path the SQL
+    oracle defines; the sub-quadratic approximate path at scale is IVF
+    bucketing (``IvfAssigner`` + groupby, see ann_ivf_topk)."""
+    import ray
+    import ray.data as rd
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        m = _normalize(embedding_matrix(batch))
-        sims = m @ self.mat.T  # (n, N)
-        ii, jj = np.nonzero(sims >= self.threshold)
-        a = vids[ii]
-        b = self.vids[jj]
-        keep = a < b
-        return pa.table(
-            {
-                "vec_id_a": pa.array(a[keep], pa.int64()),
-                "vec_id_b": pa.array(b[keep], pa.int64()),
-            }
+    @ray.remote
+    def tile(thr: float, ta: pa.Table, tb: pa.Table) -> pa.Table:
+        return _block_pair_table(ta, tb, thr)
+
+    refs = emb_ds.materialize().to_arrow_refs()
+    out = [
+        tile.remote(threshold, refs[i], refs[j])
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    if not out:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id_a": pa.array([], pa.int64()),
+                    "vec_id_b": pa.array([], pa.int64()),
+                }
+            )
         )
+    return rd.from_arrow_refs(out)
 
 
 class IvfAssigner:

@@ -103,8 +103,3 @@ def _empty_pairs() -> pa.Table:
             "part_b": pa.array([], pa.int32()),
         }
     )
-
-
-def dedupe_pairs(group: pa.Table) -> pa.Table:
-    """Keep one row per (url_a, url_b) after the multi-band explosion."""
-    return group.slice(0, 1)

@@ -38,41 +38,51 @@ def _have_pil() -> bool:
         return False
 
 
-def synthesize_image(doc_id: int, max_side: int = 48) -> bytes:
-    """Deterministic fake image payload for a doc id."""
-    rng = np.random.default_rng(doc_id * 2654435761 % (2**32))
-    w = int(rng.integers(8, max_side))
-    h = int(rng.integers(8, max_side))
+def _tile_bytes(data: bytes, need: int) -> np.ndarray:
+    """data cycled/truncated to exactly ``need`` bytes (uint8)."""
+    if not data:
+        data = b"\x00"
+    src = np.frombuffer(data, dtype=np.uint8)
+    return np.resize(src, need)
+
+
+def image_payload(data: bytes) -> bytes:
+    """Package REAL input bytes as an IMG0 payload: pixel plane = the
+    bytes themselves, square-ish dims derived from the content length."""
     c = 3
-    pix = rng.integers(0, 256, size=h * w * c, dtype=np.uint8)
-    return b"IMG0" + struct.pack("<HHB", w, h, c) + pix.tobytes()
+    side = int(np.clip(round((max(len(data), 1) / c) ** 0.5), 8, 64))
+    pix = _tile_bytes(data, side * side * c)
+    return b"IMG0" + struct.pack("<HHB", side, side, c) + pix.tobytes()
 
 
-def synthesize_audio(doc_id: int, max_samples: int = 2048) -> bytes:
-    rng = np.random.default_rng((doc_id + 7) * 2654435761 % (2**32))
-    n = int(rng.integers(256, max_samples))
-    pcm = (rng.normal(0, 3000, size=n)).astype(np.int16)
+def audio_payload(data: bytes) -> bytes:
+    """Input bytes reinterpreted as 16 kHz i16 PCM (256..4096 samples)."""
+    n = int(np.clip(len(data) // 2, 256, 4096))
+    pcm = _tile_bytes(data, n * 2)
     return b"AUD0" + struct.pack("<I", 16000) + pcm.tobytes()
 
 
-def synthesize_video(doc_id: int, max_frames: int = 12) -> bytes:
-    rng = np.random.default_rng((doc_id + 13) * 2654435761 % (2**32))
+def video_payload(data: bytes) -> bytes:
+    """Input bytes as 16x12 grayscale frames (2..12 frames by length)."""
     w, h = 16, 12
-    n_frames = int(rng.integers(2, max_frames))
-    frames = rng.integers(0, 256, size=n_frames * w * h, dtype=np.uint8)
+    n_frames = int(np.clip(-(-len(data) // (w * h)), 2, 12))
+    frames = _tile_bytes(data, n_frames * w * h)
     return b"VID0" + struct.pack("<HHH", w, h, n_frames) + frames.tobytes()
 
 
 def attach_payloads(batch: pa.Table, kind: str = "image") -> pa.Table:
-    """map_batches fn: add a deterministic binary payload column (the
-    stand-in for a real html/image/audio binary column in the input)."""
-    synth = {
-        "image": synthesize_image,
-        "audio": synthesize_audio,
-        "video": synthesize_video,
-    }[kind]
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    payloads = [synth(int(i)) for i in ids]
+    """map_batches fn: add a binary payload column built from the REAL
+    input bytes of each row — the ``html`` binary column when present
+    (the input_hint schema), else the utf-8 ``text`` bytes. The container
+    format is synthetic (no real image/audio files exist in this
+    environment) but the content is the row's actual data, so every
+    downstream feature depends on real input."""
+    pack = {"image": image_payload, "audio": audio_payload, "video": video_payload}[kind]
+    if "html" in batch.column_names:
+        datas = batch["html"].to_pylist()
+    else:
+        datas = [t.encode("utf-8") for t in batch["text"].to_pylist()]
+    payloads = [pack(d if d is not None else b"") for d in datas]
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
 
 
@@ -109,6 +119,92 @@ def _make_codec():
             "environment; FakeCodec exercises the identical plumbing"
         )
     return FakeCodec()
+
+
+class _HtmlExtract(object):
+    """stdlib html.parser subclass collecting tags / links / title /
+    visible text (script+style excluded)."""
+
+    def __init__(self):
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class P(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.n_tags = 0
+                self.n_links = 0
+                self.title = ""
+                self.text_parts: list[str] = []
+                self._in_title = False
+                self._skip_depth = 0
+
+            def handle_starttag(self, tag, attrs):
+                self.n_tags += 1
+                if tag == "a" and any(k == "href" for k, _ in attrs):
+                    self.n_links += 1
+                if tag == "title":
+                    self._in_title = True
+                if tag in ("script", "style"):
+                    self._skip_depth += 1
+
+            def handle_endtag(self, tag):
+                if tag == "title":
+                    self._in_title = False
+                if tag in ("script", "style") and self._skip_depth:
+                    self._skip_depth -= 1
+
+            def handle_data(self, data):
+                if self._in_title:
+                    self.title += data
+                elif not self._skip_depth:
+                    self.text_parts.append(data)
+
+        outer._cls = P
+
+    def parse(self, html_bytes: bytes):
+        p = self._cls()
+        p.feed(html_bytes.decode("utf-8", errors="replace"))
+        return p
+
+
+class HtmlFeatures:
+    """Actor stage over the input's REAL ``html:binary`` column
+    (input_hint schema): per page emit tag/link counts, title, and the
+    visible-text-to-markup byte ratio. Parser class built once per actor
+    (``__init__``); stdlib-only (html.parser) — no external deps."""
+
+    def __init__(self):
+        self.extract = _HtmlExtract()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        n = len(htmls)
+        n_tags = np.zeros(n, np.int64)
+        n_links = np.zeros(n, np.int64)
+        ratio = np.zeros(n, np.float64)
+        titles = []
+        for i, hb in enumerate(htmls):
+            hb = hb or b""
+            p = self.extract.parse(hb)
+            n_tags[i] = p.n_tags
+            n_links[i] = p.n_links
+            text = "".join(p.text_parts)
+            ratio[i] = (
+                len(text.encode("utf-8")) / len(hb) if len(hb) else 0.0
+            )
+            titles.append(p.title.strip())
+        id_col = "url" if "url" in batch.column_names else "doc_id"
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tags": pa.array(n_tags, pa.int64()),
+                "n_links": pa.array(n_links, pa.int64()),
+                "title": pa.array(titles, pa.string()),
+                "text_ratio": pa.array(np.round(ratio, 6), pa.float64()),
+            }
+        )
 
 
 class ImageFeatures:

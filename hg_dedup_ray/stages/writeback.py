@@ -87,9 +87,7 @@ class Writeback:
         flat_s: list[int] = []
         flat_e: list[int] = []
         n_removed = np.zeros(n, dtype=np.int64)
-        deduped: list[str | None] = (
-            batch["text"].to_pylist() if remove_mode else [None] * n
-        )
+        deduped_affected: list[str] = []  # remove mode: affected rows only
         if affected.any():
             idx = np.flatnonzero(affected)
             urls_a = batch["url"].take(pa.array(idx)).to_pylist()
@@ -110,7 +108,7 @@ class Writeback:
                 flat_e.extend(e for _, e in clipped)
                 n_removed[i] = sum(e - s for s, e in clipped)
                 if remove_mode:
-                    deduped[i] = excise(tb, clipped).decode("utf-8")
+                    deduped_affected.append(excise(tb, clipped).decode("utf-8"))
 
         list_offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
         sa_remove_ranges = ranges_to_struct_list(
@@ -135,5 +133,18 @@ class Writeback:
             "cluster_id": pa.array(cluster_id, pa.uint64()),
         }
         if remove_mode:
-            cols["text_deduped"] = pa.array(deduped, pa.string())
+            # untouched rows reuse the input text buffer; only the affected
+            # subset materializes Python strings (replace_with_mask keeps
+            # the rest zero-copy — no full-column to_pylist)
+            text_arr = batch["text"]
+            if isinstance(text_arr, pa.ChunkedArray):
+                text_arr = text_arr.combine_chunks()
+            if affected.any():
+                cols["text_deduped"] = pc.replace_with_mask(
+                    text_arr,
+                    pa.array(affected),
+                    pa.array(deduped_affected, pa.string()),
+                )
+            else:
+                cols["text_deduped"] = text_arr
         return pa.table(cols)

@@ -16,7 +16,35 @@ from hg_dedup_ray.functions.arrow_utils import string_column_bytes
 
 
 def _batch(ids):
-    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(
+                [f"document {i} content " * (3 + i % 5) for i in ids], pa.string()
+            ),
+        }
+    )
+
+
+def test_payload_carries_real_input_bytes():
+    """Payload pixel plane must BE the row's bytes, not doc_id noise."""
+    b = mm.attach_payloads(_batch([1]), "image")
+    img = mm.FakeCodec().decode_image(b["payload"][0].as_py())
+    text_bytes = b["text"][0].as_py().encode("utf-8")
+    assert bytes(img.reshape(-1)[: len(text_bytes)]) == text_bytes
+
+
+def test_payload_prefers_html_column():
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["visible"], pa.string()),
+            "html": pa.array([b"<html>real markup bytes here</html>" * 4], pa.binary()),
+        }
+    )
+    b = mm.attach_payloads(tbl, "image")
+    img = mm.FakeCodec().decode_image(b["payload"][0].as_py())
+    assert bytes(img.reshape(-1)[:5]) == b"<html"
 
 
 def test_image_roundtrip_and_features():
@@ -25,11 +53,12 @@ def test_image_roundtrip_and_features():
     assert out.column_names == [
         "doc_id", "width", "height", "channels", "mean_pixel", "payload_sha",
     ]
-    assert all(8 <= w < 48 for w in out["width"].to_pylist())
+    assert all(8 <= w <= 64 for w in out["width"].to_pylist())
     assert all(c == 3 for c in out["channels"].to_pylist())
-    # determinism: same ids -> same features
+    # determinism: same rows -> same features; different text -> different sha
     out2 = mm.ImageFeatures()(mm.attach_payloads(_batch([1, 2, 3]), "image"))
     assert out.equals(out2)
+    assert len(set(out["payload_sha"].to_pylist())) == 3
 
 
 def test_image_resize():
@@ -45,7 +74,7 @@ def test_audio_features():
     b = mm.attach_payloads(_batch([10, 11]), "audio")
     out = mm.AudioFeatures()(b)
     d = out["duration_s"].to_pylist()
-    assert all(0.01 < x < 0.2 for x in d)  # 256..2048 samples @16k
+    assert all(0.01 < x < 0.3 for x in d)  # 256..4096 samples @16k
     assert all(r > 0 for r in out["rms"].to_pylist())
 
 
@@ -58,6 +87,42 @@ def test_frame_sampler_explodes():
     assert out["frame_ix"].to_pylist() == list(range(0, n_frames, 2))
     img = codec.decode_image(out["payload"][0].as_py())
     assert img.shape == (12, 16, 1)
+
+
+def test_html_features_parses_real_markup():
+    html = (
+        b"<!DOCTYPE html><html><head><title>My Page</title>"
+        b"<script>var x=1;</script></head>"
+        b'<body><nav><a href="/a">A</a><a href="/b">B</a></nav>'
+        b"<p>hello &amp; goodbye</p></body></html>"
+    )
+    tbl = pa.table(
+        {"url": pa.array(["u1"], pa.string()), "html": pa.array([html], pa.binary())}
+    )
+    out = mm.HtmlFeatures()(tbl)
+    assert out["title"][0].as_py() == "My Page"
+    assert out["n_links"][0].as_py() == 2
+    assert out["n_tags"][0].as_py() >= 8
+    r = out["text_ratio"][0].as_py()
+    assert 0 < r < 0.5
+    # script content must be excluded from visible text ratio
+    html2 = html.replace(b"var x=1;", b"var x=1;" * 50)
+    tbl2 = pa.table(
+        {"url": pa.array(["u2"], pa.string()), "html": pa.array([html2], pa.binary())}
+    )
+    out2 = mm.HtmlFeatures()(tbl2)
+    assert out2["text_ratio"][0].as_py() < r
+
+
+def test_html_features_on_webpages_fixture():
+    from hg_dedup_ray.sources.webpages import generate_webpages
+
+    table, _ = generate_webpages(n_docs=40, seed=42, minlen=64)
+    out = mm.HtmlFeatures()(table.select(["url", "html"]))
+    assert len(out) == 40
+    assert all(t > 0 for t in out["n_tags"].to_pylist())
+    assert all(t for t in out["title"].to_pylist())
+    assert all(0 < r < 1 for r in out["text_ratio"].to_pylist())
 
 
 # ------------------------------------------------------------------ simhash
