@@ -67,9 +67,13 @@ def _headline(sf_dir: str):
     from hg_dedup_ray.stages.extract import resolve_num_partitions
 
     cfg = DedupConfig(minlen=100, num_partitions=0, shingle_k=16)
+    # auto count floored at 2 waves per CPU and rounded UP to a CPU
+    # multiple: a ragged last wave (e.g. 35 parts on 32 CPUs) idles the
+    # whole cluster for one extra partition's scan time
+    resolved = max(2 * n_cpus, resolve_num_partitions(ds, cfg))
     cfg = replace(
         cfg,
-        num_partitions=max(n_cpus, resolve_num_partitions(ds, cfg)),
+        num_partitions=-(-resolved // n_cpus) * n_cpus,
     )
     # best-of-N: the first run pays one-off worker/actor spawn + import
     # costs that don't exist in a long-running 100 TB job, and this

@@ -29,6 +29,57 @@ def _splitmix(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+# FNV is odd -> invertible mod 2^64; enables the O(total) prefix-sum form
+# of the k-byte polynomial window hash below
+_FNV_INV = np.uint64(pow(int(_FNV), -1, 1 << 64))
+_POW_CACHE: dict[str, np.ndarray] = {}
+
+
+def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(FNV^t, FNV^-t) power tables, grown geometrically and cached per
+    worker process."""
+    pw = _POW_CACHE.get("pow")
+    if pw is None or pw.shape[0] < n:
+        m = max(n, 2 * (pw.shape[0] if pw is not None else 0), 1 << 16)
+        pw = np.empty(m, np.uint64)
+        pv = np.empty(m, np.uint64)
+        pw[0] = pv[0] = 1
+        np.cumprod(np.full(m - 1, _FNV, np.uint64), out=pw[1:])
+        np.cumprod(np.full(m - 1, _FNV_INV, np.uint64), out=pv[1:])
+        _POW_CACHE["pow"], _POW_CACHE["pinv"] = pw, pv
+    return _POW_CACHE["pow"], _POW_CACHE["pinv"]
+
+
+def window_hash_stream(buf: np.ndarray, total: int, k: int) -> np.ndarray:
+    """h[i] = sum_{j<k} buf[i+j] * FNV^(k-1-j)  (mod 2^64) for every
+    i in [0, total), with zero padding past the buffer end — bit-identical
+    to the naive k-pass rolling loop, but O(total) independent of k via
+    modular prefix sums (FNV^-1 exists mod 2^64):
+
+        S[t] = sum_{u<t} buf[u] * FNV^-u ;  h[i] = (S[i+k]-S[i]) * FNV^(i+k-1)
+
+    The k-pass loop costs k full-buffer multiply-adds (k = minlen/2 = 250
+    at the reference's production minlen=500); this costs ~4 passes flat.
+    """
+    if total <= 0:
+        return np.zeros(0, np.uint64)
+    if k < 12:  # measured crossover: the k-pass loop wins for tiny k
+        pad = np.zeros(k - 1, dtype=np.uint8) if k > 1 else np.empty(0, np.uint8)
+        b8 = np.concatenate([buf[:total], pad]) if k > 1 else buf[:total]
+        s = np.zeros(total, np.uint64)
+        for j in range(k):
+            s = s * _FNV + b8[j : j + total].astype(np.uint64)
+        return s
+    ext = total + k - 1
+    b = np.zeros(ext, np.uint64)
+    b[:total] = buf[:total]
+    pw, pv = _powers(ext + 1)
+    S = np.empty(ext + 1, np.uint64)
+    S[0] = 0
+    np.cumsum(b * pv[:ext], out=S[1:])  # wraps mod 2^64
+    return (S[k : k + total] - S[:total]) * pw[k - 1 : k - 1 + total]
+
+
 def shingle_hashes(data: np.ndarray, k: int) -> np.ndarray:
     """u64 rolling polynomial hashes of all k-byte shingles of ``data``.
     Docs shorter than k yield one hash over the whole (padded) doc."""
@@ -39,10 +90,7 @@ def shingle_hashes(data: np.ndarray, k: int) -> np.ndarray:
             h = h * _FNV + np.uint64(data[j])
         return _splitmix(h)
     m = n - k + 1
-    h = np.zeros(m, dtype=np.uint64)
-    for j in range(k):
-        h = h * _FNV + data[j : j + m].astype(np.uint64)
-    return _splitmix(h)
+    return _splitmix(window_hash_stream(data, n, k)[:m])
 
 
 def batch_signatures(
@@ -63,14 +111,9 @@ def batch_signatures(
     if n_docs == 0:
         return sig
     total = int(doc_offsets[-1])
-    # one rolling-hash pass over the whole batch buffer (padded so every
-    # position has a window), then mask shingles that cross a doc boundary
-    pad = np.zeros(k - 1, dtype=np.uint8) if k > 1 else np.empty(0, dtype=np.uint8)
-    buf = np.concatenate([texts_buf[:total], pad]) if k > 1 else texts_buf[:total]
-    stream = np.zeros(total, dtype=np.uint64) if total else np.zeros(0, np.uint64)
-    for j in range(k):
-        stream = stream * _FNV + buf[j : j + total].astype(np.uint64)
-    stream = _splitmix(stream)
+    # one window-hash pass over the whole batch buffer (zero-padded so
+    # every position has a window), then mask shingles crossing doc bounds
+    stream = _splitmix(window_hash_stream(texts_buf, total, k))
     # invalid: positions whose k-window crosses the NEXT doc boundary
     lens = np.diff(doc_offsets)
     valid_counts = np.maximum(lens - k + 1, 0)
@@ -117,13 +160,8 @@ def batch_signatures_oph(
     if n_docs == 0:
         return sig
     total = int(doc_offsets[-1])
-    pad = np.zeros(k - 1, dtype=np.uint8) if k > 1 else np.empty(0, np.uint8)
-    buf = np.concatenate([texts_buf[:total], pad]) if k > 1 else texts_buf[:total]
-    stream = np.zeros(total, dtype=np.uint64)
-    for j in range(k):
-        stream = stream * _FNV + buf[j : j + total].astype(np.uint64)
     seed_mix = np.uint64((int(seed) * int(_MIX1)) & 0xFFFFFFFFFFFFFFFF)
-    stream = _splitmix(stream ^ seed_mix)
+    stream = _splitmix(window_hash_stream(texts_buf, total, k) ^ seed_mix)
 
     lens = np.diff(doc_offsets)
     valid_counts = np.maximum(lens - k + 1, 0)

@@ -69,8 +69,6 @@ def batch_fingerprints(
     Returns (fp values u64, per-doc counts) — flatten-friendly for building
     the exploded (bucket_key, url, ...) rows.
     """
-    from hg_dedup_ray.functions.minhash import _FNV
-
     n = offsets.shape[0] - 1
     total = int(offsets[-1]) if n else 0
     if n == 0 or total == 0:
@@ -86,18 +84,15 @@ def batch_fingerprints(
             vals = np.concatenate(chunks)
         return _splitmix(vals ^ np.uint64(0x57494E4E4F573737)), counts
 
-    # ONE rolling-hash pass over the batch's concatenated bytes and ONE
+    # ONE window-hash pass over the batch's concatenated bytes and ONE
     # global sliding_min; per-doc results are slices of it (every window
     # we select lies fully inside one doc, so cross-doc bytes never leak)
+    from hg_dedup_ray.functions.minhash import window_hash_stream
+
     lens = np.diff(offsets)
     nsh = np.maximum(lens - k + 1, 0)  # valid shingle starts per doc
     nwin = np.maximum(nsh - w + 1, 0)  # fully-inside window starts per doc
-    pad = np.zeros(k - 1, dtype=np.uint8) if k > 1 else np.empty(0, np.uint8)
-    b = np.concatenate([buf[:total], pad]) if k > 1 else buf[:total]
-    stream = np.zeros(total, dtype=np.uint64)
-    for j in range(k):
-        stream = stream * _FNV + b[j : j + total].astype(np.uint64)
-    stream = _splitmix(stream)
+    stream = _splitmix(window_hash_stream(buf, total, k))
 
     sm = sliding_min(stream, w) if total >= w else stream
     starts = offsets[:-1].astype(np.int64)

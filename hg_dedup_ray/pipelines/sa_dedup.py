@@ -413,11 +413,16 @@ def dedup_dataset(ds, cfg: DedupConfig):
         # extract per consumer. Blocks spill to disk under memory pressure.
         docs = docs.materialize()
     if (
-        cfg.extra.get("scan_strategy") == "pruned"
+        cfg.extra.get("scan_strategy", "pruned") == "pruned"
         and cfg.num_partitions > 1
     ):
-        # range partitioning of the already-ordered blocks: no sort
-        # shuffle, one targeted-block task per partition (range_scan.py)
+        # DEFAULT: range partitioning of the already-ordered blocks — no
+        # sort shuffle, one targeted-block task per partition
+        # (range_scan.py). Measured 2-3x faster than the groupby sort
+        # path at bench scale (the sort all-to-all ships the full text
+        # column); at multi-node scale targeted block fetch is likewise
+        # the cheaper pattern. ``extra["scan_strategy"]="groupby"``
+        # selects the pure Dataset-API path (equal output, tested).
         from hg_dedup_ray.stages.range_scan import scan_partitions_pruned
 
         scanned = scan_partitions_pruned(docs, cfg, *bounds)

@@ -124,7 +124,15 @@ def near_dup_pairs_blocked(emb_ds, threshold: float):
     def tile(thr: float, ta: pa.Table, tb: pa.Table) -> pa.Table:
         return _block_pair_table(ta, tb, thr)
 
-    refs = emb_ds.materialize().to_arrow_refs()
+    # C blocks -> C(C+1)/2 tiles; size C so the tile count saturates the
+    # cluster (C ~ sqrt(4*cpus) -> ~2 tiles per CPU) — a single-block
+    # input would otherwise run one serial task
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    target_blocks = max(2, int((4 * cpus) ** 0.5))
+    mat = emb_ds.materialize()
+    if mat.num_blocks() < target_blocks:
+        mat = mat.repartition(target_blocks).materialize()
+    refs = mat.to_arrow_refs()
     out = [
         tile.remote(threshold, refs[i], refs[j])
         for i in range(len(refs))

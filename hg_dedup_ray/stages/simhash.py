@@ -25,19 +25,14 @@ def batch_simhash(texts_buf: np.ndarray, doc_offsets: np.ndarray, k: int) -> np.
     """SimHash signatures for a batch: ONE rolling-hash pass over the
     concatenated byte stream (same layout as minhash.batch_signatures),
     then a per-doc unpackbits majority vote (vectorized within doc)."""
-    from hg_dedup_ray.functions.minhash import _FNV, _splitmix
+    from hg_dedup_ray.functions.minhash import _splitmix, window_hash_stream
 
     n_docs = doc_offsets.shape[0] - 1
     sigs = np.zeros(n_docs, dtype=np.uint64)
     if n_docs == 0:
         return sigs
     total = int(doc_offsets[-1])
-    pad = np.zeros(k - 1, dtype=np.uint8) if k > 1 else np.empty(0, np.uint8)
-    buf = np.concatenate([texts_buf[:total], pad]) if k > 1 else texts_buf[:total]
-    stream = np.zeros(total, dtype=np.uint64)
-    for j in range(k):
-        stream = stream * _FNV + buf[j : j + total].astype(np.uint64)
-    stream = _splitmix(stream)
+    stream = _splitmix(window_hash_stream(texts_buf, total, k))
     lens = np.diff(doc_offsets)
     valid_counts = np.maximum(lens - k + 1, 0)
     for d in range(n_docs):

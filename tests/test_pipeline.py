@@ -144,15 +144,22 @@ def test_single_doc_and_tiny_inputs(ray_session):
 
 
 def test_pruned_scan_strategy_matches_sort(ray_session, pipeline_input):
-    """Range-partitioned block-pruned scan (no sort shuffle) must produce
-    exactly the groupby path's output."""
+    """Range-partitioned block-pruned scan (the default; no sort shuffle)
+    must produce exactly the groupby sort path's output."""
     ds, texts, tags = pipeline_input
-    rows_sort, _ = run_pipeline(ds, num_partitions=4)
     import pandas as pd
 
     from hg_dedup_ray.config import DedupConfig
     from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
 
+    cfg_sort = DedupConfig(
+        minlen=MINLEN, num_partitions=4, shingle_k=8,
+        jaccard_threshold=0.2,
+        extra={"scan_strategy": "groupby"},
+    )
+    rows_sort = sorted(
+        dedup_dataset(ds, cfg_sort).take_all(), key=lambda r: r["doc_seq"]
+    )
     cfg = DedupConfig(
         minlen=MINLEN, num_partitions=4, shingle_k=8,
         jaccard_threshold=0.2,
@@ -188,7 +195,7 @@ def test_no_duplicates_negative_control(ray_session):
         " ".join(f"u{d}w{i}" for i in range(30)) for d in range(120)
     ]
     ds = _ray.data.from_pandas(pd.DataFrame({"doc_id": range(120), "text": texts}))
-    for extra in ({}, {"scan_strategy": "pruned"}):
+    for extra in ({"scan_strategy": "groupby"}, {"scan_strategy": "pruned"}):
         cfg = DedupConfig(
             minlen=48, num_partitions=3, shingle_k=8,
             seq_col="doc_id", id_col="doc_id", text_col="text",
