@@ -20,6 +20,19 @@ class DedupConfig:
     # "annotate" attaches `sa_remove_ranges`; "remove" additionally emits
     # `text_deduped` with the ranges excised (reference `--mode`).
     mode: str = "annotate"
+    # Corpus element width (reference `--token_dtype`): "u8" scans raw
+    # utf-8 bytes (minlen in bytes — the only mode the reference's shipped
+    # workflows use, aws_workflow.sh:112-116); "u16"/"u32" scan a TOKEN
+    # corpus (minlen in tokens, reference indexing_v6_sharded.py:282-292).
+    token_dtype: str = "u8"
+    # Tokenizer for u16/u32 mode: "bytepair"/"bytequad" are the builtin
+    # deterministic invertible tokenizers; gpt2/llama/olmo route to the
+    # HF adapter (gated on `transformers`, unavailable offline).
+    tokenizer: str = "bytepair"
+    # Index each doc's REVERSED sequence (reference `--reversed`,
+    # indexing_v6_sharded.py:49); emitted ranges are mapped back to
+    # forward coordinates.
+    reverse: bool = False
 
     # --- partitioning ----------------------------------------------------
     # Number of order-contiguous corpus partitions (reference: shards =
@@ -74,6 +87,7 @@ class DedupConfig:
 
     def __post_init__(self) -> None:
         assert self.mode in ("annotate", "remove"), self.mode
+        assert self.token_dtype in ("u8", "u16", "u32"), self.token_dtype
         assert self.num_perm % self.num_bands == 0, (
             "num_perm must be divisible by num_bands")
 

@@ -24,12 +24,18 @@ from __future__ import annotations
 
 import numpy as np
 
-from hg_dedup_ray.functions.suffix_array import SENTINEL
+
+def sentinel_value(dtype) -> int:
+    """Document-sentinel token for a corpus dtype: 0xFF for u8 bytes
+    (never occurs in valid UTF-8), all-ones for u16/u32 token streams —
+    the token the reference's ``doc_sep`` bytes (\\xff x itemsize,
+    indexing_v6_sharded.py:282-292) decode to at that width."""
+    return (1 << (8 * np.dtype(dtype).itemsize)) - 1
 
 
 def sentinel_positions(corpus: np.ndarray) -> np.ndarray:
-    """Sorted positions of the 0xff document sentinels."""
-    return np.flatnonzero(corpus == SENTINEL)
+    """Sorted positions of the document sentinels."""
+    return np.flatnonzero(corpus == np.array(sentinel_value(corpus.dtype), corpus.dtype))
 
 
 def window_sentinel_free(
@@ -70,24 +76,27 @@ def adjacent_run_mask(
     # reference condition.
     ok &= window_sentinel_free(left, sent_pos, minlen)
     cand = np.flatnonzero(ok)
-    # equality 8 BYTES AT A TIME: v8[i] packs corpus[i:i+8] into one u64
-    # (big-endian, so u64 equality == bytewise equality), turning the
-    # memcmp into minlen/8 gather-compares over the shrinking still-equal
-    # set — adjacent suffixes naturally share long prefixes, so the set
-    # shrinks slowly and per-byte columns were the scan's hot loop
+    # equality ONE u64 WORD AT A TIME: vw[i] packs the 8//itemsize
+    # elements at corpus[i:] into one u64 (big-endian, so u64 equality ==
+    # element-wise equality), turning the memcmp into minlen/ipw
+    # gather-compares over the shrinking still-equal set — adjacent
+    # suffixes naturally share long prefixes, so the set shrinks slowly
+    # and per-element columns were the scan's hot loop
     if cand.size:
-        pad = np.zeros(8, dtype=np.uint8)
+        ipw = 8 // corpus.dtype.itemsize
+        shift = np.uint64(8 * corpus.dtype.itemsize)
+        pad = np.zeros(ipw, dtype=corpus.dtype)
         bp = np.concatenate([corpus, pad])
-        v8 = np.zeros(N, dtype=np.uint64)
-        for j in range(8):
-            v8 = (v8 << np.uint64(8)) | bp[j : j + N].astype(np.uint64)
-        step_end = minlen - 7
-        for j in range(0, step_end, 8):
+        vw = np.zeros(N, dtype=np.uint64)
+        for j in range(ipw):
+            vw = (vw << shift) | bp[j : j + N].astype(np.uint64)
+        step_end = minlen - (ipw - 1)
+        for j in range(0, step_end, ipw):
             if cand.size == 0:
                 break
-            eq_j = v8[left[cand] + j] == v8[right[cand] + j]
+            eq_j = vw[left[cand] + j] == vw[right[cand] + j]
             cand = cand[eq_j]
-        for j in range(max(0, step_end + (-step_end % 8)), minlen):
+        for j in range(max(0, step_end + (-step_end % ipw)), minlen):
             if cand.size == 0:
                 break
             eq_j = corpus[left[cand] + j] == corpus[right[cand] + j]

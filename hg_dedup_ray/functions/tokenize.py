@@ -1,0 +1,133 @@
+"""Tokenizer path — the reference's u16/u32 token-dtype mode (M2).
+
+Reference semantics (indexing_v6_sharded.py:205-218, 282-292): with
+``--token_dtype u16|u32`` the corpus holds TOKEN ids instead of utf-8
+bytes, the document sentinel is ``\\xff`` x itemsize (the all-ones token),
+and the dedup scan compares/counts in token units. The reference's
+tokenizers are HuggingFace gpt2/llama/olmo — unavailable offline in this
+environment, so:
+
+- ``HFTokenizer`` is the real adapter, gated behind an import-try of
+  ``transformers`` (raises NotImplementedError here, documented);
+- ``BytePairTokenizer`` (u16) / ``ByteQuadTokenizer`` (u32) are the
+  deterministic, INVERTIBLE builtins that exercise the identical
+  plumbing: fixed-width byte-group tokens, big-endian so token order ==
+  byte order, ``0xFF..`` can never be produced from valid UTF-8 input so
+  the sentinel stays unambiguous. Token<->byte offset mapping is exact
+  (x itemsize), which lets the pipeline emit byte ranges from token-space
+  scans.
+
+``reverse_doc_tokens`` implements the reference's ``--reversed`` option
+(indexing_v6_sharded.py:49): each doc's token sequence is reversed before
+indexing; ranges found in reversed coordinates map back through
+``unreverse_ranges``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TOKEN_DTYPES = {"u8": np.uint8, "u16": np.uint16, "u32": np.uint32}
+
+
+def token_dtype(name: str):
+    return TOKEN_DTYPES[name]
+
+
+class BytePairTokenizer:
+    """u16 tokens = consecutive BYTE PAIRS (big-endian), final odd byte
+    zero-padded. Deterministic, invertible given the original byte length.
+    Token value 0xFFFF would require the byte pair (0xFF, 0xFF) — never
+    produced by valid UTF-8 — so the u16 sentinel is safe."""
+
+    dtype = np.uint16
+    width = 2
+
+    def encode(self, data: bytes) -> np.ndarray:
+        n = len(data)
+        if n == 0:
+            return np.empty(0, np.uint16)
+        pad = (-n) % 2
+        b = np.frombuffer(data + b"\x00" * pad, np.uint8).reshape(-1, 2)
+        return (
+            (b[:, 0].astype(np.uint16) << np.uint16(8)) | b[:, 1].astype(np.uint16)
+        )
+
+    def decode(self, tokens: np.ndarray, n_bytes: int) -> bytes:
+        out = np.empty((tokens.shape[0], 2), np.uint8)
+        out[:, 0] = (tokens >> np.uint16(8)).astype(np.uint8)
+        out[:, 1] = (tokens & np.uint16(0xFF)).astype(np.uint8)
+        return out.reshape(-1)[:n_bytes].tobytes()
+
+    def token_range_to_bytes(self, s: int, e: int, n_bytes: int) -> tuple[int, int]:
+        return min(s * 2, n_bytes), min(e * 2, n_bytes)
+
+
+class ByteQuadTokenizer:
+    """u32 tokens = consecutive 4-byte groups (big-endian), zero-padded."""
+
+    dtype = np.uint32
+    width = 4
+
+    def encode(self, data: bytes) -> np.ndarray:
+        n = len(data)
+        if n == 0:
+            return np.empty(0, np.uint32)
+        pad = (-n) % 4
+        b = np.frombuffer(data + b"\x00" * pad, np.uint8).reshape(-1, 4)
+        out = np.zeros(b.shape[0], np.uint32)
+        for j in range(4):
+            out = (out << np.uint32(8)) | b[:, j].astype(np.uint32)
+        return out
+
+    def decode(self, tokens: np.ndarray, n_bytes: int) -> bytes:
+        out = np.empty((tokens.shape[0], 4), np.uint8)
+        for j in range(4):
+            out[:, j] = (tokens >> np.uint32(8 * (3 - j))).astype(np.uint8)
+        return out.reshape(-1)[:n_bytes].tobytes()
+
+    def token_range_to_bytes(self, s: int, e: int, n_bytes: int) -> tuple[int, int]:
+        return min(s * 4, n_bytes), min(e * 4, n_bytes)
+
+
+class HFTokenizer:
+    """The reference's gpt2/llama/olmo path (indexing_v6_sharded.py:
+    205-218) — requires ``transformers``, which is not installed in this
+    environment (no network). The adapter is real; only the model load is
+    gated."""
+
+    def __init__(self, name: str = "gpt2"):
+        try:  # pragma: no cover - transformers absent here
+            from transformers import AutoTokenizer  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "HF tokenizers (gpt2/llama/olmo) need the `transformers` "
+                "package + model files — unavailable offline; use the "
+                "builtin bytepair/bytequad tokenizers for the u16/u32 "
+                "plumbing"
+            ) from e
+        self.tok = AutoTokenizer.from_pretrained(name)  # pragma: no cover
+        self.dtype = np.uint16 if len(self.tok) < 0xFFFF else np.uint32  # pragma: no cover
+
+
+def get_tokenizer(name: str):
+    if name == "bytepair":
+        return BytePairTokenizer()
+    if name == "bytequad":
+        return ByteQuadTokenizer()
+    return HFTokenizer(name)
+
+
+def reverse_doc_tokens(tokens: np.ndarray) -> np.ndarray:
+    """--reversed: index the reversed sequence (reference
+    indexing_v6_sharded.py:49 `data = data[::-1]`)."""
+    return tokens[::-1].copy()
+
+
+def unreverse_ranges(ranges: np.ndarray, doc_len: int) -> np.ndarray:
+    """Map [s, e) ranges found in reversed coordinates back to forward
+    coordinates: [L - e, L - s), re-sorted."""
+    if ranges.shape[0] == 0:
+        return ranges
+    out = np.stack([doc_len - ranges[:, 1], doc_len - ranges[:, 0]], axis=1)
+    return out[np.argsort(out[:, 0], kind="stable")]

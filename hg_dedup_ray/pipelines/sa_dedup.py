@@ -428,7 +428,10 @@ def dedup_dataset(ds, cfg: DedupConfig):
         scanned = scan_partitions_pruned(docs, cfg, *bounds)
     else:
         scanned = docs.groupby("part").map_groups(
-            make_partition_scan(cfg.minlen), batch_format="pyarrow"
+            make_partition_scan(
+                cfg.minlen, cfg.token_dtype, cfg.tokenizer, cfg.reverse
+            ),
+            batch_format="pyarrow",
         )
 
     # --- cross-partition candidates (skipped when only one partition:

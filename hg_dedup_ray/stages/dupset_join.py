@@ -42,11 +42,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from hg_dedup_ray.config import DedupConfig
-from hg_dedup_ray.functions.clip import scatter_ranges_to_docs
-from hg_dedup_ray.functions.corpus import build_corpus
 from hg_dedup_ray.functions.minhash import shingle_hashes
-from hg_dedup_ray.functions.scan import find_remove_ranges
-from hg_dedup_ray.functions.suffix_array import build_suffix_array
 from hg_dedup_ray.stages.candidates import chunk_members
 
 # ---------------------------------------------------------------------------
@@ -263,7 +259,6 @@ def make_assemble(cfg: DedupConfig):
     doc_seq-sorted members, exact k-shingle Jaccard per pair — the
     stages/pair_verify.PairVerifier kernel — emitting edges that meet
     cfg.jaccard_threshold."""
-    minlen = cfg.minlen
     k = cfg.shingle_k
     thr = cfg.jaccard_threshold
 
@@ -281,22 +276,20 @@ def make_assemble(cfg: DedupConfig):
         ]
         kind = int(group["kind"][0].as_py())
         if kind == 1:
-            corpus, starts, ends = build_corpus(texts)
-            if corpus.shape[0] == 0:
+            from hg_dedup_ray.stages.group_scan import mini_corpus_scan
+
+            spans = mini_corpus_scan(texts, cfg)
+            if not spans:
                 return _empty_out()
-            sa = build_suffix_array(corpus)
-            ranges = find_remove_ranges(corpus, sa, minlen)
-            if ranges.shape[0] == 0:
-                return _empty_out()
-            doc_ix = scatter_ranges_to_docs(ranges, starts, ends)
-            n = ranges.shape[0]
+            doc_ix = np.array([d for d, _, _ in spans], np.int64)
+            n = len(spans)
             return pa.table(
                 {
                     "otype": pa.array(np.zeros(n, np.uint8), pa.uint8()),
                     "url": pa.array([str(urls[d]) for d in doc_ix], pa.string()),
                     "part": pa.array(parts[doc_ix], pa.int32()),
-                    "start": pa.array(ranges[:, 0] - starts[doc_ix], pa.int64()),
-                    "end": pa.array(ranges[:, 1] - starts[doc_ix], pa.int64()),
+                    "start": pa.array([s for _, s, _ in spans], pa.int64()),
+                    "end": pa.array([e for _, _, e in spans], pa.int64()),
                     "url_b": pa.nulls(n, pa.string()),
                     "seq_a": pa.nulls(n, pa.int64()),
                     "seq_b": pa.nulls(n, pa.int64()),

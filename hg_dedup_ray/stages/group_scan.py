@@ -25,6 +25,50 @@ from hg_dedup_ray.functions.scan import find_remove_ranges
 from hg_dedup_ray.functions.suffix_array import build_suffix_array
 
 
+def mini_corpus_scan(texts: list[bytes], cfg: DedupConfig) -> list[tuple[int, int, int]]:
+    """Scan one mini-corpus (texts in doc_seq order) with the SAME mode
+    (token_dtype / tokenizer / reverse) as the partition scan, returning
+    (doc_ix, byte_start, byte_end) doc-relative FORWARD ranges."""
+    from hg_dedup_ray.stages.sa_scan import (
+        _to_forward_byte_ranges,
+        tokens_to_corpus,
+    )
+
+    tok = None
+    if cfg.token_dtype == "u8" and not cfg.reverse:
+        corpus, starts, ends = build_corpus(texts)
+        byte_lens = (ends - starts).astype(np.int64)
+    else:
+        import pyarrow as _pa
+
+        col = _pa.array([t.decode("utf-8") for t in texts], _pa.string())
+        if cfg.token_dtype == "u8":
+            from hg_dedup_ray.stages.sa_scan import _u8_reversed_corpus
+
+            corpus, starts, ends, byte_lens = _u8_reversed_corpus(col)
+        else:
+            from hg_dedup_ray.functions.tokenize import get_tokenizer
+
+            tok = get_tokenizer(cfg.tokenizer)
+            corpus, starts, ends, byte_lens = tokens_to_corpus(col, tok, cfg.reverse)
+    if corpus.shape[0] == 0:
+        return []
+    sa = build_suffix_array(corpus)
+    ranges = find_remove_ranges(corpus, sa, cfg.minlen)
+    if ranges.shape[0] == 0:
+        return []
+    doc_ix = scatter_ranges_to_docs(ranges, starts, ends)
+    order = np.argsort(doc_ix, kind="stable")
+    rs = (ranges[order, 0] - starts[doc_ix[order]]).astype(np.int64)
+    re_ = (ranges[order, 1] - starts[doc_ix[order]]).astype(np.int64)
+    d_o = doc_ix[order]
+    if cfg.reverse or tok is not None:
+        rs, re_ = _to_forward_byte_ranges(
+            rs, re_, d_o, byte_lens, (ends - starts), tok, cfg.reverse
+        )
+    return [(int(d), int(s), int(e)) for d, s, e in zip(d_o, rs, re_)]
+
+
 class GroupScanner:
     """map_batches actor over candidate-group rows.
 
@@ -47,18 +91,10 @@ class GroupScanner:
         out_e: list[int] = []
         for urls in batch["urls"].to_pylist():
             texts = [self.texts[u].encode("utf-8") for u in urls]
-            corpus, starts, ends = build_corpus(texts)
-            if corpus.shape[0] == 0:
-                continue
-            sa = build_suffix_array(corpus)
-            ranges = find_remove_ranges(corpus, sa, self.cfg.minlen)
-            if ranges.shape[0] == 0:
-                continue
-            doc_ix = scatter_ranges_to_docs(ranges, starts, ends)
-            for (s, e), d in zip(ranges, doc_ix):
-                out_urls.append(urls[int(d)])
-                out_s.append(int(s - starts[d]))
-                out_e.append(int(e - starts[d]))
+            for d, s, e in mini_corpus_scan(texts, self.cfg):
+                out_urls.append(urls[d])
+                out_s.append(s)
+                out_e.append(e)
         return pa.table(
             {
                 "url": pa.array(out_urls, pa.string()),

@@ -47,7 +47,9 @@ def _block_stats(tab: pa.Table) -> tuple[int, int, int]:
 
 
 @ray.remote
-def _scan_partition(minlen: int, lo: int, hi: int, *tabs: pa.Table) -> pa.Table:
+def _scan_partition(
+    scan_opts: tuple, lo: int, hi: int, *tabs: pa.Table
+) -> pa.Table:
     """Filter [lo, hi) doc_seq rows out of the candidate blocks and run
     the partition scan kernel. Always returns a (possibly empty) table so
     the caller can assemble the result dataset from refs alone."""
@@ -66,7 +68,7 @@ def _scan_partition(minlen: int, lo: int, hi: int, *tabs: pa.Table) -> pa.Table:
         if len(f):
             pieces.append(f)
     group = pa.concat_tables(pieces) if pieces else tabs[0].slice(0, 0)
-    return make_partition_scan(minlen)(group)
+    return make_partition_scan(*scan_opts)(group)
 
 
 def scan_partitions_pruned(
@@ -85,6 +87,7 @@ def scan_partitions_pruned(
         return rd.from_items([])
     P = cfg.num_partitions
     boundaries = partition_boundaries(seq_min, seq_max, P)
+    scan_opts = (cfg.minlen, cfg.token_dtype, cfg.tokenizer, cfg.reverse)
     out_refs = []
     for p in range(P):
         lo, hi = int(boundaries[p]), int(boundaries[p + 1])
@@ -95,7 +98,7 @@ def scan_partitions_pruned(
         ]
         if not cand:
             continue
-        out_refs.append(_scan_partition.remote(cfg.minlen, lo, hi, *cand))
+        out_refs.append(_scan_partition.remote(scan_opts, lo, hi, *cand))
     if not out_refs:
         return rd.from_items([])
     return rd.from_arrow_refs(out_refs)

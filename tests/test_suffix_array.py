@@ -47,3 +47,28 @@ def test_sortedness_property_large():
     assert len(sa) == len(arr)
     assert len(np.unique(sa)) == len(arr)
     assert verify_sa_correctness(arr, sa, hack=64)
+
+
+def test_nul_run_corpora_fully_sorted():
+    """Corpora ending in 0x00 runs (or all-NUL) must still yield a true
+    lexicographic SA: residual equal-rank segments are tie-broken by
+    suffix length (shorter = prefix = first)."""
+    import numpy as np
+
+    from hg_dedup_ray.functions.suffix_array import (
+        build_suffix_array,
+        build_suffix_array_naive,
+        verify_sa_correctness,
+    )
+
+    cases = [
+        b"\x00\x00\x00",
+        b"ab\x00\x00\x00",
+        b"aaaa" + b"\x00" * 20,
+        bytes(np.random.default_rng(0).integers(0, 3, 300, dtype=np.uint8)),
+    ]
+    for c in cases:
+        got = build_suffix_array(c)
+        want = build_suffix_array_naive(c)
+        assert (got == want).all(), c[:16]
+        assert verify_sa_correctness(np.frombuffer(c, np.uint8), got)
