@@ -15,6 +15,26 @@ from hg_dedup_ray.stages.textstats import EN_STOPWORDS
 _stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 ORACLE_SQL = {
+    "ngram_jaccard_exact_pairs": """
+        WITH shingles AS (
+          SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, greatest(length(text) - 7, 0) + 1),
+              i -> substr(text, i, 8)))) AS sh
+          FROM documents
+        ),
+        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+          FROM shingles a JOIN shingles b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b
+        FROM inter
+        JOIN counts ca ON ca.doc_id = doc_id_a
+        JOIN counts cb ON cb.doc_id = doc_id_b
+        WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+    """,
     "exact_dedup": """
         SELECT doc_id, lang, source, n_chars
         FROM documents

@@ -170,6 +170,157 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def ngram_jaccard_exact_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: int = 64):
+    """EXACT k=8-byte-shingle Jaccard pairs — the inverted-index algorithm
+    (shingle explode -> co-occurrence pair counts -> Jaccard filter), no
+    LSH approximation, DuckDB-green.
+
+    k is fixed at 8 so each shingle packs EXACTLY into one u64 word
+    (big-endian): shingle identity is collision-free and bijective with
+    the oracle's ``substr(text, i, 8)`` strings.
+
+    Scale shape: only (u64 shingle, doc_id, n) rows shuffle — never text.
+    Singleton shingles (the overwhelming majority) are dropped by the
+    hot-key prefilter BEFORE any groupby; pair expansion runs inside
+    coarse hash buckets with fully vectorized run-expansion (no Python
+    per shingle); per-pair intersection counts use Ray's NATIVE
+    Count/Min aggregate (sorted block combine, no per-group UDF). The
+    documented scale knob is a stop-shingle cap (drop shingles shared by
+    > M docs — standard prefix-filter territory); unset here so the
+    result is exact for the oracle."""
+    from ray.data.aggregate import Count, Min
+
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+
+    K = 8
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        data, offsets = string_column_bytes(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nb = len(batch)
+        lens = np.diff(offsets)
+        cnt = np.maximum(lens - K + 1, 0).astype(np.int64)
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {"sh": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        # pack every 8-byte window of the whole batch buffer into u64
+        buf = np.concatenate([data, np.zeros(K, np.uint8)])
+        m = data.shape[0]
+        v8 = np.zeros(m, np.uint64)
+        for j in range(K):
+            v8 = (v8 << np.uint64(8)) | buf[j : j + m].astype(np.uint64)
+        doc_ix = np.repeat(np.arange(nb), cnt)
+        seg_start = np.cumsum(cnt) - cnt
+        pos = (np.arange(total) - seg_start[doc_ix]) + offsets[doc_ix]
+        sh = v8[pos]
+        # distinct (doc, shingle)
+        order = np.lexsort((sh, doc_ix))
+        d_s, s_s = doc_ix[order], sh[order]
+        keep = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])))
+        d_k, s_k = d_s[keep], s_s[keep]
+        n_doc = np.bincount(d_k, minlength=nb).astype(np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(s_k, pa.uint64()),
+                "doc_id": pa.array(ids[d_k], pa.int64()),
+                "n": pa.array(n_doc[d_k], pa.int64()),
+            }
+        )
+
+    mat = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(shingle_rows, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+    empty = pa.table(
+        {"doc_id_a": pa.array([], pa.int64()), "doc_id_b": pa.array([], pa.int64())}
+    )
+    hot = hot_u64_keys(mat, "sh")
+    if hot.shape[0] == 0:
+        return empty
+    hot_ref = ray.put(pa.array(hot, pa.uint64()))
+
+    def keep_hot_bucketed(b: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        b = b.filter(pc.is_in(b["sh"], value_set=get_broadcast(hot_ref)))
+        sh = b["sh"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((sh % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def expand_pairs(group: pa.Table) -> pa.Table:
+        sh = group["sh"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, sh))
+        sh, did, n = sh[order], did[order], n[order]
+        # run boundaries per shingle; all-pairs within each run, a < b
+        new = np.concatenate(([True], sh[1:] != sh[:-1]))
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        run_start = np.cumsum(run_len) - run_len
+        local = np.arange(sh.shape[0]) - run_start[run_id]
+        rep = (run_len[run_id] - 1 - local).astype(np.int64)
+        tot = int(rep.sum())
+        if tot == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.uint64()),
+                 "na": pa.array([], pa.int64()),
+                 "nb": pa.array([], pa.int64())}
+            )
+        a_idx = np.repeat(np.arange(sh.shape[0]), rep)
+        seg = np.cumsum(rep) - rep
+        off = np.arange(tot) - seg[a_idx] + 1
+        b_idx = a_idx + off
+        pair = (did[a_idx].astype(np.uint64) << np.uint64(32)) | did[
+            b_idx
+        ].astype(np.uint64)
+        return pa.table(
+            {
+                "pair": pa.array(pair, pa.uint64()),
+                "na": pa.array(n[a_idx], pa.int64()),
+                "nb": pa.array(n[b_idx], pa.int64()),
+            }
+        )
+
+    agg = (
+        mat.map_batches(keep_hot_bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand_pairs, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(
+            Count(alias_name="inter"),
+            Min("na", alias_name="na"),
+            Min("nb", alias_name="nb"),
+        )
+    )
+
+    def jaccard_filter(b: pa.Table) -> pa.Table:
+        pair = b["pair"].to_numpy(zero_copy_only=False)
+        inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b["na"].to_numpy(zero_copy_only=False)
+        nb = b["nb"].to_numpy(zero_copy_only=False)
+        jac = inter / (na + nb - inter)
+        keep = jac >= threshold
+        pair = pair[keep]
+        return pa.table(
+            {
+                "doc_id_a": pa.array((pair >> np.uint64(32)).astype(np.int64)),
+                "doc_id_b": pa.array(
+                    (pair & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+            }
+        )
+
+    return agg.map_batches(jaccard_filter, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- text analysis
 def token_counts(sf_dir: str):
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
@@ -916,6 +1067,7 @@ QUERIES = {
     "video_frame_sample": video_frame_sample,
     "html_features": html_features,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_jaccard_exact_pairs": ngram_jaccard_exact_pairs,
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "lang_id": lang_id_pred,

@@ -108,7 +108,8 @@ def test_scan_byte_identical_to_reference(ref_setup):
 
 
 @toolchain
-def test_pipeline_recall_vs_reference(ref_setup, ray_session):
+@pytest.mark.parametrize("dupset_strategy", ["broadcast", "bucketed"])
+def test_pipeline_recall_vs_reference(ref_setup, ray_session, dupset_strategy):
     import pandas as pd
 
     import ray
@@ -121,6 +122,7 @@ def test_pipeline_recall_vs_reference(ref_setup, ray_session):
     cfg = DedupConfig(
         minlen=minlen, num_partitions=4, shingle_k=16,
         seq_col="doc_id", id_col="doc_id", text_col="text",
+        extra={"dupset_strategy": dupset_strategy},
     )
     out = (
         dedup_dataset(ray.data.from_pandas(df), cfg)
