@@ -429,7 +429,8 @@ def dedup_dataset(ds, cfg: DedupConfig):
     else:
         scanned = docs.groupby("part").map_groups(
             make_partition_scan(
-                cfg.minlen, cfg.token_dtype, cfg.tokenizer, cfg.reverse
+                cfg.minlen, cfg.token_dtype, cfg.tokenizer, cfg.reverse,
+                cfg.scan_kernel,
             ),
             batch_format="pyarrow",
         )

@@ -53,8 +53,13 @@ def mini_corpus_scan(texts: list[bytes], cfg: DedupConfig) -> list[tuple[int, in
             corpus, starts, ends, byte_lens = tokens_to_corpus(col, tok, cfg.reverse)
     if corpus.shape[0] == 0:
         return []
-    sa = build_suffix_array(corpus)
-    ranges = find_remove_ranges(corpus, sa, cfg.minlen)
+    if cfg.scan_kernel == "hash":
+        from hg_dedup_ray.functions.scan import find_remove_ranges_hashed
+
+        ranges = find_remove_ranges_hashed(corpus, cfg.minlen)
+    else:
+        sa = build_suffix_array(corpus)
+        ranges = find_remove_ranges(corpus, sa, cfg.minlen)
     if ranges.shape[0] == 0:
         return []
     doc_ix = scatter_ranges_to_docs(ranges, starts, ends)

@@ -87,7 +87,9 @@ def scan_partitions_pruned(
         return rd.from_items([])
     P = cfg.num_partitions
     boundaries = partition_boundaries(seq_min, seq_max, P)
-    scan_opts = (cfg.minlen, cfg.token_dtype, cfg.tokenizer, cfg.reverse)
+    scan_opts = (
+        cfg.minlen, cfg.token_dtype, cfg.tokenizer, cfg.reverse, cfg.scan_kernel
+    )
     out_refs = []
     for p in range(P):
         lo, hi = int(boundaries[p]), int(boundaries[p + 1])

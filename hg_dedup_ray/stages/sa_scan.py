@@ -83,6 +83,7 @@ def make_partition_scan(
     token_dtype: str = "u8",
     tokenizer_name: str = "bytepair",
     reverse: bool = False,
+    scan_kernel: str = "hash",
 ):
     """map_groups fn over one partition's docs (pyarrow batch).
 
@@ -91,7 +92,11 @@ def make_partition_scan(
     (minlen in tokens, reference tokenizer path). ``reverse`` indexes each
     doc's reversed sequence (reference ``--reversed``) and maps ranges
     back to forward coordinates. Emitted rr_starts/rr_ends are always
-    forward BYTE offsets, so writeback is mode-agnostic."""
+    forward BYTE offsets, so writeback is mode-agnostic.
+
+    ``scan_kernel`` picks the dedup kernel: "hash" (default, SA-free
+    window grouping — byte-identical output, faster) or "sa" (full
+    suffix-array formulation)."""
 
     def partition_scan(group: pa.Table) -> pa.Table:
         group = group.sort_by("doc_seq")
@@ -113,6 +118,10 @@ def make_partition_scan(
             )
         if corpus.shape[0] == 0:
             ranges = np.empty((0, 2), dtype=np.int64)
+        elif scan_kernel == "hash":
+            from hg_dedup_ray.functions.scan import find_remove_ranges_hashed
+
+            ranges = find_remove_ranges_hashed(corpus, minlen)
         else:
             sa = build_suffix_array(corpus)
             ranges = find_remove_ranges(corpus, sa, minlen)

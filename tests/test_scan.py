@@ -62,3 +62,91 @@ def test_sentinel_never_in_window():
     # identical docs: window spanning the sentinel between them must not match
     texts = [b"ab", b"ab"]
     assert vectorized_ranges(texts, 2) == oracle_remove_ranges(texts, 2)
+
+
+# --- hash-group kernel (SA-free) ------------------------------------------
+
+def test_hashed_kernel_identical_on_fixture():
+    """find_remove_ranges_hashed must be byte-identical to the SA path on
+    the webpages corpus at several minlens."""
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.functions.corpus import build_corpus
+    from hg_dedup_ray.functions.scan import (
+        find_remove_ranges,
+        find_remove_ranges_hashed,
+    )
+    from hg_dedup_ray.functions.suffix_array import build_suffix_array
+    from hg_dedup_ray.sources.webpages import generate_webpages
+
+    table, _ = generate_webpages(n_docs=300, seed=11, minlen=48)
+    texts = [t.encode() for t in table["text"].to_pylist()]
+    corpus, _, _ = build_corpus(texts)
+    sa = build_suffix_array(corpus)
+    for minlen in (16, 48, 100):
+        want = find_remove_ranges(corpus, sa, minlen)
+        got = find_remove_ranges_hashed(corpus, minlen)
+        assert np.array_equal(got, want), minlen
+    assert find_remove_ranges(corpus, sa, 48).shape[0] > 0
+
+
+def test_hashed_kernel_identical_random():
+    """Randomized equivalence incl. tiny alphabets (max hash-collision
+    pressure), sentinel-adjacent windows, and forced duplicates."""
+    from hg_dedup_ray.functions.corpus import build_corpus
+    from hg_dedup_ray.functions.scan import (
+        find_remove_ranges,
+        find_remove_ranges_hashed,
+    )
+    from hg_dedup_ray.functions.suffix_array import build_suffix_array
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        n_docs = int(rng.integers(2, 25))
+        docs = [
+            bytes(rng.integers(97, 97 + int(rng.integers(2, 5)),
+                               rng.integers(3, 300)).astype(np.uint8))
+            for _ in range(n_docs)
+        ]
+        docs += [docs[0], docs[-1]]
+        corpus, _, _ = build_corpus(docs)
+        minlen = int(rng.integers(2, 24))
+        want = find_remove_ranges(corpus, build_suffix_array(corpus), minlen)
+        got = find_remove_ranges_hashed(corpus, minlen)
+        assert np.array_equal(got, want), (trial, minlen)
+
+
+def test_hashed_kernel_token_dtypes():
+    """Element-generic: u16/u32 token corpora give identical results."""
+    from hg_dedup_ray.functions.scan import (
+        find_remove_ranges,
+        find_remove_ranges_hashed,
+        sentinel_value,
+    )
+    from hg_dedup_ray.functions.suffix_array import build_suffix_array
+
+    rng = np.random.default_rng(9)
+    for dt in (np.uint16, np.uint32):
+        sent = sentinel_value(dt)
+        docs = [rng.integers(0, 50, rng.integers(5, 120)).astype(dt)
+                for _ in range(12)]
+        docs += [docs[0], docs[3]]
+        parts = []
+        for d in docs:
+            parts.append(np.array([sent], dt))
+            parts.append(d)
+        corpus = np.concatenate(parts)
+        for minlen in (3, 8):
+            want = find_remove_ranges(corpus, build_suffix_array(corpus), minlen)
+            got = find_remove_ranges_hashed(corpus, minlen)
+            assert np.array_equal(got, want), (str(dt), minlen)
+
+
+def test_hashed_kernel_edge_cases():
+    from hg_dedup_ray.functions.scan import find_remove_ranges_hashed
+
+    assert find_remove_ranges_hashed(np.empty(0, np.uint8), 4).shape == (0, 2)
+    assert find_remove_ranges_hashed(np.frombuffer(b"ab", np.uint8), 4).shape == (0, 2)
+    # all-sentinel corpus: every window blocked
+    c = np.full(50, 0xFF, np.uint8)
+    assert find_remove_ranges_hashed(c, 4).shape == (0, 2)
