@@ -160,11 +160,13 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            # fixed driver overhead F (~4s: sort coordination + driver
-            # candidate passes) caps efficiency at small inputs; the
+            # fixed driver overhead F (~2.6s: driver candidate passes +
+            # materialize barriers) caps efficiency at small inputs; the
             # criterion targets 10^12-doc scale where F ~ 0, so size the
-            # fixture until compute C >> F (240 MB -> C/32 ~ 8s >> F)
-            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "96000"),
+            # fixture until compute C >> F. With the hash scan kernel the
+            # 71 MB fixture became overhead-bound (C/8 ~ 3.5s ~ F), so
+            # scaling uses 320k docs / 240 MB by default.
+            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "320000"),
             GRAFT_HEADLINE_ONLY="1",
         )
         out = subprocess.run(
@@ -231,8 +233,7 @@ def _hardware_ceiling(lo: int, hi: int) -> float:
 def _sa_build_probe(seed: int) -> float:
     import numpy as np
 
-    from hg_dedup_ray.functions.scan import find_remove_ranges
-    from hg_dedup_ray.functions.suffix_array import build_suffix_array
+    from hg_dedup_ray.functions.scan import find_remove_ranges_hashed
 
     rng = np.random.default_rng(seed)
     words = [
@@ -242,7 +243,10 @@ def _sa_build_probe(seed: int) -> float:
     parts = [words[int(i)] for i in rng.integers(0, 500, size=400_000)]
     corpus = np.concatenate(parts)[:2_000_000]
     t0 = time.time()
-    find_remove_ranges(corpus, build_suffix_array(corpus), 100)
+    # the production scan kernel (hash-group), run back-to-back so the
+    # probe work per process meaningfully exceeds pool startup
+    for _ in range(3):
+        find_remove_ranges_hashed(corpus, 100)
     return time.time() - t0
 
 

@@ -307,3 +307,75 @@ def find_remove_ranges_hashed(corpus: np.ndarray, minlen: int) -> np.ndarray:
     mask[cand] = True
     ptrs = remove_ptrs_from_runs(sp, mask)
     return coalesce_ptrs_to_ranges(ptrs, minlen)
+
+
+def find_dup_ptrs_hashed(
+    corpus: np.ndarray, minlen: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """`find_dup_ptrs` via the hash-group kernel (same equality-class
+    identity as `find_remove_ranges_hashed`): ALL members of every
+    duplicate window class, tagged kept (class minimum) vs dropped.
+    Identical output to the SA-based `find_dup_ptrs` (tested)."""
+    N = corpus.shape[0]
+    empty = (np.empty(0, np.int64), np.empty(0, bool))
+    if N < minlen:
+        return empty
+    sent = sentinel_positions(corpus)
+    m = N - minlen + 1
+    a = corpus.astype(np.uint64)
+    a += np.uint64(1)
+    pw = _pow_series(_HASH_P, N)
+    terms = a * pw
+    del a, pw
+    S = np.empty(N + 1, np.uint64)
+    S[0] = 0
+    np.cumsum(terms, out=S[1:])
+    del terms
+    invpw = _pow_series(_inv_u64(_HASH_P), m)
+    h = (S[minlen : minlen + m] - S[:m]) * invpw
+    del S, invpw
+    cov = np.zeros(m + 1, np.int32)
+    if sent.size:
+        np.add.at(cov, np.clip(sent - minlen + 1, 0, m), 1)
+        np.add.at(cov, np.clip(sent + 1, 0, m), -1)
+    pos = np.flatnonzero(np.cumsum(cov[:-1]) == 0)
+    del cov
+    if pos.size < 2:
+        return empty
+    hp = h[pos]
+    del h
+    order = np.argsort(hp, kind="stable")
+    sp = pos[order].astype(np.int64)
+    hs = hp[order]
+    del hp, pos, order
+    cand = np.flatnonzero(hs[1:] == hs[:-1])
+    del hs
+    if cand.size:
+        win = np.arange(minlen)
+        chunk = max(1, (32 << 20) // max(minlen, 1))
+        keep_parts = []
+        for c0 in range(0, cand.size, chunk):
+            cc = cand[c0 : c0 + chunk]
+            eq = (
+                corpus[sp[cc][:, None] + win] == corpus[sp[cc + 1][:, None] + win]
+            ).all(axis=1)
+            keep_parts.append(cc[eq])
+        cand = np.concatenate(keep_parts)
+    if cand.size == 0:
+        return empty
+    mask = np.zeros(sp.shape[0] - 1, dtype=bool)
+    mask[cand] = True
+    padded = np.concatenate(([False], mask, [False]))
+    edges = np.flatnonzero(padded[1:] != padded[:-1])
+    starts, ends = edges[0::2], edges[1::2]
+    lengths = ends - starts + 1
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    member_idx = np.repeat(starts, lengths) + (
+        np.arange(lengths.sum()) - np.repeat(offsets, lengths)
+    )
+    members = sp[member_idx]
+    run_id = np.repeat(np.arange(len(starts)), lengths)
+    mins = np.minimum.reduceat(members, offsets)
+    kept = members == mins[run_id]
+    o = np.argsort(members, kind="stable")
+    return members[o].astype(np.int64), kept[o]

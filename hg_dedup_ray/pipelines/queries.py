@@ -441,18 +441,28 @@ def ann_ivf_topk(sf_dir: str, n_cells: int = 8):
         vids = group["vec_id"].to_numpy(zero_copy_only=False)
         sims = m @ m.T
         np.fill_diagonal(sims, -np.inf)
-        k = min(ANN_K, max(len(vids) - 1, 0))
-        out_q, out_n, out_r = [], [], []
-        for i in range(len(vids)):
-            order = np.lexsort((vids, -sims[i]))[:k]
-            out_q.extend([vids[i]] * len(order))
-            out_n.extend(vids[order])
-            out_r.extend(range(1, len(order) + 1))
+        nv = len(vids)
+        k = min(ANN_K, max(nv - 1, 0))
+        if k == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        # whole-cell top-k in two vectorized passes: argpartition rows to
+        # the k best columns, then one lexsort ordering (-sim, vid) per row
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        psims = np.take_along_axis(sims, part, axis=1)
+        pvids = vids[part]
+        order = np.lexsort((pvids, -psims), axis=-1)  # per-row (-sim, vid)
+        top = np.take_along_axis(part, order, axis=1)
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "rank": pa.array(out_r, pa.int64()),
+                "query_id": pa.array(np.repeat(vids, k), pa.int64()),
+                "neighbor_id": pa.array(vids[top.ravel()], pa.int64()),
+                "rank": pa.array(np.tile(np.arange(1, k + 1), nv), pa.int64()),
             }
         )
 
@@ -609,8 +619,7 @@ def dup_doc_report(sf_dir: str, minlen: int = 64):
     members, the count of kept vs dropped pointers (rows-only)."""
     from hg_dedup_ray.pipelines.sa_dedup import extract_docs
     from hg_dedup_ray.stages.sa_scan import texts_to_corpus
-    from hg_dedup_ray.functions.scan import dup_ptrs_to_docs, find_dup_ptrs
-    from hg_dedup_ray.functions.suffix_array import build_suffix_array
+    from hg_dedup_ray.functions.scan import dup_ptrs_to_docs, find_dup_ptrs_hashed
 
     cfg = DedupConfig(
         minlen=minlen, num_partitions=4,
@@ -630,8 +639,7 @@ def dup_doc_report(sf_dir: str, minlen: int = 64):
         )
         if corpus.shape[0] == 0:
             return empty
-        sa = build_suffix_array(corpus)
-        ptrs, kept = find_dup_ptrs(corpus, sa, minlen)
+        ptrs, kept = find_dup_ptrs_hashed(corpus, minlen)
         d_ix, n_kept, n_drop = dup_ptrs_to_docs(ptrs, kept, starts, ends)
         if d_ix.size == 0:
             return empty

@@ -147,20 +147,24 @@ def write_dup_doc_overlays(docs, cfg, out_dir: str, limit_per_part: int = 1000):
     ``<out_dir>/doc<doc_seq>.ansi`` with red = dropped-window bytes,
     yellow = dropped+kept, green = kept-only. ``docs`` is the extracted
     (url, doc_seq, part, text, n_bytes) dataset. Returns docs written."""
-    from hg_dedup_ray.functions.scan import find_dup_ptrs
+    from hg_dedup_ray.functions.scan import find_dup_ptrs, find_dup_ptrs_hashed
     from hg_dedup_ray.functions.suffix_array import build_suffix_array
     from hg_dedup_ray.stages.sa_scan import texts_to_corpus
 
     os.makedirs(out_dir, exist_ok=True)
     minlen = cfg.minlen
+    use_hash = cfg.scan_kernel == "hash"
 
     def fn(group: pa.Table) -> pa.Table:
         group = group.sort_by("doc_seq")
         corpus, starts, ends = texts_to_corpus(group["text"])
         wrote = 0
         if corpus.shape[0]:
-            sa = build_suffix_array(corpus)
-            ptrs, kept = find_dup_ptrs(corpus, sa, minlen)
+            if use_hash:
+                ptrs, kept = find_dup_ptrs_hashed(corpus, minlen)
+            else:
+                sa = build_suffix_array(corpus)
+                ptrs, kept = find_dup_ptrs(corpus, sa, minlen)
             if ptrs.size:
                 doc_ix = np.searchsorted(starts, ptrs, side="right") - 1
                 for d in np.unique(doc_ix):

@@ -150,3 +150,32 @@ def test_hashed_kernel_edge_cases():
     # all-sentinel corpus: every window blocked
     c = np.full(50, 0xFF, np.uint8)
     assert find_remove_ranges_hashed(c, 4).shape == (0, 2)
+
+
+def test_find_dup_ptrs_hashed_identical():
+    """find_dup_ptrs_hashed must reproduce the SA-based diagnostic scan
+    exactly (ptrs AND kept flags)."""
+    from hg_dedup_ray.functions.corpus import build_corpus
+    from hg_dedup_ray.functions.scan import find_dup_ptrs, find_dup_ptrs_hashed
+    from hg_dedup_ray.functions.suffix_array import build_suffix_array
+    from hg_dedup_ray.sources.webpages import generate_webpages
+
+    table, _ = generate_webpages(n_docs=200, seed=5, minlen=48)
+    corpus, _, _ = build_corpus([t.encode() for t in table["text"].to_pylist()])
+    sa = build_suffix_array(corpus)
+    for minlen in (24, 48):
+        p1, k1 = find_dup_ptrs(corpus, sa, minlen)
+        p2, k2 = find_dup_ptrs_hashed(corpus, minlen)
+        assert np.array_equal(p1, p2) and np.array_equal(k1, k2), minlen
+    assert p1.size > 0
+
+    rng = np.random.default_rng(13)
+    for trial in range(30):
+        docs = [bytes(rng.integers(97, 100, rng.integers(4, 150)).astype(np.uint8))
+                for _ in range(int(rng.integers(2, 15)))]
+        docs += [docs[0]]
+        c, _, _ = build_corpus(docs)
+        ml = int(rng.integers(3, 16))
+        p1, k1 = find_dup_ptrs(c, build_suffix_array(c), ml)
+        p2, k2 = find_dup_ptrs_hashed(c, ml)
+        assert np.array_equal(p1, p2) and np.array_equal(k1, k2), trial
