@@ -179,3 +179,20 @@ def test_find_dup_ptrs_hashed_identical():
         p1, k1 = find_dup_ptrs(c, build_suffix_array(c), ml)
         p2, k2 = find_dup_ptrs_hashed(c, ml)
         assert np.array_equal(p1, p2) and np.array_equal(k1, k2), trial
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(97, 101), min_size=0, max_size=60).map(bytes),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+def test_hashed_kernel_matches_oracle_hypothesis(texts, minlen):
+    from hg_dedup_ray.functions.scan import find_remove_ranges_hashed
+
+    corpus, _, _ = build_corpus(texts)
+    got = [tuple(r) for r in find_remove_ranges_hashed(corpus, minlen)]
+    assert got == oracle_remove_ranges(texts, minlen)
