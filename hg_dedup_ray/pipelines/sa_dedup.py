@@ -166,6 +166,57 @@ def _hot_keys_driver(cand) -> np.ndarray:
     return u[c >= 2]
 
 
+_HOT_SHARDS = 32
+
+
+@ray.remote(num_returns=_HOT_SHARDS)
+def _shard_block_keys(tab: pa.Table):
+    """One block's u64 keys split into _HOT_SHARDS arrays by top bits."""
+    k = tab["bucket_key"].to_numpy(zero_copy_only=False)
+    sh = (k >> np.uint64(64 - 5)).astype(np.int64)
+    order = np.argsort(sh, kind="stable")
+    ks, shs = k[order], sh[order]
+    bounds = np.searchsorted(shs, np.arange(_HOT_SHARDS + 1))
+    return tuple(ks[bounds[i] : bounds[i + 1]] for i in range(_HOT_SHARDS))
+
+
+@ray.remote
+def _reduce_hot_shard(*chunks) -> np.ndarray:
+    allk = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+    u, c = np.unique(allk, return_counts=True)
+    return u[c >= 2]
+
+
+def _hot_keys_parallel(cand) -> np.ndarray:
+    """Two-round raw-task shard + reduce: each block's key column splits
+    into 32 hash shards (map side), one reducer per shard np.uniques its
+    slice. Same result as `_hot_keys_driver` with the O(n log n) sort
+    parallelized 32 ways and only the (rare) hot keys returning to the
+    driver. Used above ``hot_parallel_limit`` rows (default 2M) — below
+    that the single driver pass wins on task overhead."""
+    block_refs = cand.to_arrow_refs()
+    shard_refs = [_shard_block_keys.remote(r) for r in block_refs]
+    hot_refs = [
+        _reduce_hot_shard.remote(*(row[s] for row in shard_refs))
+        for s in range(_HOT_SHARDS)
+    ]
+    parts = ray.get(hot_refs)
+    return np.concatenate(parts) if parts else np.empty(0, np.uint64)
+
+
+def _hot_keys(cand, cfg: DedupConfig) -> np.ndarray:
+    """Pick the hot-key strategy by candidate volume: driver pass (small),
+    raw-task shard+reduce (medium — the default at bench scale and the
+    per-batch shape at 100 TB), Dataset groupby (huge — above
+    driver_key_limit, when even per-shard reduces need streaming)."""
+    n = cand.count()
+    if n > int(cfg.extra.get("driver_key_limit", 30_000_000)):
+        return _hot_keys_distributed(cand)
+    if n > int(cfg.extra.get("hot_parallel_limit", 2_000_000)):
+        return _hot_keys_parallel(cand)
+    return _hot_keys_driver(cand)
+
+
 def _hot_keys_distributed(cand) -> np.ndarray:
     """The 100 TB route: shard keys by their top byte (256 groups) and
     count inside each shard with a vectorized np.unique — one shuffle of
@@ -251,7 +302,7 @@ def _resolve_clusters(edges, cfg: DedupConfig):
     return union_find_clusters(edges)
 
 
-def compute_cross_partition_bucketed(docs, cfg: DedupConfig):
+def compute_cross_partition_bucketed(docs, cfg: DedupConfig, cand=None):
     """The distributed dup-set path (stages/dupset_join.py): candidate
     buckets -> exploded member rows -> bucketed hash join on doc_seq to
     attach texts -> per-group assembly (SA scan / pair verify). No text
@@ -265,15 +316,14 @@ def compute_cross_partition_bucketed(docs, cfg: DedupConfig):
         make_bucket_to_members,
     )
 
-    cand = docs.map_batches(
-        _task_stage(CandidateEmitter, cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    ).materialize()
-    limit = int(cfg.extra.get("driver_key_limit", 30_000_000))
-    hot = (
-        _hot_keys_driver if cand.count() <= limit else _hot_keys_distributed
-    )(cand)
+    if cand is None:
+        cand = docs.map_batches(
+            _task_stage(CandidateEmitter, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+    cand = cand.materialize()
+    hot = _hot_keys(cand, cfg)
     if hot.shape[0] == 0:
         return ("tables", []), {}
     hot_ref = ray.put(pa.array(hot, pa.uint64()))
@@ -294,20 +344,24 @@ def compute_cross_partition_bucketed(docs, cfg: DedupConfig):
     return ("tables", span_refs), _resolve_clusters(edges, cfg)
 
 
-def compute_cross_partition(docs, cfg: DedupConfig):
+def compute_cross_partition(docs, cfg: DedupConfig, cand=None):
     """Cross-partition stage: (xranges, clusters) dicts.
 
-    ONE fused pass emits band + fingerprint rows; ONE shuffle buckets
-    them; the driver receives compact candidate rows (urls/seqs only),
-    then dup-set texts are broadcast once for group scans + pair verify.
+    ONE fused pass emits band + fingerprint rows (or, with the pruned
+    scan strategy, the rows arrive pre-emitted from inside the scan
+    tasks — ``cand``); ONE shuffle buckets them; the driver receives
+    compact candidate rows (urls/seqs only), then dup-set texts are
+    broadcast once for group scans + pair verify.
 
     Returns ``(xranges: dict[url, ndarray(R,2)], clusters: dict[url, int])``.
     """
-    cand = docs.map_batches(
-        _task_stage(CandidateEmitter, cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    ).materialize()  # two consumers below; rows are compact (key+ids only)
+    if cand is None:
+        cand = docs.map_batches(
+            _task_stage(CandidateEmitter, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+    cand = cand.materialize()  # two consumers below; compact key+id rows
 
     # Nearly every bucket is a singleton (unique shingle/band). map_groups
     # costs one Python call PER GROUP, so first find keys seen >=2 times
@@ -316,7 +370,7 @@ def compute_cross_partition(docs, cfg: DedupConfig):
     # (no shuffle at all); above it, both run distributed.
     limit = int(cfg.extra.get("driver_key_limit", 30_000_000))
     driver_path = cand.count() <= limit
-    hot = (_hot_keys_driver if driver_path else _hot_keys_distributed)(cand)
+    hot = _hot_keys(cand, cfg)
     if hot.shape[0] == 0:
         return {}, union_find_clusters([])
     if driver_path:
@@ -412,6 +466,7 @@ def dedup_dataset(ds, cfg: DedupConfig):
         # pin the pruned projection once instead of re-running the read +
         # extract per consumer. Blocks spill to disk under memory pressure.
         docs = docs.materialize()
+    pre_cand = None
     if (
         cfg.extra.get("scan_strategy", "pruned") == "pruned"
         and cfg.num_partitions > 1
@@ -421,11 +476,15 @@ def dedup_dataset(ds, cfg: DedupConfig):
         # (range_scan.py). Measured 2-3x faster than the groupby sort
         # path at bench scale (the sort all-to-all ships the full text
         # column); at multi-node scale targeted block fetch is likewise
-        # the cheaper pattern. ``extra["scan_strategy"]="groupby"``
-        # selects the pure Dataset-API path (equal output, tested).
+        # the cheaper pattern. Candidate emission is FUSED into the scan
+        # tasks (text already in hand — one read instead of two).
+        # ``extra["scan_strategy"]="groupby"`` selects the pure
+        # Dataset-API path (equal output, tested).
         from hg_dedup_ray.stages.range_scan import scan_partitions_pruned
 
-        scanned = scan_partitions_pruned(docs, cfg, *bounds)
+        scanned, pre_cand = scan_partitions_pruned(
+            docs, cfg, *bounds, emit_candidates=True
+        )
     else:
         scanned = docs.groupby("part").map_groups(
             make_partition_scan(
@@ -441,10 +500,12 @@ def dedup_dataset(ds, cfg: DedupConfig):
     clusters_ref = None
     if cfg.num_partitions > 1:
         if cfg.extra.get("dupset_strategy", "broadcast") == "bucketed":
-            xranges_payload, clusters = compute_cross_partition_bucketed(docs, cfg)
+            xranges_payload, clusters = compute_cross_partition_bucketed(
+                docs, cfg, cand=pre_cand
+            )
             xranges_ref = ray.put(xranges_payload)  # refs only — no text
         else:
-            xranges, clusters = compute_cross_partition(docs, cfg)
+            xranges, clusters = compute_cross_partition(docs, cfg, cand=pre_cand)
             xranges_ref = ray.put(xranges)
         clusters_ref = ray.put(clusters)
 
