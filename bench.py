@@ -66,7 +66,13 @@ def _headline(sf_dir: str):
 
     from hg_dedup_ray.stages.extract import resolve_num_partitions
 
-    cfg = DedupConfig(minlen=100, num_partitions=0, shingle_k=16)
+    # GRAFT_SCAN_KERNEL=sa selects the suffix-array kernel (byte-identical
+    # output; compute-bound, so its 8-vs-32 scaling is free of the hash
+    # kernel's single-box memory-bandwidth distortion)
+    cfg = DedupConfig(
+        minlen=100, num_partitions=0, shingle_k=16,
+        scan_kernel=os.environ.get("GRAFT_SCAN_KERNEL", "hash"),
+    )
     # auto count floored at 2 waves per CPU and rounded UP to a CPU
     # multiple: a ragged last wave (e.g. 35 parts on 32 CPUs) idles the
     # whole cluster for one extra partition's scan time
