@@ -47,6 +47,33 @@ ORACLE_SQL = {
                ))::BIGINT AS n_bpe_tokens
         FROM documents
     """,
+    "asof_join_events_orders": """
+        WITH ranked AS (
+          SELECT e.event_id, e.user_id,
+                 o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                 ) AS rn
+          FROM events e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id,
+               o_orderkey  AS last_order_key,
+               o_orderdate AS last_order_date,
+               o_totalprice AS last_order_price
+        FROM ranked WHERE rn = 1
+    """,
+    "range_join_orders_prior_year": """
+        SELECT a.o_orderkey,
+               count(b.o_orderkey)::BIGINT AS n_prior_year,
+               round(coalesce(sum(b.o_totalprice), 0), 6) AS sum_prior_year
+        FROM orders a LEFT JOIN orders b
+          ON b.o_custkey = a.o_custkey
+         AND b.o_orderdate < a.o_orderdate
+         AND b.o_orderdate >= a.o_orderdate - INTERVAL 365 DAY
+        GROUP BY a.o_orderkey
+    """,
     "events_hourly": """
         SELECT user_id,
                (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket,

@@ -805,6 +805,169 @@ def bpe_token_counts(sf_dir: str):
     )
 
 
+def asof_join_events_orders(sf_dir: str, num_buckets: int = 32):
+    """AS-OF JOIN — an operator Ray Data lacks, built as the scalable
+    bucketed merge-join composition: for every event, the latest order of
+    the same user with o_orderdate <= event ts (ties broken by max
+    o_orderkey, so the result is deterministic — plain DuckDB ASOF picks
+    an arbitrary row among date ties).
+
+    Scale shape: BOTH sides hash-partition on the join key (user id) into
+    ``num_buckets`` via one groupby shuffle carrying only the join/value
+    columns; inside each bucket the probe is fully vectorized — orders
+    sorted once by (custkey, date, orderkey), events mapped through a
+    composite (custkey, date-rank) key, and ONE np.searchsorted resolves
+    every event's as-of row. No driver-side data, no per-row Python."""
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def ev_side(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((uid % num_buckets).astype(np.int64)),
+                "side": pa.array(np.zeros(len(b), np.uint8)),
+                "key": pa.array(uid.astype(np.int64)),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "o_orderkey": pa.nulls(len(b), pa.int64()),
+                "o_totalprice": pa.nulls(len(b), pa.float64()),
+            }
+        )
+
+    def od_side(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((ck % num_buckets).astype(np.int64)),
+                "side": pa.array(np.ones(len(b), np.uint8)),
+                "key": pa.array(ck.astype(np.int64)),
+                "ts_us": b["o_orderdate"].cast(pa.int64()),
+                "event_id": pa.nulls(len(b), pa.int64()),
+                "o_orderkey": b["o_orderkey"],
+                "o_totalprice": b["o_totalprice"],
+            }
+        )
+
+    def bucket_asof(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "last_order_key": pa.array([], pa.int64()),
+                "last_order_date": pa.array([], pa.timestamp("us")),
+                "last_order_price": pa.array([], pa.float64()),
+            }
+        )
+        evs = group.filter(pa.array(side == 0))
+        ods = group.filter(pa.array(side == 1))
+        if len(evs) == 0 or len(ods) == 0:
+            return empty
+        ock = ods["key"].to_numpy(zero_copy_only=False)
+        odate = ods["ts_us"].to_numpy(zero_copy_only=False)
+        okey = ods["o_orderkey"].to_numpy(zero_copy_only=False)
+        oprice = ods["o_totalprice"].to_numpy(zero_copy_only=False)
+        o_order = np.lexsort((okey, odate, ock))
+        ock, odate, okey, oprice = (
+            ock[o_order], odate[o_order], okey[o_order], oprice[o_order]
+        )
+        uid = evs["key"].to_numpy(zero_copy_only=False)
+        ets = evs["ts_us"].to_numpy(zero_copy_only=False)
+        eid = evs["event_id"].to_numpy(zero_copy_only=False)
+        # composite (key, date-rank) so one global searchsorted resolves
+        # the per-user as-of position; 'right' on (date <= ts) lands after
+        # every qualifying order, and the (date, orderkey) sort makes
+        # idx-1 the deterministic winner
+        udates = np.unique(odate)
+        R = np.int64(udates.shape[0] + 2)
+        comp_o = ock * R + (np.searchsorted(udates, odate) + 1)
+        e_rank = np.searchsorted(udates, ets, side="right")  # rank of last date <= ts
+        comp_e = uid * R + e_rank
+        idx = np.searchsorted(comp_o, comp_e, side="right") - 1
+        ok = (idx >= 0) & (ock[np.maximum(idx, 0)] == uid)
+        idx, eid_k, uid_k = idx[ok], eid[ok], uid[ok]
+        return pa.table(
+            {
+                "event_id": pa.array(eid_k, pa.int64()),
+                "user_id": pa.array(uid_k, pa.int64()),
+                "last_order_key": pa.array(okey[idx], pa.int64()),
+                "last_order_date": pa.array(odate[idx]).cast(pa.timestamp("us")),
+                "last_order_price": pa.array(oprice[idx], pa.float64()),
+            }
+        )
+
+    both = ev.map_batches(ev_side, batch_format="pyarrow", batch_size=8192).union(
+        od.map_batches(od_side, batch_format="pyarrow", batch_size=8192)
+    )
+    return both.groupby("bucket").map_groups(bucket_asof, batch_format="pyarrow")
+
+
+def range_join_orders_prior_year(sf_dir: str, num_buckets: int = 32):
+    """RANGE (band) JOIN — per order, the count and price sum of the SAME
+    customer's strictly-earlier orders within the prior 365 days. The
+    inequality-band join Ray Data lacks, as a bucketed composition:
+    hash-partition on the join key, sort each bucket once by
+    (custkey, date), then TWO vectorized searchsorteds (band lower/upper
+    bound) + a prefix-sum gather answer every row — no per-row Python,
+    no driver data."""
+    DAY_US = 86_400_000_000
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((ck % num_buckets).astype(np.int64)),
+                "o_orderkey": b["o_orderkey"],
+                "ck": pa.array(ck.astype(np.int64)),
+                "date_us": b["o_orderdate"].cast(pa.int64()),
+                "price": b["o_totalprice"],
+            }
+        )
+
+    def bucket_range_join(group: pa.Table) -> pa.Table:
+        ck = group["ck"].to_numpy(zero_copy_only=False)
+        date = group["date_us"].to_numpy(zero_copy_only=False)
+        okey = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = group["price"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((date, ck))
+        ck_s, date_s, price_s = ck[order], date[order], price[order]
+        # exact integer-cents prefix sums (distributed float sums would
+        # diverge from the oracle in the 6th decimal)
+        cents = np.round(price_s * 100).astype(np.int64)
+        pre = np.concatenate(([0], np.cumsum(cents)))
+        udates = np.unique(date_s)
+        R = np.int64(udates.shape[0] + 2)
+        comp = ck_s * R + (np.searchsorted(udates, date_s) + 1)
+        # band [date-365d, date) per row, same customer
+        lo_rank = np.searchsorted(udates, date_s - 365 * DAY_US, side="left") + 1
+        hi_rank = np.searchsorted(udates, date_s)  # rank of dates < date (+1 -1)
+        lo = np.searchsorted(comp, ck_s * R + lo_rank, side="left")
+        hi = np.searchsorted(comp, ck_s * R + hi_rank + 1, side="left")
+        n_prior = (hi - lo).astype(np.int64)
+        sum_prior = (pre[hi] - pre[lo]).astype(np.float64) / 100.0
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey[order], pa.int64()),
+                "n_prior_year": pa.array(n_prior, pa.int64()),
+                "sum_prior_year": pa.array(np.round(sum_prior, 6), pa.float64()),
+            }
+        )
+
+    return (
+        od.map_batches(add_bucket, batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(bucket_range_join, batch_format="pyarrow")
+    )
+
+
 def events_hourly(sf_dir: str):
     """Tumbling-window aggregate: per (user, hour) event count + value
     sum. Window key computed vectorized in map_batches (epoch-hour
@@ -1059,6 +1222,8 @@ QUERIES = {
     "kept_middle_lengths": kept_middle_lengths,
     "bpe_token_counts": bpe_token_counts,
     "events_hourly": events_hourly,
+    "asof_join_events_orders": asof_join_events_orders,
+    "range_join_orders_prior_year": range_join_orders_prior_year,
     "orders_per_nation": orders_per_nation,
     "event_sessions": event_sessions,
     "event_type_stats": event_type_stats,
