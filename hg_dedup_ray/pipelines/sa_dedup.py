@@ -393,6 +393,7 @@ def compute_cross_partition(docs, cfg: DedupConfig, cand=None):
         )
     pair_set: set[tuple] = set()
     group_set: set[tuple] = set()
+    seqs_needed: set[int] = set()
     for r in cand_rows:
         if not r["urls"]:
             continue
@@ -400,6 +401,7 @@ def compute_cross_partition(docs, cfg: DedupConfig, cand=None):
             pair_set.update(expand_band_pairs(r["urls"], r["seqs"], r["parts"]))
         else:
             group_set.add(tuple(r["urls"]))
+            seqs_needed.update(r["seqs"])
     pair_rows = [
         {
             "url_a": a, "seq_a": sa_, "part_a": pa_,
@@ -410,10 +412,13 @@ def compute_cross_partition(docs, cfg: DedupConfig, cand=None):
     groups = sorted(group_set)
     urls_needed = {r["url_a"] for r in pair_rows} | {r["url_b"] for r in pair_rows}
     urls_needed.update(u for g in groups for u in g)
+    seqs_needed.update(r["seq_a"] for r in pair_rows)
+    seqs_needed.update(r["seq_b"] for r in pair_rows)
     xranges: dict[str, np.ndarray] = {}
     edges: list[tuple] = []
     if urls_needed:
-        texts_ref = ray.put(_collect_texts(docs, urls_needed))
+        # targeted-block fetch by the dup set's doc_seqs — no full pass
+        texts_ref = ray.put(_collect_texts_by_seq(docs, seqs_needed))
 
         if groups:
             span_rows = (
@@ -534,6 +539,41 @@ def _collect_texts(docs, urls_needed: set[str]) -> dict[str, str]:
     ):
         for u, t in zip(b["url"].to_pylist(), b["text"].to_pylist()):
             out[u] = t
+    return out
+
+
+@ray.remote
+def _pick_from_block(tab: pa.Table, sel: np.ndarray) -> pa.Table:
+    s = tab["doc_seq"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(sel, s)
+    mask = (pos < sel.shape[0]) & (sel[np.minimum(pos, sel.shape[0] - 1)] == s)
+    return tab.select(["url", "text"]).filter(pa.array(mask))
+
+
+def _collect_texts_by_seq(docs_mat, seqs_needed) -> dict[str, str]:
+    """Targeted-block text fetch: the dup set's doc_seqs are known, so
+    only blocks whose seq range overlaps them are touched (raw tasks over
+    the materialized blocks, same pattern as range_scan) — not a full
+    pass over the corpus. The returned dict is bounded by the dup set."""
+    from hg_dedup_ray.stages.range_scan import _block_stats
+
+    sel = np.unique(np.asarray(sorted(seqs_needed), dtype=np.int64))
+    if sel.shape[0] == 0:
+        return {}
+    refs = docs_mat.to_arrow_refs()
+    stats = ray.get([_block_stats.remote(r) for r in refs])
+    picked = []
+    for r, (n, smin, smax) in zip(refs, stats):
+        if n == 0:
+            continue
+        lo = np.searchsorted(sel, smin, side="left")
+        hi = np.searchsorted(sel, smax, side="right")
+        if hi > lo:
+            picked.append(_pick_from_block.remote(r, sel[lo:hi]))
+    out: dict[str, str] = {}
+    for t in ray.get(picked):
+        for u, x in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+            out[u] = x
     return out
 
 
