@@ -1,0 +1,123 @@
+"""CLI entry point — ``python -m hg_dedup_ray``.
+
+Mirrors the reference's argparse surface (indexing_v6_sharded.py:256-271,
+find_remove_ranges.py:7-15, write_back_to_jsonl_sharded.py:11-17 — data
+dirs, minlen, mode, token_dtype, tokenizer, --reversed, cpus, batch
+size) re-expressed over the Ray pipelines: one command runs the full
+read -> dedup -> write journey that the reference splits across three
+step scripts.
+
+    python -m hg_dedup_ray --data_dir pages/ --save_dir out/ \
+        --minlen 500 --mode remove --format parquet
+    python -m hg_dedup_ray --data_dir corpus_jsonl/ --save_dir out/ \
+        --format jsonl --minlen 100 --mode annotate
+    python -m hg_dedup_ray ... --token_dtype u16 --tokenizer bytepair
+    python -m hg_dedup_ray ... --resumable     # checkpointed, rerun-safe
+
+This module OWNS the Ray session (init + shutdown); the library never
+calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hg_dedup_ray",
+        description="Ray-Data suffix/substring dedup (keep-first) over "
+        "parquet or jsonl corpora.",
+    )
+    p.add_argument("--data_dir", required=True,
+                   help="Input corpus: a parquet dir/file or a jsonl tree.")
+    p.add_argument("--save_dir", required=True,
+                   help="Output directory (partitioned parquet, or a "
+                   "mirrored jsonl tree with --format jsonl).")
+    p.add_argument("--format", default="parquet", choices=["parquet", "jsonl"])
+    p.add_argument("--minlen", type=int, default=100,
+                   help="Minimum duplicate length, in corpus units "
+                   "(bytes for u8, tokens for u16/u32).")
+    p.add_argument("--mode", default="annotate", choices=["annotate", "remove"],
+                   help="annotate = attach sa_remove_ranges; remove = also "
+                   "emit text with the ranges excised.")
+    p.add_argument("--token_dtype", default="u8", choices=["u8", "u16", "u32"])
+    p.add_argument("--tokenizer", default="bytepair",
+                   help="u16/u32 tokenizer: bytepair | bytequad | a HF name "
+                   "(gpt2/llama/olmo; needs transformers).")
+    p.add_argument("--reversed", dest="reverse", action="store_true",
+                   help="Index each document's reversed sequence.")
+    p.add_argument("--scan_kernel", default="hash", choices=["hash", "sa"])
+    p.add_argument("--partitions", type=int, default=0,
+                   help="Corpus partitions (0 = auto-size from data volume).")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="Rows per map_batches batch (default: config).")
+    p.add_argument("--cpus", type=int, default=None,
+                   help="ray.init num_cpus (default: all).")
+    p.add_argument("--text_col", default="text")
+    p.add_argument("--id_col", default="url")
+    p.add_argument("--seq_col", default="doc_seq",
+                   help="Global order column (int64); derived if absent.")
+    p.add_argument("--resumable", action="store_true",
+                   help="Checkpointed parquet run (skips finished "
+                   "partitions on rerun).")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False}
+        if args.cpus:
+            kw["num_cpus"] = args.cpus
+        ray.init(address="local", **kw)
+    try:
+        from hg_dedup_ray.config import DedupConfig
+
+        cfg_kw = dict(
+            minlen=args.minlen,
+            mode=args.mode,
+            num_partitions=args.partitions,
+            token_dtype=args.token_dtype,
+            tokenizer=args.tokenizer,
+            reverse=args.reverse,
+            scan_kernel=args.scan_kernel,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            seq_col=args.seq_col,
+        )
+        if args.batch_size:
+            cfg_kw["batch_size"] = args.batch_size
+        if args.format == "jsonl":
+            from hg_dedup_ray.pipelines.jsonl_workflow import run_jsonl_dedup
+
+            written = run_jsonl_dedup(
+                args.data_dir, args.save_dir, minlen=args.minlen,
+                num_partitions=args.partitions or 8, mode=args.mode,
+            )
+            print(json.dumps({"format": "jsonl", "files_written": len(written)}))
+        elif args.resumable:
+            from hg_dedup_ray.pipelines.resumable import run_dedup_resumable
+
+            summary = run_dedup_resumable(
+                args.data_dir, args.save_dir, DedupConfig(**cfg_kw)
+            )
+            print(json.dumps({"format": "parquet", "resumable": True,
+                              **{k: v for k, v in summary.items()
+                                 if isinstance(v, (int, float, str, bool))}}))
+        else:
+            from hg_dedup_ray.pipelines.sa_dedup import run_dedup
+
+            run_dedup(args.data_dir, args.save_dir, DedupConfig(**cfg_kw))
+            print(json.dumps({"format": "parquet", "out": args.save_dir}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
