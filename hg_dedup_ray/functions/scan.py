@@ -313,6 +313,18 @@ def find_remove_ranges_hashed(corpus: np.ndarray, minlen: int) -> np.ndarray:
         return np.empty((0, 2), dtype=np.int64)
     hp = h[pos]
     del h
+    # singleton prefilter: bucket the hashes into 2^22 counters and drop
+    # positions whose bucket holds only them — a true equality class
+    # (>=2 equal windows, equal hashes) always lands in a shared bucket,
+    # so this is EXACT, and it shrinks the (dominant) sort to roughly the
+    # duplicated fraction of the corpus plus ~m^2/2^23 bucket-collision
+    # noise
+    b = (hp >> np.uint64(42)).astype(np.int64)
+    keep = np.bincount(b, minlength=1 << 22)[b] >= 2
+    pos, hp = pos[keep], hp[keep]
+    del b, keep
+    if pos.size < 2:
+        return np.empty((0, 2), dtype=np.int64)
     order = np.argsort(hp, kind="stable")  # radix sort for ints; stable
     sp = pos[order].astype(np.int64)
     hs = hp[order]
@@ -361,6 +373,18 @@ def find_dup_ptrs_hashed(
         return empty
     hp = h[pos]
     del h
+    # singleton prefilter: bucket the hashes into 2^22 counters and drop
+    # positions whose bucket holds only them — a true equality class
+    # (>=2 equal windows, equal hashes) always lands in a shared bucket,
+    # so this is EXACT, and it shrinks the (dominant) sort to roughly the
+    # duplicated fraction of the corpus plus ~m^2/2^23 bucket-collision
+    # noise
+    b = (hp >> np.uint64(42)).astype(np.int64)
+    keep = np.bincount(b, minlength=1 << 22)[b] >= 2
+    pos, hp = pos[keep], hp[keep]
+    del b, keep
+    if pos.size < 2:
+        return empty
     order = np.argsort(hp, kind="stable")
     sp = pos[order].astype(np.int64)
     hs = hp[order]
