@@ -103,7 +103,7 @@ def candidate_pairs(docs, cfg: DedupConfig):
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     ).materialize()
-    hot = _hot_keys_driver(bands)
+    hot = _hot_keys(bands, cfg)
     if hot.shape[0] == 0:
         return ray.data.from_items([])
     hot_ref = ray.put(pa.array(hot, pa.uint64()))
