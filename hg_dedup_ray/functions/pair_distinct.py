@@ -64,15 +64,19 @@ def distinct_pairs(ds, key_cols: list[str], int_key_cols: tuple[str, str], carry
     return local.groupby(key_cols).aggregate(*aggs)
 
 
-def hot_u64_keys(mat_ds, col: str) -> np.ndarray:
+def hot_u64_keys(mat_ds, col: str, parallel_limit: int = 2_000_000) -> np.ndarray:
     """u64 key values appearing >= 2 times in a MATERIALIZED dataset —
-    the prefilter that keeps per-group Python off singleton keys. Streams
-    only the 8-byte key column to the driver (zero-copy block reads, no
-    shuffle); see pipelines/sa_dedup._hot_keys_driver for the measured
-    rationale and the 256-shard distributed variant used above the
-    driver key limit."""
+    the prefilter that keeps per-group Python off singleton keys. Below
+    ``parallel_limit`` rows this streams only the 8-byte key column to
+    the driver (zero-copy block reads, no shuffle); above it, the
+    two-round raw-task shard+reduce (pipelines/sa_dedup._hot_keys_parallel)
+    runs the same count 32 ways with only the rare hot keys returning."""
     import ray
 
+    if mat_ds.count() > parallel_limit:
+        from hg_dedup_ray.pipelines.sa_dedup import _hot_keys_parallel
+
+        return _hot_keys_parallel(mat_ds, col)
     tabs = ray.get(mat_ds.to_arrow_refs())
     chunks = [t[col].to_numpy(zero_copy_only=False) for t in tabs if len(t)]
     allk = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)

@@ -170,9 +170,9 @@ _HOT_SHARDS = 32
 
 
 @ray.remote(num_returns=_HOT_SHARDS)
-def _shard_block_keys(tab: pa.Table):
+def _shard_block_keys(tab: pa.Table, col: str = "bucket_key"):
     """One block's u64 keys split into _HOT_SHARDS arrays by top bits."""
-    k = tab["bucket_key"].to_numpy(zero_copy_only=False)
+    k = tab[col].to_numpy(zero_copy_only=False)
     sh = (k >> np.uint64(64 - 5)).astype(np.int64)
     order = np.argsort(sh, kind="stable")
     ks, shs = k[order], sh[order]
@@ -187,7 +187,7 @@ def _reduce_hot_shard(*chunks) -> np.ndarray:
     return u[c >= 2]
 
 
-def _hot_keys_parallel(cand) -> np.ndarray:
+def _hot_keys_parallel(cand, col: str = "bucket_key") -> np.ndarray:
     """Two-round raw-task shard + reduce: each block's key column splits
     into 32 hash shards (map side), one reducer per shard np.uniques its
     slice. Same result as `_hot_keys_driver` with the O(n log n) sort
@@ -195,7 +195,7 @@ def _hot_keys_parallel(cand) -> np.ndarray:
     driver. Used above ``hot_parallel_limit`` rows (default 2M) — below
     that the single driver pass wins on task overhead."""
     block_refs = cand.to_arrow_refs()
-    shard_refs = [_shard_block_keys.remote(r) for r in block_refs]
+    shard_refs = [_shard_block_keys.remote(r, col) for r in block_refs]
     hot_refs = [
         _reduce_hot_shard.remote(*(row[s] for row in shard_refs))
         for s in range(_HOT_SHARDS)
