@@ -19,7 +19,6 @@ import ray
 from hg_dedup_ray.config import DedupConfig
 from hg_dedup_ray.stages import textstats
 from hg_dedup_ray.stages.embed import (
-    IvfAssigner,
     PartialTopK,
     embedding_matrix,
     kmeans_centroids,
@@ -414,11 +413,17 @@ def embedding_near_dup_pairs(sf_dir: str):
     return near_dup_pairs_blocked(_emb(sf_dir), NEAR_DUP_COS)
 
 
-def ann_ivf_topk(sf_dir: str, n_cells: int = 8):
-    """IVF-bucketed near-neighbor demo (rows-only): assign vectors to
-    kmeans cells, then per-cell top-k of each vector's neighbors within
-    its cell. The scale path: one groupby shuffle, pairwise work bounded
-    per cell."""
+def ann_ivf_topk(sf_dir: str, n_cells: int = 8, nprobe: int = 2):
+    """Multi-probe IVF ANN (rows-only): the db side partitions into
+    kmeans cells, every vector-as-query probes its ``nprobe`` nearest
+    cells, per-cell query x db top-k, then one vectorized global merge
+    per query — standard IVF search at ~nprobe/n_cells of brute-force
+    cost (recall rises with nprobe; n_cells=1 reproduces brute force
+    EXACTLY, which tests/test_embed.py pins). Two groupby shuffles total
+    (cell, then query-merge); all per-group math is argpartition/lexsort
+    — no per-row Python."""
+    from hg_dedup_ray.stages.embed import IvfMultiProbeAssigner, _normalize
+
     emb = _emb(sf_dir)
     sample = np.array(
         [r["embedding"] for r in emb.limit(512).take_all()], dtype=np.float64
@@ -426,47 +431,77 @@ def ann_ivf_topk(sf_dir: str, n_cells: int = 8):
     cents = kmeans_centroids(sample, n_cells)
     cents_ref = ray.put(cents)
     assigned = emb.map_batches(
-        IvfAssigner,
-        fn_constructor_args=(cents_ref,),
+        IvfMultiProbeAssigner,
+        fn_constructor_args=(cents_ref, nprobe),
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=_pool(),
     )
 
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+
     def cell_topk(group: pa.Table) -> pa.Table:
-        m = embedding_matrix(group)
-        norm = np.linalg.norm(m, axis=1, keepdims=True)
-        norm[norm == 0] = 1
-        m = m / norm
-        vids = group["vec_id"].to_numpy(zero_copy_only=False)
-        sims = m @ m.T
-        np.fill_diagonal(sims, -np.inf)
-        nv = len(vids)
-        k = min(ANN_K, max(nv - 1, 0))
-        if k == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "rank": pa.array([], pa.int64()),
-                }
-            )
-        # whole-cell top-k in two vectorized passes: argpartition rows to
-        # the k best columns, then one lexsort ordering (-sim, vid) per row
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        role = group["ivf_role"].to_numpy(zero_copy_only=False)
+        db = group.filter(pa.array(role == 0))
+        qs = group.filter(pa.array(role == 1))
+        nd, nq = len(db), len(qs)
+        if nd == 0 or nq == 0:
+            return empty
+        dmat = _normalize(embedding_matrix(db))
+        qmat = _normalize(embedding_matrix(qs))
+        dids = db["vec_id"].to_numpy(zero_copy_only=False)
+        qids = qs["vec_id"].to_numpy(zero_copy_only=False)
+        sims = qmat @ dmat.T  # (nq, nd)
+        sims[qids[:, None] == dids[None, :]] = -np.inf  # exclude self
+        k = min(ANN_K, nd)
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k] if k < nd else (
+            np.broadcast_to(np.arange(nd), (nq, nd)).copy()
+        )
         psims = np.take_along_axis(sims, part, axis=1)
-        pvids = vids[part]
-        order = np.lexsort((pvids, -psims), axis=-1)  # per-row (-sim, vid)
-        top = np.take_along_axis(part, order, axis=1)
+        keep = np.isfinite(psims).ravel()
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(vids, k), pa.int64()),
-                "neighbor_id": pa.array(vids[top.ravel()], pa.int64()),
-                "rank": pa.array(np.tile(np.arange(1, k + 1), nv), pa.int64()),
+                "query_id": pa.array(np.repeat(qids, part.shape[1])[keep], pa.int64()),
+                "neighbor_id": pa.array(dids[part.ravel()][keep], pa.int64()),
+                "sim": pa.array(psims.ravel()[keep], pa.float64()),
             }
         )
 
-    return assigned.groupby("ivf_cell").map_groups(cell_topk, batch_format="pyarrow")
+    cand = assigned.groupby("ivf_cell").map_groups(cell_topk, batch_format="pyarrow")
+
+    def add_qbucket(b: pa.Table) -> pa.Table:
+        q = b["query_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("qbucket", pa.array((q % 32).astype(np.int64)))
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        s = group["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s, q))  # per query: best sim first, ties by id
+        q, n = q[order], n[order]
+        new = np.concatenate(([True], q[1:] != q[:-1]))
+        run_start = np.cumsum(np.concatenate(([0], np.bincount(np.cumsum(new) - 1)))[:-1])
+        local = np.arange(q.shape[0]) - run_start[np.cumsum(new) - 1]
+        keep = local < ANN_K
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep], pa.int64()),
+                "neighbor_id": pa.array(n[keep], pa.int64()),
+                "rank": pa.array(local[keep] + 1, pa.int64()),
+            }
+        )
+
+    return (
+        cand.map_batches(add_qbucket, batch_format="pyarrow")
+        .groupby("qbucket")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
 
 
 def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):

@@ -168,6 +168,36 @@ class IvfAssigner:
         return batch.append_column("ivf_cell", pa.array(cell, pa.int32()))
 
 
+class IvfMultiProbeAssigner:
+    """map_batches actor for multi-probe IVF: each vector emits ONE db
+    row in its nearest cell and ``nprobe`` query rows in its nprobe
+    nearest cells (standard IVF search: the db side is partitioned, the
+    query side probes several cells — recall rises with nprobe at
+    nprobe/C of the brute-force cost)."""
+
+    def __init__(self, centroids_ref, nprobe: int):
+        import ray
+
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.centroids = _normalize(np.asarray(c, dtype=np.float64))
+        self.nprobe = min(nprobe, self.centroids.shape[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        m = _normalize(embedding_matrix(batch))
+        sims = m @ self.centroids.T  # (n, C)
+        own = np.argmax(sims, axis=1).astype(np.int32)
+        P = self.nprobe
+        probe = np.argpartition(-sims, kth=P - 1, axis=1)[:, :P].astype(np.int32)
+        # db rows (role 0) + nprobe query rows (role 1) per vector
+        idx = np.concatenate([np.arange(n), np.repeat(np.arange(n), P)])
+        cells = np.concatenate([own, probe.reshape(-1)])
+        roles = np.concatenate([np.zeros(n, np.uint8), np.ones(n * P, np.uint8)])
+        out = batch.take(pa.array(idx, pa.int64()))
+        out = out.append_column("ivf_cell", pa.array(cells, pa.int32()))
+        return out.append_column("ivf_role", pa.array(roles, pa.uint8()))
+
+
 def kmeans_centroids(sample: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10) -> np.ndarray:
     """Tiny k-means (numpy) over a driver-side sample to seed IVF cells."""
     rng = np.random.default_rng(seed)

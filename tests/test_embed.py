@@ -1,0 +1,66 @@
+"""Multi-probe IVF ANN: exactness at n_cells=1 and recall monotonicity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+K = 5
+
+
+@pytest.fixture(scope="module")
+def brute(ray_session):
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.array(t["embedding"].to_pylist(), np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1
+    mn = m / norm
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    return ids, sims
+
+
+def _run(n_cells, nprobe):
+    from hg_dedup_ray.pipelines.queries import ann_ivf_topk
+
+    return ann_ivf_topk(SF, n_cells=n_cells, nprobe=nprobe).to_pandas()
+
+
+def _recall(df, ids, sims):
+    rec = []
+    for i in range(len(ids)):
+        true_top = set(ids[np.argsort(-sims[i])[:K]])
+        got = set(df[df.query_id == ids[i]].neighbor_id)
+        rec.append(len(true_top & got) / K)
+    return float(np.mean(rec))
+
+
+def test_ivf_single_cell_is_exact_brute_force(brute):
+    """n_cells=1 must reproduce the brute-force top-k EXACTLY, ranks and
+    deterministic (-sim, id) tie-break included."""
+    ids, sims = brute
+    df = _run(1, 1).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    exact = []
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))[:K]
+        exact.extend((ids[i], ids[j], r + 1) for r, j in enumerate(order))
+    want = (
+        pd.DataFrame(exact, columns=["query_id", "neighbor_id", "rank"])
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert df.equals(want.astype(df.dtypes.to_dict()))
+
+
+def test_ivf_multiprobe_recall_monotone(brute):
+    """Recall must rise with nprobe and clear a floor at nprobe=2."""
+    ids, sims = brute
+    r1 = _recall(_run(8, 1), ids, sims)
+    r2 = _recall(_run(8, 2), ids, sims)
+    assert r2 > r1
+    assert r2 >= 0.45, r2
+    # every query answered, k rows each
+    df = _run(8, 2)
+    assert len(df) == len(ids) * K
