@@ -26,10 +26,13 @@ from hg_dedup_ray.config import DedupConfig
 __all__ = [
     "DedupConfig",
     "annotate_dataset",
+    "annotate_report",
     "dedup_dataset",
     "run_dedup",
     "run_dedup_resumable",
     "run_jsonl_dedup",
+    "write_dup_doc_overlays",
+    "write_remove_overlays",
 ]
 __version__ = "0.1.0"
 
@@ -52,4 +55,8 @@ def __getattr__(name):
         from hg_dedup_ray.pipelines.jsonl_workflow import run_jsonl_dedup
 
         return run_jsonl_dedup
+    if name in ("annotate_report", "write_dup_doc_overlays", "write_remove_overlays"):
+        from hg_dedup_ray.tools import overlay
+
+        return getattr(overlay, name)
     raise AttributeError(name)
