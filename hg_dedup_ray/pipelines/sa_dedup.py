@@ -206,11 +206,15 @@ def _hot_keys_parallel(cand, col: str = "bucket_key") -> np.ndarray:
 
 def _hot_keys(cand, cfg: DedupConfig) -> np.ndarray:
     """Pick the hot-key strategy by candidate volume: driver pass (small),
-    raw-task shard+reduce (medium — the default at bench scale and the
-    per-batch shape at 100 TB), Dataset groupby (huge — above
-    driver_key_limit, when even per-shard reduces need streaming)."""
+    raw-task shard+reduce (the default — each of the 32 reducers sorts
+    n/32 keys, fine into the billions), Dataset groupby only when even
+    per-shard reduces would outgrow a worker (distributed_key_limit,
+    default 2e9 rows; a 100 TB run processes per-batch far below that).
+    NOTE: driver_key_limit gates the separate BUCKET-BUILD path choice in
+    compute_cross_partition, not this counting step — conflating the two
+    once cost 26 s of Dataset-groupby counting at 40M rows."""
     n = cand.count()
-    if n > int(cfg.extra.get("driver_key_limit", 30_000_000)):
+    if n > int(cfg.extra.get("distributed_key_limit", 2_000_000_000)):
         return _hot_keys_distributed(cand)
     if n > int(cfg.extra.get("hot_parallel_limit", 2_000_000)):
         return _hot_keys_parallel(cand)
@@ -368,7 +372,10 @@ def compute_cross_partition(docs, cfg: DedupConfig, cand=None):
     # and only group the tiny survivor set. Below driver_key_limit both
     # the key count and the bucket build run as driver streaming passes
     # (no shuffle at all); above it, both run distributed.
-    limit = int(cfg.extra.get("driver_key_limit", 30_000_000))
+    # driver bucket-build: a streaming pass over the compact candidate
+    # rows (~1 s at 40M rows). The Dataset-groupby alternative costs ~10x
+    # at that size, so the crossover sits far higher.
+    limit = int(cfg.extra.get("driver_key_limit", 200_000_000))
     driver_path = cand.count() <= limit
     hot = _hot_keys(cand, cfg)
     if hot.shape[0] == 0:

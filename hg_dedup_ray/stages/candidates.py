@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from hg_dedup_ray.config import DedupConfig
 from hg_dedup_ray.functions.arrow_utils import string_column_bytes
@@ -33,7 +34,9 @@ class CandidateEmitter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         buf, offsets = string_column_bytes(batch["text"])
-        urls = batch["url"].to_numpy(zero_copy_only=False)
+        url_col = batch["url"]
+        if isinstance(url_col, pa.ChunkedArray):
+            url_col = url_col.combine_chunks()
         seqs = batch["doc_seq"].to_numpy(zero_copy_only=False)
         parts = batch["part"].to_numpy(zero_copy_only=False)
 
@@ -54,7 +57,9 @@ class CandidateEmitter:
             {
                 "bucket_key": pa.array(keys, pa.uint64()),
                 "kind": pa.array(kinds, pa.uint8()),
-                "url": pa.array(urls[idx]),
+                # C-level string gather — a numpy object-array fancy index
+                # here cost ~3x the whole emit at 40M exploded rows
+                "url": pc.take(url_col, pa.array(idx, pa.int64())),
                 "doc_seq": pa.array(seqs[idx], pa.int64()),
                 "part": pa.array(parts[idx], pa.int32()),
             }
