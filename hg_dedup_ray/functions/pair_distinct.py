@@ -67,10 +67,13 @@ def distinct_pairs(ds, key_cols: list[str], int_key_cols: tuple[str, str], carry
 def hot_u64_keys(mat_ds, col: str, parallel_limit: int = 2_000_000) -> np.ndarray:
     """u64 key values appearing >= 2 times in a MATERIALIZED dataset —
     the prefilter that keeps per-group Python off singleton keys. Below
-    ``parallel_limit`` rows this streams only the 8-byte key column to
-    the driver (zero-copy block reads, no shuffle); above it, the
-    two-round raw-task shard+reduce (pipelines/sa_dedup._hot_keys_parallel)
-    runs the same count 32 ways with only the rare hot keys returning."""
+    ``parallel_limit`` rows this fetches the blocks and np.uniques the
+    8-byte key column on the driver (one process-local pass; on a single
+    node the block fetch is zero-copy plasma, and multi-node block
+    transfer at <2M rows is noise); above it, the two-round raw-task
+    shard+reduce (pipelines/sa_dedup._hot_keys_parallel) runs the same
+    count 32 ways with only the rare hot keys returning — THAT is the
+    path a 100 TB run takes, and it ships the key column only."""
     import ray
 
     if mat_ds.count() > parallel_limit:

@@ -93,8 +93,13 @@ class ByteQuadTokenizer:
 class HFTokenizer:
     """The reference's gpt2/llama/olmo path (indexing_v6_sharded.py:
     205-218) — requires ``transformers``, which is not installed in this
-    environment (no network). The adapter is real; only the model load is
-    gated."""
+    environment (no network), so the constructor raises here. The
+    encode/decode/range surface below is implemented for the real-install
+    case (fast tokenizers expose per-token byte offsets, which is what
+    ``token_range_to_bytes`` needs for variable-width tokens) but is
+    necessarily untested offline."""
+
+    width = None  # variable-width: byte mapping goes through offsets
 
     def __init__(self, name: str = "gpt2"):
         try:  # pragma: no cover - transformers absent here
@@ -106,8 +111,37 @@ class HFTokenizer:
                 "builtin bytepair/bytequad tokenizers for the u16/u32 "
                 "plumbing"
             ) from e
-        self.tok = AutoTokenizer.from_pretrained(name)  # pragma: no cover
+        self.tok = AutoTokenizer.from_pretrained(name, use_fast=True)  # pragma: no cover
         self.dtype = np.uint16 if len(self.tok) < 0xFFFF else np.uint32  # pragma: no cover
+        self._offsets: np.ndarray | None = None  # pragma: no cover
+
+    def encode(self, data: bytes) -> np.ndarray:  # pragma: no cover
+        enc = self.tok(
+            data.decode("utf-8", errors="replace"),
+            add_special_tokens=False,
+            return_offsets_mapping=True,
+        )
+        # char offsets -> byte offsets for the last-encoded doc (the scan
+        # calls encode then maps ranges of the same doc back immediately)
+        text = data.decode("utf-8", errors="replace")
+        char_to_byte = np.cumsum(
+            [0] + [len(c.encode("utf-8")) for c in text]
+        )
+        self._offsets = np.array(
+            [(char_to_byte[s], char_to_byte[e]) for s, e in enc["offset_mapping"]],
+            dtype=np.int64,
+        ).reshape(-1, 2)
+        return np.asarray(enc["input_ids"], dtype=self.dtype)
+
+    def decode(self, tokens: np.ndarray, n_bytes: int) -> bytes:  # pragma: no cover
+        return self.tok.decode(tokens.tolist()).encode("utf-8")[:n_bytes]
+
+    def token_range_to_bytes(self, s: int, e: int, n_bytes: int) -> tuple[int, int]:  # pragma: no cover
+        off = self._offsets
+        if off is None or off.shape[0] == 0 or s >= off.shape[0]:
+            return 0, 0
+        e = min(e, off.shape[0])
+        return int(off[s, 0]), min(int(off[e - 1, 1]), n_bytes)
 
 
 def get_tokenizer(name: str):
