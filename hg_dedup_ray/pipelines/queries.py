@@ -127,46 +127,183 @@ def sa_dedup_documents(sf_dir: str, minlen: int = 64):
 
 
 def simhash_sigs(sf_dir: str):
-    """64-bit SimHash signatures + 16-bit LSH bands per doc (rows-only)."""
+    """64-bit SimHash signatures + 16-bit LSH bands per doc (rows-only).
+
+    Runs as a task closure on Ray's warm shared workers (_task_stage):
+    the hasher's state is a few compiled tables — an actor pool's ~2s
+    spin-up would dominate this sub-second stage."""
+    from hg_dedup_ray.pipelines.sa_dedup import _task_stage
+
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=_pool()
+        _task_stage(SimHasher), batch_format="pyarrow", batch_size=2048
     )
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: int = 32):
     """Doc pairs with exact k-shingle Jaccard >= threshold, candidates via
-    MinHash bands (rows-only; O(n^2) SQL is not a reasonable oracle)."""
-    from hg_dedup_ray.pipelines.sa_dedup import candidate_pairs, extract_docs, _collect_texts
-    from hg_dedup_ray.stages.pair_verify import PairVerifier
+    MinHash bands (rows-only; O(n^2) SQL is not a reasonable oracle).
+
+    Fully distributed — nothing text-sized touches the driver: candidate
+    pairs (compact int rows) explode into two member rows each, texts
+    attach via the bucketed doc_seq hash join (the dupset_join pattern:
+    doc side pre-filtered with a broadcast int64 seq array so only
+    candidate texts enter the shuffle), and each pair-hash bucket
+    verifies its pairs with per-doc shingle sets computed ONCE per
+    bucket."""
+    from hg_dedup_ray.functions.minhash import shingle_hashes
+    from hg_dedup_ray.pipelines.sa_dedup import candidate_pairs, extract_docs
 
     cfg = DedupConfig(
         minlen=64, num_partitions=4, shingle_k=8,
         seq_col="doc_id", id_col="doc_id", text_col="text",
     )
-    docs = extract_docs(_docs(sf_dir, columns=["doc_id", "text"]), cfg).materialize()
-    pair_rows = candidate_pairs(docs, cfg).take_all()
-    if not pair_rows:
-        return pa.table(
+    k = cfg.shingle_k
+    empty = ray.data.from_arrow(
+        pa.table(
             {"doc_id_a": pa.array([], pa.int64()), "doc_id_b": pa.array([], pa.int64())}
         )
-    urls = {r["url_a"] for r in pair_rows} | {r["url_b"] for r in pair_rows}
-    texts_ref = ray.put(_collect_texts(docs, urls))
-    verified = (
-        ray.data.from_items(pair_rows)
-        .map_batches(
-            PairVerifier,
-            fn_constructor_args=(cfg, texts_ref),
-            batch_format="pyarrow",
-            batch_size=256,
-            concurrency=_pool(),
+    )
+    docs = extract_docs(_docs(sf_dir, columns=["doc_id", "text"]), cfg).materialize()
+    pairs = candidate_pairs(docs, cfg).materialize()
+    if pairs.count() == 0:
+        return empty
+
+    def to_member_rows(b: pa.Table) -> pa.Table:
+        sa_ = b["seq_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb_ = b["seq_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pid = (sa_ << np.uint64(32)) | sb_
+        seqs = np.concatenate([sa_, sb_]).astype(np.int64)
+        pids = np.concatenate([pid, pid])
+        n = seqs.shape[0]
+        return pa.table(
+            {
+                "seq_bucket": pa.array(seqs % num_buckets, pa.int64()),
+                "side": pa.array(np.ones(n, np.uint8), pa.uint8()),
+                "doc_seq": pa.array(seqs, pa.int64()),
+                "pid": pa.array(pids, pa.uint64()),
+                "text": pa.nulls(n, pa.string()),
+            }
         )
-        .take_all()
+
+    members = pairs.map_batches(to_member_rows, batch_format="pyarrow").materialize()
+    # broadcast ONLY the candidate seqs (8 B each) for the doc-side filter
+    seqs_needed = np.unique(
+        np.concatenate(
+            [
+                t["doc_seq"].to_numpy(zero_copy_only=False)
+                for t in ray.get(members.to_arrow_refs())
+                if len(t)
+            ]
+            or [np.empty(0, np.int64)]
+        )
     )
-    a = [int(r["seq_a"]) for r in verified if r["jaccard"] >= threshold]
-    b = [int(r["seq_b"]) for r in verified if r["jaccard"] >= threshold]
-    return pa.table(
-        {"doc_id_a": pa.array(a, pa.int64()), "doc_id_b": pa.array(b, pa.int64())}
+    filter_ref = ray.put(seqs_needed)
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        keep = get_broadcast(filter_ref)
+        s = b["doc_seq"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keep, s)
+        mask = (pos < keep.shape[0]) & (keep[np.minimum(pos, keep.shape[0] - 1)] == s)
+        b = b.filter(pa.array(mask))
+        n = len(b)
+        return pa.table(
+            {
+                "seq_bucket": pa.array(
+                    b["doc_seq"].to_numpy(zero_copy_only=False) % num_buckets,
+                    pa.int64(),
+                ),
+                "side": pa.array(np.zeros(n, np.uint8), pa.uint8()),
+                "doc_seq": b["doc_seq"],
+                "pid": pa.nulls(n, pa.uint64()),
+                "text": b["text"],
+            }
+        )
+
+    def attach_text(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        d = group.filter(pa.array(side == 0))
+        m = group.filter(pa.array(side == 1))
+        out_empty = pa.table(
+            {
+                "pid": pa.array([], pa.uint64()),
+                "pbucket": pa.array([], pa.int64()),
+                "doc_seq": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+        if len(d) == 0 or len(m) == 0:
+            return out_empty
+        dseq = d["doc_seq"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dseq, kind="stable")
+        mseq = m["doc_seq"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dseq[order], mseq)
+        ok = (pos < dseq.shape[0]) & (
+            dseq[order][np.minimum(pos, dseq.shape[0] - 1)] == mseq
+        )
+        if not ok.all():  # member without a doc row: drop (defensive)
+            m = m.filter(pa.array(ok))
+            pos = pos[ok]
+        pid = m["pid"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pid": m["pid"],
+                "pbucket": pa.array((pid % np.uint64(num_buckets)).astype(np.int64)),
+                "doc_seq": m["doc_seq"],
+                "text": pc.take(d["text"], pa.array(order[pos], pa.int64())),
+            }
+        )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {"doc_id_a": pa.array([], pa.int64()), "doc_id_b": pa.array([], pa.int64())}
+        )
+        n = len(group)
+        if n == 0:
+            return out_empty
+        seq = group["doc_seq"].to_numpy(zero_copy_only=False)
+        pid = group["pid"].to_numpy(zero_copy_only=False)
+        # per-doc shingle set computed ONCE per bucket
+        uniq, inv = np.unique(seq, return_inverse=True)
+        first = np.zeros(uniq.shape[0], np.int64)
+        first[inv[::-1]] = np.arange(n - 1, -1, -1)
+        texts = group["text"].to_pylist()
+        sets = [
+            np.unique(
+                shingle_hashes(
+                    np.frombuffer(texts[f].encode("utf-8"), np.uint8), k
+                )
+            )
+            if texts[f]
+            else np.empty(0, np.uint64)
+            for f in first
+        ]
+        a_out, b_out = [], []
+        for p in np.unique(pid):
+            ix = inv[pid == p]
+            if ix.shape[0] < 2:
+                continue  # defensive: missing doc row
+            sa_, sb_ = sets[ix[0]], sets[ix[1]]
+            inter = np.intersect1d(sa_, sb_, assume_unique=True).shape[0]
+            union = sa_.shape[0] + sb_.shape[0] - inter
+            if (inter / union if union else 1.0) >= threshold:
+                a_out.append(int(p >> np.uint64(32)))
+                b_out.append(int(p & np.uint64(0xFFFFFFFF)))
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a_out, pa.int64()),
+                "doc_id_b": pa.array(b_out, pa.int64()),
+            }
+        )
+
+    joined = (
+        docs.map_batches(doc_rows, batch_format="pyarrow")
+        .union(members)
+        .groupby("seq_bucket")
+        .map_groups(attach_text, batch_format="pyarrow")
     )
+    return joined.groupby("pbucket").map_groups(verify_bucket, batch_format="pyarrow")
 
 
 def ngram_jaccard_exact_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: int = 64):
@@ -430,12 +567,12 @@ def ann_topk(sf_dir: str):
     qmat = np.stack(qt.sort_values("vec_id")["embedding"].to_numpy())
     qids = qt.sort_values("vec_id")["vec_id"].to_numpy()
     queries_ref = ray.put({"qids": qids, "qmat": qmat})
+    from hg_dedup_ray.pipelines.sa_dedup import _task_stage
+
     partials = emb.map_batches(
-        PartialTopK,
-        fn_constructor_args=(queries_ref, ANN_K),
+        _task_stage(PartialTopK, queries_ref, ANN_K),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=_pool(),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: merge_topk(g, ANN_K), batch_format="pyarrow"
@@ -470,12 +607,12 @@ def ann_ivf_topk(sf_dir: str, n_cells: int = 8, nprobe: int = 2):
     )
     cents = kmeans_centroids(sample, n_cells)
     cents_ref = ray.put(cents)
+    from hg_dedup_ray.pipelines.sa_dedup import _task_stage
+
     assigned = emb.map_batches(
-        IvfMultiProbeAssigner,
-        fn_constructor_args=(cents_ref, nprobe),
+        _task_stage(IvfMultiProbeAssigner, cents_ref, nprobe),
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=_pool(),
     )
 
     empty = pa.table(
@@ -557,11 +694,12 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
     from hg_dedup_ray.functions.pair_distinct import distinct_pairs, hot_u64_keys
     from hg_dedup_ray.stages.simhash import SimHashBandEmitter, simhash_bucket_pairs
 
+    from hg_dedup_ray.pipelines.sa_dedup import _task_stage
+
     bands = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        SimHashBandEmitter,
+        _task_stage(SimHashBandEmitter),
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=_pool(),
     ).materialize()
     hot = hot_u64_keys(bands, "band_key")
     if hot.shape[0] == 0:

@@ -124,13 +124,25 @@ def near_dup_pairs_blocked(emb_ds, threshold: float):
     def tile(thr: float, ta: pa.Table, tb: pa.Table) -> pa.Table:
         return _block_pair_table(ta, tb, thr)
 
-    # C blocks -> C(C+1)/2 tiles; size C so the tile count saturates the
-    # cluster (C ~ sqrt(4*cpus) -> ~2 tiles per CPU) — a single-block
-    # input would otherwise run one serial task
+    # C blocks -> C(C+1)/2 tiles. Three bounds on C:
+    #  - work: >=1536 rows per block so per-tile matmul work dominates the
+    #    ~10ms task fixed cost (a 2,500-row corpus wants ~3 tiles, not 66 —
+    #    the round-2 regression was exactly this overhead)
+    #  - saturation: ~2 tiles per CPU once the corpus is big enough
+    #  - memory: <=200k rows per block so two blocks + the sim tile fit a
+    #    worker heap comfortably
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    target_blocks = max(2, int((4 * cpus) ** 0.5))
     mat = emb_ds.materialize()
+    n = mat.count()
+    target_blocks = max(
+        2,
+        min(-(-n // 1536), int((4 * cpus) ** 0.5)),
+        -(-n // 200_000),
+    )
     if mat.num_blocks() < target_blocks:
+        mat = mat.repartition(target_blocks).materialize()
+    elif mat.num_blocks() > 4 * target_blocks:
+        # tiny blocks explode the tile count quadratically; coalesce
         mat = mat.repartition(target_blocks).materialize()
     refs = mat.to_arrow_refs()
     out = [
