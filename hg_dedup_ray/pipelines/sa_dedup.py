@@ -163,7 +163,8 @@ def _hot_keys_driver(cand) -> np.ndarray:
     ]
     allk = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
     u, c = np.unique(allk, return_counts=True)
-    return u[c >= 2]
+    hot = c >= 2
+    return u[hot], int(c[hot].sum())
 
 
 _HOT_SHARDS = 32
@@ -181,13 +182,14 @@ def _shard_block_keys(tab: pa.Table, col: str = "bucket_key"):
 
 
 @ray.remote
-def _reduce_hot_shard(*chunks) -> np.ndarray:
+def _reduce_hot_shard(*chunks):
     allk = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
     u, c = np.unique(allk, return_counts=True)
-    return u[c >= 2]
+    hot = c >= 2
+    return u[hot], int(c[hot].sum())
 
 
-def _hot_keys_parallel(cand, col: str = "bucket_key") -> np.ndarray:
+def _hot_keys_parallel(cand, col: str = "bucket_key", return_rows: bool = False):
     """Two-round raw-task shard + reduce: each block's key column splits
     into 32 hash shards (map side), one reducer per shard np.uniques its
     slice. Same result as `_hot_keys_driver` with the O(n log n) sort
@@ -201,10 +203,14 @@ def _hot_keys_parallel(cand, col: str = "bucket_key") -> np.ndarray:
         for s in range(_HOT_SHARDS)
     ]
     parts = ray.get(hot_refs)
-    return np.concatenate(parts) if parts else np.empty(0, np.uint64)
+    keys = (
+        np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.uint64)
+    )
+    rows = sum(p[1] for p in parts)
+    return (keys, rows) if return_rows else keys
 
 
-def _hot_keys(cand, cfg: DedupConfig) -> np.ndarray:
+def _hot_keys(cand, cfg: DedupConfig, return_rows: bool = False):
     """Pick the hot-key strategy by candidate volume: driver pass (small),
     raw-task shard+reduce (the default — each of the 32 reducers sorts
     n/32 keys, fine into the billions), Dataset groupby only when even
@@ -212,13 +218,19 @@ def _hot_keys(cand, cfg: DedupConfig) -> np.ndarray:
     default 2e9 rows; a 100 TB run processes per-batch far below that).
     NOTE: driver_key_limit gates the separate BUCKET-BUILD path choice in
     compute_cross_partition, not this counting step — conflating the two
-    once cost 26 s of Dataset-groupby counting at 40M rows."""
+    once cost 26 s of Dataset-groupby counting at 40M rows.
+
+    ``return_rows=True`` additionally returns the TOTAL row count across
+    hot buckets (the dup-set member volume) — computed for free inside
+    the same np.unique passes; the auto dup-set router keys off it."""
     n = cand.count()
     if n > int(cfg.extra.get("distributed_key_limit", 2_000_000_000)):
-        return _hot_keys_distributed(cand)
-    if n > int(cfg.extra.get("hot_parallel_limit", 2_000_000)):
-        return _hot_keys_parallel(cand)
-    return _hot_keys_driver(cand)
+        out = _hot_keys_distributed(cand)
+    elif n > int(cfg.extra.get("hot_parallel_limit", 2_000_000)):
+        out = _hot_keys_parallel(cand, return_rows=True)
+    else:
+        out = _hot_keys_driver(cand)
+    return out if return_rows else out[0]
 
 
 def _hot_keys_distributed(cand) -> np.ndarray:
@@ -236,7 +248,13 @@ def _hot_keys_distributed(cand) -> np.ndarray:
     def shard_hot(g: pa.Table) -> pa.Table:
         k = g["bucket_key"].to_numpy(zero_copy_only=False)
         u, c = np.unique(k, return_counts=True)
-        return pa.table({"bucket_key": pa.array(u[c >= 2], pa.uint64())})
+        hot = c >= 2
+        return pa.table(
+            {
+                "bucket_key": pa.array(u[hot], pa.uint64()),
+                "n_rows": pa.array(c[hot].astype(np.int64), pa.int64()),
+            }
+        )
 
     rows = (
         cand.select_columns(["bucket_key"])
@@ -245,7 +263,8 @@ def _hot_keys_distributed(cand) -> np.ndarray:
         .map_groups(shard_hot, batch_format="pyarrow")
         .take_all()
     )
-    return np.array([r["bucket_key"] for r in rows], dtype=np.uint64)
+    keys = np.array([r["bucket_key"] for r in rows], dtype=np.uint64)
+    return keys, int(sum(r["n_rows"] for r in rows))
 
 
 def _driver_buckets(cand, hot: np.ndarray, max_docs: int = 256) -> list[dict]:
@@ -306,7 +325,7 @@ def _resolve_clusters(edges, cfg: DedupConfig):
     return union_find_clusters(edges)
 
 
-def compute_cross_partition_bucketed(docs, cfg: DedupConfig, cand=None):
+def compute_cross_partition_bucketed(docs, cfg: DedupConfig, cand=None, hot=None):
     """The distributed dup-set path (stages/dupset_join.py): candidate
     buckets -> exploded member rows -> bucketed hash join on doc_seq to
     attach texts -> per-group assembly (SA scan / pair verify). No text
@@ -327,7 +346,8 @@ def compute_cross_partition_bucketed(docs, cfg: DedupConfig, cand=None):
             batch_size=cfg.batch_size,
         )
     cand = cand.materialize()
-    hot = _hot_keys(cand, cfg)
+    if hot is None:
+        hot = _hot_keys(cand, cfg)
     if hot.shape[0] == 0:
         return ("tables", []), {}
     hot_ref = ray.put(pa.array(hot, pa.uint64()))
@@ -348,7 +368,7 @@ def compute_cross_partition_bucketed(docs, cfg: DedupConfig, cand=None):
     return ("tables", span_refs), _resolve_clusters(edges, cfg)
 
 
-def compute_cross_partition(docs, cfg: DedupConfig, cand=None):
+def compute_cross_partition(docs, cfg: DedupConfig, cand=None, hot=None):
     """Cross-partition stage: (xranges, clusters) dicts.
 
     ONE fused pass emits band + fingerprint rows (or, with the pruned
@@ -377,7 +397,8 @@ def compute_cross_partition(docs, cfg: DedupConfig, cand=None):
     # at that size, so the crossover sits far higher.
     limit = int(cfg.extra.get("driver_key_limit", 200_000_000))
     driver_path = cand.count() <= limit
-    hot = _hot_keys(cand, cfg)
+    if hot is None:
+        hot = _hot_keys(cand, cfg)
     if hot.shape[0] == 0:
         return {}, union_find_clusters([])
     if driver_path:
@@ -511,13 +532,36 @@ def dedup_dataset(ds, cfg: DedupConfig):
     xranges_ref = None
     clusters_ref = None
     if cfg.num_partitions > 1:
-        if cfg.extra.get("dupset_strategy", "broadcast") == "bucketed":
+        # dup-set strategy (default "auto"): count the dup-set member rows
+        # (free inside the hot-key np.unique passes) and pick
+        #   - "broadcast" below dupset_broadcast_limit — the driver holds
+        #     ONLY the dup set's texts (targeted-block fetch), cheapest at
+        #     interactive scale;
+        #   - "bucketed" above it — the stages/dupset_join hash join keeps
+        #     every byte of text in the object store; at web-scale dup
+        #     density (30-50% duplicated) the broadcast dict would be TBs,
+        #     so the out-of-the-box 100 TB run takes this path with no
+        #     flags. Explicit "broadcast"/"bucketed" values force a path.
+        strategy = cfg.extra.get("dupset_strategy", "auto")
+        cand = pre_cand
+        if cand is None:
+            cand = docs.map_batches(
+                _task_stage(CandidateEmitter, cfg),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+        cand = cand.materialize()
+        hot, hot_rows = _hot_keys(cand, cfg, return_rows=True)
+        if strategy == "auto":
+            limit = int(cfg.extra.get("dupset_broadcast_limit", 100_000))
+            strategy = "broadcast" if hot_rows <= limit else "bucketed"
+        if strategy == "bucketed":
             xranges_payload, clusters = compute_cross_partition_bucketed(
-                docs, cfg, cand=pre_cand
+                docs, cfg, cand=cand, hot=hot
             )
             xranges_ref = ray.put(xranges_payload)  # refs only — no text
         else:
-            xranges, clusters = compute_cross_partition(docs, cfg, cand=pre_cand)
+            xranges, clusters = compute_cross_partition(docs, cfg, cand=cand, hot=hot)
             xranges_ref = ray.put(xranges)
         clusters_ref = ray.put(clusters)
 

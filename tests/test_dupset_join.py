@@ -54,6 +54,29 @@ def test_bucketed_matches_broadcast(ds, monkeypatch):
     assert got_rr == want_rr
 
 
+def test_auto_routes_to_bucketed_above_limit(ds, monkeypatch):
+    """Default config ships dupset_strategy='auto': above the member-row
+    limit it must take the bucketed scale path WITHOUT any strategy flag
+    and never collect text on the driver. The limit override stands in
+    for web-scale dup density on the small fixture."""
+    ds, tags = ds
+    want, want_rr = _norm(dedup_dataset(ds, _cfg()).to_pandas())
+
+    import hg_dedup_ray.pipelines.sa_dedup as sd
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side text collection on the auto scale path")
+
+    monkeypatch.setattr(sd, "_collect_texts", _boom)
+    monkeypatch.setattr(sd, "_collect_texts_by_seq", _boom)
+    got, got_rr = _norm(
+        dedup_dataset(ds, _cfg(extra={"dupset_broadcast_limit": 0})).to_pandas()
+    )
+    assert (got["n_removed_bytes"].to_numpy() == want["n_removed_bytes"].to_numpy()).all()
+    assert (got["cluster_id"].to_numpy() == want["cluster_id"].to_numpy()).all()
+    assert got_rr == want_rr
+
+
 def test_bucketed_unfiltered_join_matches(ds):
     """Force the no-prefilter branch (dupset_filter_limit=0): the full
     bucketed text shuffle — the true 100 TB fallback — must still match."""
