@@ -183,6 +183,34 @@ ORACLE_SQL = {
             FROM s)
         WHERE rank <= {ANN_K}
     """,
+    "ann_ivf_exhaustive": f"""
+        -- nprobe == n_cells makes IVF exhaustive == brute force, so the
+        -- plain all-queries top-k is a valid oracle for the IVF machinery
+        WITH s AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+                          list_cosine_similarity(q.embedding, e.embedding) AS sim
+                   FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id)
+        SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+                       AS rank
+            FROM s)
+        WHERE rank <= {ANN_K}
+    """,
+    "top_docs_per_lang": """
+        SELECT lang, doc_id, n_chars, lang_rank FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id)
+                       AS lang_rank
+            FROM documents)
+        WHERE lang_rank <= 3
+    """,
+    "lang_len_percentiles": """
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               quantile_disc(n_chars, 0.5)::BIGINT AS p50_chars,
+               quantile_disc(n_chars, 0.9)::BIGINT AS p90_chars
+        FROM documents GROUP BY lang
+    """,
     "embedding_near_dup_pairs": f"""
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

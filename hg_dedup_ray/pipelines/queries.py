@@ -681,6 +681,83 @@ def ann_ivf_topk(sf_dir: str, n_cells: int = 8, nprobe: int = 2):
     )
 
 
+def ann_ivf_exhaustive(sf_dir: str):
+    """IVF multi-probe with nprobe == n_cells: the probe set is
+    exhaustive, so the result EQUALS brute-force top-k over every vector
+    as a query — which pins the whole IVF machinery (assignment, per-cell
+    top-k, global merge) to a DuckDB oracle. ``ann_ivf_topk`` keeps the
+    approximate production config (nprobe < n_cells, rows-only)."""
+    return ann_ivf_topk(sf_dir, n_cells=8, nprobe=8)
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Windowed top-k per group (rank() shape): per lang, the k largest
+    docs by n_chars, doc_id tiebreak. One groupby over the BOUNDED lang
+    enum; per-group work is one vectorized lexsort + slice. Per-block
+    partial top-k runs first so only k rows per (block, lang) shuffle."""
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc, lang))
+        lang_s = lang[order]
+        new = np.concatenate(([True], lang_s[1:] != lang_s[:-1]))
+        rid = np.cumsum(new) - 1
+        run_start = np.cumsum(np.bincount(rid)) - np.bincount(rid)
+        local = np.arange(lang_s.shape[0]) - run_start[rid]
+        keep = order[local < k]
+        return batch.take(pa.array(keep, pa.int64()))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        nc = group["n_chars"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc))[:k]
+        return pa.table(
+            {
+                "lang": group["lang"].take(pa.array(order, pa.int64())),
+                "doc_id": pa.array(did[order], pa.int64()),
+                "n_chars": pa.array(nc[order], pa.int64()),
+                "lang_rank": pa.array(np.arange(1, order.shape[0] + 1), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=8192)
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+def lang_len_percentiles(sf_dir: str):
+    """Exact discrete percentiles (quantile_disc semantics: the smallest
+    value whose cumulative fraction >= p) of n_chars per lang. Groups are
+    the bounded lang enum; per-group math is one sort + two gathers."""
+
+    def pct(group: pa.Table) -> pa.Table:
+        nc = np.sort(group["n_chars"].to_numpy(zero_copy_only=False))
+        n = nc.shape[0]
+
+        def disc(p: float) -> int:
+            return int(nc[max(int(np.ceil(p * n)) - 1, 0)])
+
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "n_docs": pa.array([n], pa.int64()),
+                "p50_chars": pa.array([disc(0.5)], pa.int64()),
+                "p90_chars": pa.array([disc(0.9)], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(pct, batch_format="pyarrow")
+    )
+
+
 def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
     """Near-dup doc pairs via SimHash: band explode -> hot-band prefilter
     -> groupby(band_key) -> within-bucket Hamming filter -> vectorized
@@ -1502,5 +1579,8 @@ QUERIES = {
     "corpus_stats": corpus_stats,
     "ann_topk": ann_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_exhaustive": ann_ivf_exhaustive,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "top_docs_per_lang": top_docs_per_lang,
+    "lang_len_percentiles": lang_len_percentiles,
 }
