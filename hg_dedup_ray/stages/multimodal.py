@@ -6,18 +6,20 @@ extraction / resize / frame sampling are **actor-pool map_batches
 stages** — codec/model state is constructed once per actor in
 ``__init__``, batches stay small because payloads are large.
 
-The image/audio codec libraries are not available in this environment,
-so the decode step is STUBBED with a deterministic fake decoder
-(``FakeCodec``) behind a capability gate: if PIL/soundfile were
-importable they would be used; otherwise the stage still exercises the
-real Ray plumbing (schema, actor signature, batch sizing, zero-copy
-binary buffers) against deterministically synthesized payloads.
+Decode is REAL: payloads are standard container formats parsed by the
+dependency-free ``StdCodec`` —
 
-Payload wire format used by the synthesizer + fake codec (little-endian):
+    image: binary PPM (``P6``, RGB) / PGM (``P5``, grayscale) — full
+           header grammar (whitespace + ``#`` comments), netpbm spec
+    audio: RIFF/WAVE, PCM 16-bit — proper chunk walk (fmt / data)
+    video: YUV4MPEG2 (Y4M) mono — header params + FRAME-delimited planes
 
-    image: b"IMG0" | u16 width | u16 height | u8 channels | pixel bytes
-    audio: b"AUD0" | u32 sample_rate | i16 PCM samples
-    video: b"VID0" | u16 width | u16 height | u16 n_frames | frame bytes
+plus the round-1 synthetic wire formats (IMG0/AUD0/VID0 headers) kept
+for back-compat. The payload synthesizers below emit the REAL formats,
+built from each row's actual input bytes (the ``html`` column when
+present, else utf-8 text), so every downstream feature depends on real
+input AND real container parsing. PIL/libsndfile/pyav would only add
+lossy-codec support (JPEG/MP3/H.264) — gated on import as before.
 """
 
 from __future__ import annotations
@@ -46,28 +48,61 @@ def _tile_bytes(data: bytes, need: int) -> np.ndarray:
     return np.resize(src, need)
 
 
+def ppm_bytes(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6); (h, w, 1)/(h, w) -> PGM (P5)."""
+    if pixels.ndim == 3 and pixels.shape[2] == 3:
+        magic = b"P6"
+    else:
+        magic = b"P5"
+        pixels = pixels.reshape(pixels.shape[0], pixels.shape[1])
+    h, w = pixels.shape[0], pixels.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def wav_bytes(pcm: np.ndarray, rate: int) -> bytes:
+    """mono int16 PCM -> canonical 44-byte-header RIFF/WAVE file."""
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def y4m_bytes(frames: np.ndarray) -> bytes:
+    """(n, h, w) uint8 -> YUV4MPEG2 stream (mono colourspace)."""
+    n, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode()
+    return head + b"".join(b"FRAME\n" + frames[i].tobytes() for i in range(n))
+
+
 def image_payload(data: bytes) -> bytes:
-    """Package REAL input bytes as an IMG0 payload: pixel plane = the
+    """Package REAL input bytes as a binary PPM (P6): pixel plane = the
     bytes themselves, square-ish dims derived from the content length."""
     c = 3
     side = int(np.clip(round((max(len(data), 1) / c) ** 0.5), 8, 64))
-    pix = _tile_bytes(data, side * side * c)
-    return b"IMG0" + struct.pack("<HHB", side, side, c) + pix.tobytes()
+    pix = _tile_bytes(data, side * side * c).reshape(side, side, c)
+    return ppm_bytes(pix)
 
 
 def audio_payload(data: bytes) -> bytes:
-    """Input bytes reinterpreted as 16 kHz i16 PCM (256..4096 samples)."""
+    """Input bytes reinterpreted as a 16 kHz mono 16-bit WAV file
+    (256..4096 samples)."""
     n = int(np.clip(len(data) // 2, 256, 4096))
-    pcm = _tile_bytes(data, n * 2)
-    return b"AUD0" + struct.pack("<I", 16000) + pcm.tobytes()
+    pcm = _tile_bytes(data, n * 2).view("<i2")
+    return wav_bytes(pcm, 16000)
 
 
 def video_payload(data: bytes) -> bytes:
-    """Input bytes as 16x12 grayscale frames (2..12 frames by length)."""
+    """Input bytes as a Y4M stream of 16x12 grayscale frames (2..12
+    frames by length)."""
     w, h = 16, 12
     n_frames = int(np.clip(-(-len(data) // (w * h)), 2, 12))
-    frames = _tile_bytes(data, n_frames * w * h)
-    return b"VID0" + struct.pack("<HHH", w, h, n_frames) + frames.tobytes()
+    frames = _tile_bytes(data, n_frames * w * h).reshape(n_frames, h, w)
+    return y4m_bytes(frames)
 
 
 def attach_payloads(batch: pa.Table, kind: str = "image") -> pa.Table:
@@ -86,39 +121,129 @@ def attach_payloads(batch: pa.Table, kind: str = "image") -> pa.Table:
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
 
 
-class FakeCodec:
-    """Deterministic stand-in decoder for the wire formats above.
+def _pnm_header(payload: bytes):
+    """Parse a netpbm binary header (P5/P6): returns (w, h, maxval,
+    data_offset). Full grammar — any whitespace between tokens, ``#``
+    comments to end-of-line."""
+    pos = 2  # past magic
+    vals: list[int] = []
+    n = len(payload)
+    while len(vals) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos] == 0x23:  # '#' comment
+            while pos < n and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed netpbm header")
+        vals.append(int(payload[start:pos]))
+    # exactly ONE whitespace byte after maxval, per spec
+    return vals[0], vals[1], vals[2], pos + 1
 
-    A real deployment replaces this with PIL / libsndfile / pyav; the
-    surrounding actor stages do not change.
-    """
 
-    def decode_image(self, payload: bytes):
-        assert payload[:4] == b"IMG0", "not an IMG0 payload"
-        w, h, c = struct.unpack_from("<HHB", payload, 4)
-        pix = np.frombuffer(payload, dtype=np.uint8, offset=9)
-        return pix.reshape(h, w, c)
+class StdCodec:
+    """Dependency-free decoder for standard uncompressed containers:
+    PPM/PGM images, RIFF/WAVE PCM audio, YUV4MPEG2 video — plus the
+    legacy synthetic IMG0/AUD0/VID0 wire formats. A real deployment adds
+    PIL / libsndfile / pyav alongside for LOSSY codecs; the surrounding
+    actor stages do not change."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        magic = payload[:2]
+        if magic in (b"P6", b"P5"):
+            w, h, maxval, off = _pnm_header(payload)
+            if maxval > 255:
+                raise ValueError("16-bit netpbm not supported")
+            c = 3 if magic == b"P6" else 1
+            pix = np.frombuffer(payload, np.uint8, count=w * h * c, offset=off)
+            return pix.reshape(h, w, c)
+        if payload[:4] == b"IMG0":  # legacy synthetic format
+            w, h, c = struct.unpack_from("<HHB", payload, 4)
+            return np.frombuffer(payload, np.uint8, offset=9).reshape(h, w, c)
+        raise ValueError("unsupported image container")
 
     def decode_audio(self, payload: bytes):
-        assert payload[:4] == b"AUD0", "not an AUD0 payload"
-        (rate,) = struct.unpack_from("<I", payload, 4)
-        pcm = np.frombuffer(payload, dtype=np.int16, offset=8)
-        return rate, pcm
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pos, n = 12, len(payload)
+            rate, bits, channels, data = None, 16, 1, None
+            while pos + 8 <= n:
+                cid = payload[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", payload, pos + 4)
+                body = payload[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt_tag, channels, rate, _br, _ba, bits = struct.unpack_from(
+                        "<HHIIHH", body, 0
+                    )
+                    if fmt_tag != 1 or bits != 16:
+                        raise ValueError("only 16-bit PCM WAV supported")
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)  # chunks are word-aligned
+            if rate is None or data is None:
+                raise ValueError("WAV missing fmt/data chunk")
+            pcm = np.frombuffer(data, "<i2")
+            if channels > 1:
+                pcm = pcm.reshape(-1, channels)[:, 0].copy()
+            return int(rate), pcm
+        if payload[:4] == b"AUD0":  # legacy synthetic format
+            (rate,) = struct.unpack_from("<I", payload, 4)
+            return rate, np.frombuffer(payload, np.int16, offset=8)
+        raise ValueError("unsupported audio container")
 
-    def decode_video(self, payload: bytes):
-        assert payload[:4] == b"VID0", "not a VID0 payload"
-        w, h, n = struct.unpack_from("<HHH", payload, 4)
-        frames = np.frombuffer(payload, dtype=np.uint8, offset=10)
-        return frames.reshape(n, h, w)
+    def decode_video(self, payload: bytes) -> np.ndarray:
+        if payload[:9] == b"YUV4MPEG2":
+            eol = payload.index(b"\n")
+            w = h = None
+            cspace = "420"
+            for tok in payload[9:eol].split():
+                if tok[:1] == b"W":
+                    w = int(tok[1:])
+                elif tok[:1] == b"H":
+                    h = int(tok[1:])
+                elif tok[:1] == b"C":
+                    cspace = tok[1:].decode()
+            if w is None or h is None:
+                raise ValueError("Y4M missing W/H")
+            if cspace == "mono":
+                fsize = w * h
+            elif cspace.startswith("420"):
+                fsize = w * h * 3 // 2
+            else:
+                raise ValueError(f"Y4M colourspace {cspace} not supported")
+            frames = []
+            pos = eol + 1
+            n = len(payload)
+            while pos < n:
+                feol = payload.index(b"\n", pos)
+                if payload[pos : pos + 5] != b"FRAME":
+                    raise ValueError("Y4M frame marker missing")
+                plane = np.frombuffer(payload, np.uint8, count=fsize, offset=feol + 1)
+                frames.append(plane[: w * h].reshape(h, w))  # luma plane
+                pos = feol + 1 + fsize
+            return np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+        if payload[:4] == b"VID0":  # legacy synthetic format
+            w, h, nf = struct.unpack_from("<HHH", payload, 4)
+            return np.frombuffer(payload, np.uint8, offset=10).reshape(nf, h, w)
+        raise ValueError("unsupported video container")
+
+
+# back-compat alias: round-1/2 name for the stand-in decoder; StdCodec
+# now parses real containers, so the alias simply points at it
+FakeCodec = StdCodec
 
 
 def _make_codec():
-    if _have_pil():  # pragma: no cover - real codec path, env lacks PIL
+    if _have_pil():  # pragma: no cover - env lacks PIL
         raise NotImplementedError(
-            "real PIL-backed codec deliberately not wired in this "
-            "environment; FakeCodec exercises the identical plumbing"
+            "lossy-codec (JPEG/PNG) support via PIL deliberately not "
+            "wired in this environment; StdCodec handles the real "
+            "uncompressed containers (PPM/PGM, WAV, Y4M)"
         )
-    return FakeCodec()
+    return StdCodec()
 
 
 class _HtmlExtract(object):
@@ -260,10 +385,7 @@ class ImageResizer:
             h, w, c = img.shape
             yi = (np.arange(t) * h // t).astype(np.int64)
             xi = (np.arange(t) * w // t).astype(np.int64)
-            small = img[yi][:, xi]
-            out.append(
-                b"IMG0" + struct.pack("<HHB", t, t, c) + small.tobytes()
-            )
+            out.append(ppm_bytes(img[yi][:, xi]))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -319,9 +441,7 @@ class FrameSampler:
             for f in range(0, n, self.stride):
                 ids.append(did)
                 frame_ix.append(f)
-                payloads.append(
-                    b"IMG0" + struct.pack("<HHB", w, h, 1) + frames[f].tobytes()
-                )
+                payloads.append(ppm_bytes(frames[f]))  # grayscale -> PGM
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),

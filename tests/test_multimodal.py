@@ -153,9 +153,80 @@ def test_simhash_near_dups_are_hamming_close():
 
 
 def test_real_codec_gate_documented():
-    # PIL is absent in this environment; _make_codec must yield the stub.
+    # PIL is absent in this environment; _make_codec must yield StdCodec
+    # (real uncompressed-container parsing; PIL would only add lossy).
     if mm._have_pil():
         with pytest.raises(NotImplementedError):
             mm._make_codec()
     else:
-        assert isinstance(mm._make_codec(), mm.FakeCodec)
+        assert isinstance(mm._make_codec(), mm.StdCodec)
+
+
+# ----------------------------------------------------------- real containers
+def test_payloads_are_real_standard_containers():
+    b = mm.attach_payloads(_batch([1]), "image")
+    assert b["payload"][0].as_py()[:2] == b"P6"  # binary PPM
+    b = mm.attach_payloads(_batch([1]), "audio")
+    p = b["payload"][0].as_py()
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    b = mm.attach_payloads(_batch([1]), "video")
+    assert b["payload"][0].as_py()[:9] == b"YUV4MPEG2"
+
+
+def test_ppm_header_grammar_with_comments():
+    """StdCodec must parse the full netpbm grammar, not just our writer's
+    layout: comments and arbitrary whitespace between header tokens."""
+    pix = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    crafted = b"P6 # a comment\n  3\t2 # another\n 255\n" + pix.tobytes()
+    img = mm.StdCodec().decode_image(crafted)
+    assert img.shape == (2, 3, 3)
+    assert (img == pix).all()
+    # PGM grayscale
+    g = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    assert (mm.StdCodec().decode_image(mm.ppm_bytes(g)) == g[..., None]).all()
+
+
+def test_wav_chunk_walk_and_extra_chunks():
+    pcm = (np.arange(100) * 300 % 20000 - 10000).astype(np.int16)
+    wav = mm.wav_bytes(pcm, 8000)
+    rate, got = mm.StdCodec().decode_audio(wav)
+    assert rate == 8000 and (got == pcm).all()
+    # a LIST chunk between fmt and data (real WAVs have these)
+    import struct as st
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    extra = b"LIST" + st.pack("<I", 4) + b"INFO"
+    data = pcm.tobytes()
+    crafted = (
+        b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + len(extra) + 8 + len(data))
+        + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + extra + b"data" + st.pack("<I", len(data)) + data
+    )
+    rate, got = mm.StdCodec().decode_audio(crafted)
+    assert rate == 8000 and (got == pcm).all()
+
+
+def test_y4m_roundtrip_and_c420():
+    frames = np.arange(3 * 4 * 6, dtype=np.uint8).reshape(3, 4, 6)
+    got = mm.StdCodec().decode_video(mm.y4m_bytes(frames))
+    assert (got == frames).all()
+    # C420 stream: luma plane extracted, chroma skipped
+    w, h = 6, 4
+    luma = frames[0]
+    chroma = np.zeros(w * h // 2, np.uint8)
+    stream = (
+        f"YUV4MPEG2 W{w} H{h} F25:1 C420jpeg\n".encode()
+        + b"FRAME\n" + luma.tobytes() + chroma.tobytes()
+    )
+    got = mm.StdCodec().decode_video(stream)
+    assert got.shape == (1, 4, 6)
+    assert (got[0] == luma).all()
+
+
+def test_codec_rejects_unknown_containers():
+    c = mm.StdCodec()
+    with pytest.raises(ValueError):
+        c.decode_image(b"GIF89a....")
+    with pytest.raises(ValueError):
+        c.decode_audio(b"OggS....")
+    with pytest.raises(ValueError):
+        c.decode_video(b"\x00\x00\x00\x20ftypmp42")
