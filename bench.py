@@ -22,7 +22,7 @@ import sys
 import time
 
 
-def _headline(sf_dir: str):
+def _headline(sf_dir: str, n_docs: int | None = None, n_reps: int | None = None):
     """Flagship: suffix-array substring dedup over the webpages-shaped
     corpus synthesized deterministically at bench scale (BASELINE.json
     input_hint shape), plus the documents-table operator suite."""
@@ -31,7 +31,8 @@ def _headline(sf_dir: str):
     from hg_dedup_ray.config import DedupConfig
     from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
 
-    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "96000"))
+    if n_docs is None:
+        n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "96000"))
     fixture_dir = f"/tmp/graft_bench_pages_{n_docs}"
     if not os.path.isdir(fixture_dir) or not os.listdir(fixture_dir):
         from hg_dedup_ray.sources.webpages import write_webpages
@@ -85,7 +86,8 @@ def _headline(sf_dir: str):
     # costs that don't exist in a long-running 100 TB job, and this
     # sandbox shows intermittent multi-second host-interference bursts;
     # the MINIMUM is the robust steady-state throughput estimate
-    n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    if n_reps is None:
+        n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     elapsed = None
     for _ in range(n_reps):
         t0 = time.time()
@@ -155,6 +157,31 @@ def run_bench() -> dict:
         "docs_per_sec": round(docs / headline_sec, 1),
         "mb_per_sec": round(mb / headline_sec, 3),
     }
+
+    # GB-scale stress point (the BASELINE.md 710 MB / 960k-doc line),
+    # machine-readable: same flagship pipeline at 10x the bench fixture.
+    # Skip with GRAFT_SKIP_STRESS=1; scaling subprocesses skip implicitly.
+    if not os.environ.get("GRAFT_SKIP_STRESS") and not os.environ.get(
+        "GRAFT_HEADLINE_ONLY"
+    ):
+        # default: 10x the bench fixture (960k docs / ~710 MB at the
+        # standard 96k bench size; scales down with GRAFT_BENCH_DOCS for
+        # fast smoke runs)
+        s_docs = int(
+            os.environ.get(
+                "GRAFT_STRESS_DOCS",
+                str(10 * int(os.environ.get("GRAFT_BENCH_DOCS", "96000"))),
+            )
+        )
+        s_reps = int(os.environ.get("GRAFT_STRESS_REPS", "2"))
+        s_sec, s_n, s_mb = _headline(sf_dir, n_docs=s_docs, n_reps=s_reps)
+        result["stress"] = {
+            "docs": s_n,
+            "mb": round(s_mb, 1),
+            "sec": round(s_sec, 3),
+            "docs_per_sec": round(s_n / s_sec, 1),
+            "mb_per_sec": round(s_mb / s_sec, 3),
+        }
     ray.shutdown()
     return result
 
