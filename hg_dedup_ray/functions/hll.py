@@ -1,0 +1,68 @@
+"""HyperLogLog distinct-count sketch over u64 hash streams.
+
+Classic Flajolet et al. HLL with the standard small-range (linear counting)
+correction. Registers are a dense uint8 array of m = 2^p cells, so a sketch
+is a fixed ~4 KB payload regardless of input size: per-batch partial
+sketches merge with an elementwise ``np.maximum`` — the textbook
+commutative-idempotent combiner, which makes the Ray shape a
+``map_batches`` partial + tiny ``groupby`` merge with NO full shuffle of
+the underlying values. Relative error ~= 1.04 / sqrt(m) (1.6% at p=12).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEFAULT_P = 12
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def empty_registers(p: int = DEFAULT_P) -> np.ndarray:
+    return np.zeros(1 << p, np.uint8)
+
+
+def add_hashes(regs: np.ndarray, hashes: np.ndarray, p: int = DEFAULT_P) -> np.ndarray:
+    """Fold a u64 hash array into the register set (in place, returned).
+
+    Cell = top p bits; rank = 1 + leading-zero count of the remaining
+    (64-p) bits, capped at 64-p+1 for the all-zero suffix. The suffix is
+    < 2^52 for p >= 12, so float64 log2 computes bit positions exactly.
+    """
+    if hashes.shape[0] == 0:
+        return regs
+    h = hashes.astype(np.uint64, copy=False)
+    w = 64 - p
+    idx = (h >> np.uint64(w)).astype(np.int64)
+    suffix = h & ((np.uint64(1) << np.uint64(w)) - np.uint64(1))
+    rank = np.full(h.shape[0], w + 1, np.uint8)
+    nz = suffix > 0
+    if nz.any():
+        top = np.floor(np.log2(suffix[nz].astype(np.float64))).astype(np.int64)
+        rank[nz] = (w - top).astype(np.uint8)
+    # per-cell max via np.maximum.at (unbuffered scatter-max)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def estimate(regs: np.ndarray) -> int:
+    """Bias-corrected cardinality estimate (int)."""
+    m = regs.shape[0]
+    inv = np.ldexp(1.0, -regs.astype(np.int64))  # 2^-reg
+    raw = _alpha(m) * m * m / float(inv.sum())
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * m and zeros > 0:
+        return int(round(m * np.log(m / zeros)))
+    return int(round(raw))

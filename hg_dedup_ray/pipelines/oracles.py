@@ -211,6 +211,66 @@ ORACLE_SQL = {
                quantile_disc(n_chars, 0.9)::BIGINT AS p90_chars
         FROM documents GROUP BY lang
     """,
+    "revenue_by_segment": """
+        SELECT c_mktsegment,
+               count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+               count(*)::BIGINT AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_mktsegment
+    """,
+    "customers_no_urgent_orders": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+    "heavy_hitter_tokens": r"""
+        SELECT token, cnt, hh_rank FROM (
+            SELECT token, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, token) AS hh_rank
+            FROM (
+                SELECT token, count(*)::BIGINT AS cnt FROM (
+                    SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS token
+                    FROM documents WHERE trim(text) <> ''
+                ) GROUP BY token
+            )
+        ) WHERE hh_rank <= 25
+    """,
+    "distinct_token_counts": r"""
+        SELECT lang, count(DISTINCT token)::BIGINT AS n_distinct_tokens
+        FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ) GROUP BY lang
+    """,
+    "dup_ngram_stats": r"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        grams AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(w) - 4, 0) + 1),
+                       i -> array_to_string(w[i:i+4], ' ')))) AS g
+            FROM words
+        ),
+        df AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+               sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup_ngrams
+        FROM grams JOIN df USING (g)
+        GROUP BY doc_id
+    """,
     "embedding_near_dup_pairs": f"""
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

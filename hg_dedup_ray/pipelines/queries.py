@@ -1545,6 +1545,17 @@ def pricing_summary(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+from hg_dedup_ray.pipelines.relational import (  # noqa: E402
+    customers_no_urgent_orders,
+    revenue_by_segment,
+)
+from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
+    approx_distinct_hll,
+    distinct_token_counts,
+    dup_ngram_stats,
+    heavy_hitter_tokens,
+)
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "pricing_summary": pricing_summary,
@@ -1583,4 +1594,10 @@ QUERIES = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "top_docs_per_lang": top_docs_per_lang,
     "lang_len_percentiles": lang_len_percentiles,
+    "revenue_by_segment": revenue_by_segment,
+    "customers_no_urgent_orders": customers_no_urgent_orders,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
+    "distinct_token_counts": distinct_token_counts,
+    "dup_ngram_stats": dup_ngram_stats,
+    "approx_distinct_hll": approx_distinct_hll,
 }

@@ -352,14 +352,26 @@ def compute_cross_partition_bucketed(docs, cfg: DedupConfig, cand=None, hot=None
         return ("tables", []), {}
     hot_ref = ray.put(pa.array(hot, pa.uint64()))
 
+    # COARSE bucket key: one map_groups call per ~(hot_buckets / M)
+    # buckets, not one per hot bucket (per-group dispatch dominates at
+    # 100k+ hot keys; make_bucket_to_members segments internally)
+    n_member_buckets = int(cfg.extra.get("dupset_member_buckets", 128))
+
     def keep_hot(b: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
 
-        return b.filter(pc.is_in(b["bucket_key"], value_set=get_broadcast(hot_ref)))
+        b = b.filter(pc.is_in(b["bucket_key"], value_set=get_broadcast(hot_ref)))
+        bk = b["bucket_key"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "cbucket",
+            pa.array(
+                (bk % np.uint64(n_member_buckets)).astype(np.int64), pa.int64()
+            ),
+        )
 
     members = (
         cand.map_batches(keep_hot, batch_format="pyarrow")
-        .groupby("bucket_key")
+        .groupby("cbucket")
         .map_groups(make_bucket_to_members(cfg), batch_format="pyarrow")
     )
     spans, edges = dupset_spans_and_edges(docs, members, cfg)

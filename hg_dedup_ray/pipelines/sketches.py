@@ -1,0 +1,343 @@
+"""Sketch/statistics operators over the documents table: exact heavy
+hitters via a candidate-superset pass, exact distinct counts via bucketed
+distinct, word-n-gram duplication stats via the inverted-index shape, and
+approximate distinct via HyperLogLog.
+
+All tokenization matches the DuckDB oracles' ``regexp_split_to_array(
+trim(text), '\\s+')`` (functions/wordgrams.doc_tokens).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from hg_dedup_ray.functions import hll
+from hg_dedup_ray.functions.wordgrams import (
+    distinct_per_doc,
+    doc_tokens,
+    token_hashes,
+    word_gram_hashes,
+)
+
+HH_K = 25
+DUP_NGRAM_N = 5
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ------------------------------------------------------------ heavy hitters
+
+
+def heavy_hitter_tokens(sf_dir: str, k: int = HH_K, capacity: int = 4096):
+    """EXACT top-k most frequent tokens (count desc, token asc) via the
+    2-pass frequent-candidates scheme:
+
+    Pass A emits, per batch, only tokens with in-batch count >
+    batch_tokens/capacity. Any token with GLOBAL count > N/capacity must
+    exceed that threshold in at least one batch (sum argument), so the
+    union is a SUPERSET of every candidate for the top-k whenever the
+    k-th count > N/capacity — the per-batch filter plays the role of a
+    Misra-Gries summary with error N/capacity, without per-item state.
+    Pass B exact-counts ONLY the candidate set (broadcast; bounded by
+    ~capacity x batches in theory, tiny in practice) and checks the
+    guarantee; if the k-th exact count <= N/capacity it falls back to the
+    full unigram aggregation — the result is exact either way.
+
+    Output: (token, cnt, hh_rank) — deterministic tie-break on token.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial_candidates(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.ascii_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+        )
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n_batch": pa.array([], pa.int64())}
+            )
+        vc = toks.value_counts()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        total = int(counts.sum())
+        keep = counts > total / capacity
+        return pa.table(
+            {
+                "token": vc.field("values").filter(pa.array(keep)),
+                "n_batch": pa.array(np.full(int(keep.sum()), total, np.int64)),
+            }
+        )
+
+    cand = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial_candidates, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    )
+    cand_tokens = sorted({r["token"] for r in cand if r["token"] != ""})
+    if len(cand_tokens) < k:
+        # candidate pass can't certify a full top-k -> exact path
+        return _exact_topk(sf_dir, k)
+    cand_ref = ray.put(pa.array(cand_tokens, pa.string()))
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        toks = pc.list_flatten(
+            pc.ascii_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+        )
+        toks = toks.filter(pc.is_in(toks, value_set=get_broadcast(cand_ref)))
+        vc = toks.value_counts() if len(toks) else None
+        t = vc.field("values") if vc is not None else pa.array([], pa.string())
+        c = (
+            vc.field("counts").cast(pa.int64())
+            if vc is not None
+            else pa.array([], pa.int64())
+        )
+        return pa.table({"token": t, "partial": c})
+
+    counted = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(exact_counts, batch_format="pyarrow", batch_size=4096)
+        .groupby("token")
+        .aggregate(Sum("partial", alias_name="cnt"))
+        .take_all()
+    )
+    toks = np.array([r["token"] for r in counted], dtype=object)
+    cnts = np.array([r["cnt"] for r in counted], dtype=np.int64)
+    order = np.lexsort((toks, -cnts))
+    top = order[:k]
+    # guarantee check: N/capacity must be below the k-th count, else a
+    # non-candidate could belong in the top-k -> exact fallback
+    n_tokens_total = int(
+        sum(r["n_batch"] for r in cand) if cand else 0
+    )  # upper bound is enough: each batch contributes its total once per
+    # surviving token; recompute exactly when the cheap bound fails
+    kth = int(cnts[top[-1]]) if top.shape[0] == k else 0
+    if top.shape[0] < k or kth * capacity <= n_tokens_total:
+        # a non-candidate could still belong in the top-k -> exact path
+        return _exact_topk(sf_dir, k)
+    return pa.table(
+        {
+            "token": pa.array([str(t) for t in toks[top]], pa.string()),
+            "cnt": pa.array(cnts[top], pa.int64()),
+            "hh_rank": pa.array(np.arange(1, top.shape[0] + 1, dtype=np.int64)),
+        }
+    )
+
+
+def _exact_topk(sf_dir: str, k: int) -> pa.Table:
+    """Full unigram aggregation fallback (exact whatever the skew)."""
+    from hg_dedup_ray.pipelines.queries import unigram_counts
+
+    rows = unigram_counts(sf_dir).take_all()
+    toks = np.array([r["token"] for r in rows], dtype=object)
+    cnts = np.array([r["cnt"] for r in rows], dtype=np.int64)
+    order = np.lexsort((toks, -cnts))
+    top = order[:k]
+    return pa.table(
+        {
+            "token": pa.array([str(t) for t in toks[top]], pa.string()),
+            "cnt": pa.array(cnts[top], pa.int64()),
+            "hh_rank": pa.array(np.arange(1, top.shape[0] + 1, dtype=np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------- distinct counts
+
+
+def distinct_token_counts(sf_dir: str, num_buckets: int = 64):
+    """Exact per-lang distinct token count, fully distributed: per-batch
+    (lang, token) dedup -> coarse hash-bucket groupby -> per-bucket
+    vectorized distinct -> tiny per-lang combine. Token-hash buckets are
+    disjoint, so per-bucket distinct counts add exactly; token identity
+    within a bucket uses the STRINGS (no hash-collision exposure)."""
+    from ray.data.aggregate import Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        langs = np.repeat(
+            np.asarray(batch["lang"].to_pylist(), dtype=object),
+            counts.astype(np.int64),
+        )
+        tok_np = np.asarray(flat.to_pylist(), dtype=object)
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        tok_np, langs = tok_np[nonempty], langs[nonempty]
+        # in-batch dedup before the shuffle (combiner)
+        df_keys = np.char.add(
+            np.char.add(langs.astype(str), "\x00"), tok_np.astype(str)
+        )
+        _, ix = np.unique(df_keys, return_index=True)
+        th = token_hashes(pa.array(tok_np[ix], pa.string()))
+        return pa.table(
+            {
+                "dbucket": pa.array(
+                    (th % np.uint64(num_buckets)).astype(np.int64), pa.int64()
+                ),
+                "lang": pa.array(langs[ix], pa.string()),
+                "token": pa.array(tok_np[ix], pa.string()),
+            }
+        )
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        langs = np.asarray(group["lang"].to_pylist(), dtype=object)
+        toks = np.asarray(group["token"].to_pylist(), dtype=object)
+        keys = np.char.add(np.char.add(langs.astype(str), "\x00"), toks.astype(str))
+        _, ix = np.unique(keys, return_index=True)
+        u_langs, cnt = np.unique(langs[ix], return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array([str(x) for x in u_langs], pa.string()),
+                "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["lang", "text"])
+        .map_batches(pairs, batch_format="pyarrow", batch_size=4096)
+        .groupby("dbucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("partial", alias_name="n_distinct_tokens"))
+    )
+
+
+# --------------------------------------------------------- dup-ngram stats
+
+
+def dup_ngram_stats(sf_dir: str, n: int = DUP_NGRAM_N):
+    """Per-doc word-5-gram duplication: n_ngrams = distinct 5-grams in the
+    doc, n_dup_ngrams = how many of those also appear in ANOTHER doc —
+    the boilerplate-fraction statistic of web-corpus curation.
+
+    Shape: per-doc distinct gram u64 hashes (vectorized, one lexsort per
+    batch) -> hot-key pass keeps only grams on >=2 docs (rows are per-doc
+    distinct, so row-count==doc-count) -> broadcast of the DUP grams only
+    (bounded by dup density, the same budget as the dup-set broadcast) ->
+    per-doc vectorized membership count. Gram identity is the u64
+    polynomial hash (collision odds ~2^-64/pair; the oracle uses exact
+    strings — documented).
+    Docs with fewer than n tokens emit no row (matches the SQL)."""
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        th, doc_off = doc_tokens(batch["text"])
+        g, goff = word_gram_hashes(th, doc_off, n)
+        g, goff = distinct_per_doc(g, goff)
+        counts = np.diff(goff)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gram": pa.array(g, pa.uint64()),
+                "doc_id": pa.array(
+                    np.repeat(ids, counts.astype(np.int64)), pa.int64()
+                ),
+            }
+        )
+
+    grams = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+    hot = hot_u64_keys(grams, "gram")
+    hot_ref = ray.put(np.sort(hot))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        # recompute this batch's per-doc distinct grams (cheap, vectorized)
+        # instead of re-consuming the gram rows: materialized gram blocks
+        # are NOT doc-aligned, so counting there would need a full per-doc
+        # shuffle — recomputation keeps the stage shuffle-free
+        dup = get_broadcast(hot_ref)
+        th, doc_off = doc_tokens(batch["text"])
+        g, goff = word_gram_hashes(th, doc_off, n)
+        g, goff = distinct_per_doc(g, goff)
+        counts = np.diff(goff)
+        if dup.shape[0] and g.shape[0]:
+            pos = np.searchsorted(dup, g)
+            isdup = (pos < dup.shape[0]) & (
+                dup[np.minimum(pos, dup.shape[0] - 1)] == g
+            )
+        else:
+            isdup = np.zeros(g.shape[0], bool)
+        seg = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+        n_dup = np.zeros(counts.shape[0], np.int64)
+        np.add.at(n_dup, seg, isdup.astype(np.int64))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        has = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has], pa.int64()),
+                "n_ngrams": pa.array(counts[has].astype(np.int64), pa.int64()),
+                "n_dup_ngrams": pa.array(n_dup[has], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pyarrow", batch_size=4096
+    )
+
+
+# ------------------------------------------------------------ HLL distinct
+
+
+def approx_distinct_hll(sf_dir: str, p: int = hll.DEFAULT_P):
+    """Per-lang approximate distinct-token count via HyperLogLog:
+    map_batches emits one fixed 2^p-register sketch row per (batch, lang)
+    — a few KB regardless of input size — and the per-lang merge is an
+    elementwise max over a handful of rows. The 100 TB shape: NO shuffle
+    of tokens, sketch rows only. ~1.6% relative error at p=12 (rows-only
+    entry; tests/test_sketches.py pins accuracy vs the exact count)."""
+
+    def partial_sketch(batch: pa.Table) -> pa.Table:
+        toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        langs = np.repeat(
+            np.asarray(batch["lang"].to_pylist(), dtype=object),
+            counts.astype(np.int64),
+        )
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        th = token_hashes(flat)
+        keep = lens > 0
+        th, langs = th[keep], langs[keep]
+        out_lang, out_regs = [], []
+        for lang in np.unique(langs):
+            regs = hll.empty_registers(p)
+            hll.add_hashes(regs, th[langs == lang], p)
+            out_lang.append(str(lang))
+            out_regs.append(regs)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "regs": pa.array(
+                    [r.tobytes() for r in out_regs], pa.binary()
+                ),
+            }
+        )
+
+    def merge_lang(group: pa.Table) -> pa.Table:
+        regs = hll.empty_registers(p)
+        for b in group["regs"].to_pylist():
+            regs = hll.merge(regs, np.frombuffer(b, np.uint8))
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "n_distinct_est": pa.array([hll.estimate(regs)], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["lang", "text"])
+        .map_batches(partial_sketch, batch_format="pyarrow", batch_size=4096)
+        .groupby("lang")
+        .map_groups(merge_lang, batch_format="pyarrow")
+    )

@@ -72,36 +72,61 @@ def _group_id(kind: int, urls) -> int:
 
 
 def make_bucket_to_members(cfg: DedupConfig):
-    """map_groups fn: one HOT bucket -> exploded member rows.
+    """map_groups fn: ONE COARSE GROUP holding many hot buckets ->
+    exploded member rows.
 
-    Same membership rules as candidates.make_bucket_to_candidates
-    (>=2 distinct docs; winnow buckets additionally >1 partition; oversized
-    buckets chunked keep-first via chunk_members), but emits flat rows with
-    a content-derived ``group_id`` so identical member sets reached through
-    different bucket keys collapse in the assembly groupby (first-copy-wins
-    via the ``copy`` tag)."""
+    Ray's groupby/map_groups costs one Python call PER GROUP, so grouping
+    by the raw ``bucket_key`` (one group per hot shingle/band — easily
+    100k+ at GB scale) spends minutes in dispatch overhead. The caller
+    instead groups by a COARSE key (``bucket_key % dupset_member_buckets``)
+    and this fn segments the coarse group back into buckets with one
+    lexsort — the inner per-bucket loop is pure numpy + the same
+    membership rules as candidates.make_bucket_to_candidates (>=2
+    distinct docs; winnow buckets additionally >1 partition; oversized
+    buckets chunked keep-first via chunk_members). Emits flat rows with a
+    content-derived ``group_id`` so identical member sets reached through
+    different bucket keys collapse in the assembly groupby
+    (first-copy-wins via the ``copy`` tag)."""
     max_docs = cfg.max_band_bucket
 
     def fn(group: pa.Table) -> pa.Table:
-        kind = int(group["kind"][0].as_py())
-        bucket_key = int(group["bucket_key"][0].as_py())
-        urls = group["url"].to_numpy(zero_copy_only=False)
+        bkeys = group["bucket_key"].to_numpy(zero_copy_only=False)
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        urls = np.asarray(group["url"].to_pylist(), dtype=object)
         seq = group["doc_seq"].to_numpy(zero_copy_only=False)
         part = group["part"].to_numpy(zero_copy_only=False)
-        _, uniq_idx = np.unique(urls, return_index=True)
-        if len(uniq_idx) < 2:
+        # segment by (kind, bucket_key): one sort for the whole coarse group
+        order = np.lexsort((seq, bkeys, kinds))
+        bkeys, kinds = bkeys[order], kinds[order]
+        urls, seq, part = urls[order], seq[order], part[order]
+        bnd = np.flatnonzero(
+            np.concatenate(
+                ([True], (bkeys[1:] != bkeys[:-1]) | (kinds[1:] != kinds[:-1]))
+            )
+        )
+        ends = np.concatenate((bnd[1:], [bkeys.shape[0]]))
+        gids, kinds_o, urls_o, seqs_o, parts_o, copies_o = [], [], [], [], [], []
+        for s, e in zip(bnd, ends):
+            kind = int(kinds[s])
+            u_slice = urls[s:e]
+            _, uniq_idx = np.unique(u_slice, return_index=True)
+            if uniq_idx.shape[0] < 2:
+                continue
+            if kind == 1 and np.unique(part[s:e][uniq_idx]).shape[0] < 2:
+                continue
+            # rows within the bucket are already seq-sorted by the lexsort
+            ordered = s + np.sort(uniq_idx)
+            bucket_key = int(bkeys[s])
+            for c in chunk_members(ordered, max_docs):
+                gid = _group_id(kind, urls[c])
+                gids.extend([gid] * len(c))
+                kinds_o.extend([kind] * len(c))
+                urls_o.extend(str(u) for u in urls[c])
+                seqs_o.extend(int(x) for x in seq[c])
+                parts_o.extend(int(p) for p in part[c])
+                copies_o.extend([bucket_key] * len(c))
+        if not gids:
             return _empty_members()
-        if kind == 1 and len(np.unique(part[uniq_idx])) < 2:
-            return _empty_members()
-        order = uniq_idx[np.argsort(seq[uniq_idx], kind="stable")]
-        gids, kinds_o, urls_o, seqs_o, parts_o = [], [], [], [], []
-        for c in chunk_members(order, max_docs):
-            gid = _group_id(kind, urls[c])
-            gids.extend([gid] * len(c))
-            kinds_o.extend([kind] * len(c))
-            urls_o.extend(str(u) for u in urls[c])
-            seqs_o.extend(int(s) for s in seq[c])
-            parts_o.extend(int(p) for p in part[c])
         return pa.table(
             {
                 "group_id": pa.array(np.array(gids, np.uint64), pa.uint64()),
@@ -109,9 +134,7 @@ def make_bucket_to_members(cfg: DedupConfig):
                 "url": pa.array(urls_o, pa.string()),
                 "doc_seq": pa.array(seqs_o, pa.int64()),
                 "part": pa.array(parts_o, pa.int32()),
-                "copy": pa.array(
-                    np.full(len(gids), bucket_key, np.uint64), pa.uint64()
-                ),
+                "copy": pa.array(np.array(copies_o, np.uint64), pa.uint64()),
             }
         )
 
@@ -250,7 +273,12 @@ def _empty_out() -> pa.Table:
 
 
 def make_assemble(cfg: DedupConfig):
-    """map_groups fn over one group_id's text-attached member rows.
+    """map_groups fn over ONE COARSE GROUP of text-attached member rows
+    (many ``group_id``s — the caller groups by ``group_id %
+    dupset_assemble_buckets`` to avoid Ray's one-Python-call-per-group
+    dispatch cost, which dominates at 100k+ dup groups). One lexsort
+    segments the coarse group back into groups; each group then runs the
+    real per-group kernel:
 
     kind 1 (winnow group): exact mini-corpus SA scan in doc_seq order —
     the stages/group_scan.GroupScanner kernel — emitting keep-first remove
@@ -259,10 +287,32 @@ def make_assemble(cfg: DedupConfig):
     doc_seq-sorted members, exact k-shingle Jaccard per pair — the
     stages/pair_verify.PairVerifier kernel — emitting edges that meet
     cfg.jaccard_threshold."""
+
+    def fn(coarse: pa.Table) -> pa.Table:
+        gid_all = coarse["group_id"].to_numpy(zero_copy_only=False)
+        if gid_all.shape[0] == 0:
+            return _empty_out()
+        order = np.argsort(gid_all, kind="stable")
+        coarse = coarse.take(pa.array(order, pa.int64()))
+        gid_all = gid_all[order]
+        bnd = np.flatnonzero(
+            np.concatenate(([True], gid_all[1:] != gid_all[:-1]))
+        )
+        ends = np.concatenate((bnd[1:], [gid_all.shape[0]]))
+        outs = [
+            _assemble_one(coarse.slice(int(s), int(e - s)), cfg)
+            for s, e in zip(bnd, ends)
+        ]
+        outs = [t for t in outs if len(t)]
+        return pa.concat_tables(outs) if outs else _empty_out()
+
+    return fn
+
+
+def _assemble_one(group: pa.Table, cfg: DedupConfig) -> pa.Table:
     k = cfg.shingle_k
     thr = cfg.jaccard_threshold
-
-    def fn(group: pa.Table) -> pa.Table:
+    if True:  # keep original body indentation
         copies = group["copy"].to_numpy(zero_copy_only=False)
         group = group.filter(pa.array(copies == copies.min()))
         seq = group["doc_seq"].to_numpy(zero_copy_only=False)
@@ -328,8 +378,6 @@ def make_assemble(cfg: DedupConfig):
             }
         )
 
-    return fn
-
 
 # ---------------------------------------------------------------------------
 # orchestration
@@ -383,8 +431,21 @@ def dupset_spans_and_edges(docs, members, cfg: DedupConfig):
         .groupby("seq_bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
+    # COARSE assembly key: one map_groups call per ~(n_groups / G) dup
+    # groups, not one per group (per-group dispatch dominates at 100k+
+    # groups; see make_assemble)
+    n_assemble = int(cfg.extra.get("dupset_assemble_buckets", 128))
+
+    def add_gbucket(b: pa.Table) -> pa.Table:
+        g = b["group_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "gbucket",
+            pa.array((g % np.uint64(n_assemble)).astype(np.int64), pa.int64()),
+        )
+
     assembled = (
-        joined.groupby("group_id")
+        joined.map_batches(add_gbucket, batch_format="pyarrow")
+        .groupby("gbucket")
         .map_groups(make_assemble(cfg), batch_format="pyarrow")
         .materialize()
     )

@@ -1,0 +1,169 @@
+"""Sketch/statistics operators: wordgram kernels, HLL accuracy, heavy
+hitters, distinct counts, dup-ngram stats, and the relational joins —
+all vs DuckDB / numpy naive oracles on sf0.001."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "documents"]:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _df(res):
+    import ray
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+def _cmp(df, odf, float_cols=()):
+    df = df.reindex(sorted(df.columns), axis=1)
+    odf = odf.reindex(sorted(odf.columns), axis=1)
+    assert list(df.columns) == list(odf.columns)
+    a = df.sort_values(list(df.columns)).reset_index(drop=True)
+    b = odf.sort_values(list(odf.columns)).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in a.columns:
+        if c in float_cols:
+            assert np.allclose(a[c].astype(float), b[c].astype(float))
+        else:
+            assert (a[c].astype(str).to_numpy() == b[c].astype(str).to_numpy()).all(), c
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def test_token_hashes_identity():
+    from hg_dedup_ray.functions.wordgrams import token_hashes
+
+    toks = pa.array(["alpha", "beta", "alpha", "alphaa", "a", "b"])
+    h = token_hashes(toks)
+    assert h[0] == h[2]
+    assert len(set(h.tolist())) == 5
+
+
+def test_word_gram_boundaries():
+    from hg_dedup_ray.functions.wordgrams import doc_tokens, word_gram_hashes
+
+    col = pa.array(["a b c d e f", "a b c d e", "x y", "", "  "])
+    th, off = doc_tokens(col)
+    assert off.tolist() == [0, 6, 11, 13, 13, 13]
+    g, goff = word_gram_hashes(th, off, 5)
+    # doc0: 2 grams, doc1: 1 gram (== doc0's first), others: none
+    assert goff.tolist() == [0, 2, 3, 3, 3, 3]
+    assert g[0] == g[2] and g[0] != g[1]
+
+
+def test_hll_accuracy_and_merge():
+    from hg_dedup_ray.functions import hll
+
+    rng = np.random.default_rng(7)
+    for n in [100, 5000, 200_000]:
+        vals = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+        n_true = np.unique(vals).shape[0]
+        a, b = hll.empty_registers(), hll.empty_registers()
+        hll.add_hashes(a, vals[: n // 3])
+        hll.add_hashes(b, vals[n // 3 :])
+        est = hll.estimate(hll.merge(a, b))
+        assert abs(est - n_true) / n_true < 0.05
+    # idempotent merge
+    assert (hll.merge(a, a) == a).all()
+
+
+# ---------------------------------------------------------------- queries
+
+
+def test_heavy_hitters(ray_session, con):
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.sketches import heavy_hitter_tokens
+
+    _cmp(
+        _df(heavy_hitter_tokens(SF)),
+        con.sql(ORACLE_SQL["heavy_hitter_tokens"]).df(),
+    )
+
+
+def test_heavy_hitters_fallback(ray_session, con):
+    """Tiny capacity forces the exact-fallback branch; result unchanged."""
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.sketches import heavy_hitter_tokens
+
+    _cmp(
+        _df(heavy_hitter_tokens(SF, capacity=2)),
+        con.sql(ORACLE_SQL["heavy_hitter_tokens"]).df(),
+    )
+
+
+def test_distinct_token_counts(ray_session, con):
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.sketches import distinct_token_counts
+
+    _cmp(
+        _df(distinct_token_counts(SF)),
+        con.sql(ORACLE_SQL["distinct_token_counts"]).df(),
+    )
+
+
+def test_dup_ngram_stats(ray_session, con):
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.sketches import dup_ngram_stats
+
+    _cmp(
+        _df(dup_ngram_stats(SF)),
+        con.sql(ORACLE_SQL["dup_ngram_stats"]).df(),
+    )
+
+
+def test_approx_distinct_hll(ray_session, con):
+    from hg_dedup_ray.pipelines.sketches import approx_distinct_hll
+
+    est = {
+        r["lang"]: r["n_distinct_est"]
+        for r in approx_distinct_hll(SF).take_all()
+    }
+    exact = dict(
+        con.sql(
+            r"""SELECT lang, count(DISTINCT token) FROM (
+                  SELECT lang,
+                         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                  FROM documents WHERE trim(text) <> ''
+                ) GROUP BY lang"""
+        ).fetchall()
+    )
+    assert set(est) == set(exact)
+    for k, x in exact.items():
+        assert abs(est[k] - x) / x < 0.05
+
+
+def test_revenue_by_segment(ray_session, con):
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.relational import revenue_by_segment
+
+    _cmp(
+        _df(revenue_by_segment(SF)),
+        con.sql(ORACLE_SQL["revenue_by_segment"]).df(),
+        float_cols=("revenue",),
+    )
+
+
+def test_customers_no_urgent_orders(ray_session, con):
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.relational import customers_no_urgent_orders
+
+    _cmp(
+        _df(customers_no_urgent_orders(SF)),
+        con.sql(ORACLE_SQL["customers_no_urgent_orders"]).df(),
+        float_cols=("c_acctbal",),
+    )
