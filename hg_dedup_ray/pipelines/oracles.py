@@ -14,7 +14,76 @@ from hg_dedup_ray.stages.textstats import EN_STOPWORDS
 
 _stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
+# --- SimHash oracle: DuckDB replication of stages/simhash.batch_simhash ---
+# (FNV-poly 8-byte window hash -> splitmix64 -> per-bit majority vote).
+# The FNV fold fits HUGEINT directly (FNV < 2^41 so h*FNV < 2^105); the two
+# splitmix 64x64 multiplies use a 32-bit-split mulmod. Assumes ASCII text
+# and len(text) >= 8 (true of the fixtures; matches the documented ASCII
+# assumption of the exact-Jaccard oracle).
+_M64 = 1 << 64
+_FNV_C = 1099511628211
+_SM1 = 0xBF58476D1CE4E5B9
+_SM2 = 0x94D049BB133111EB
+
+
+def _mulmod64(a: str, c: int) -> str:
+    """SQL for (a * c) mod 2^64 with a a HUGEINT expr < 2^64, c a u64
+    constant — split c into 32-bit halves so no product exceeds HUGEINT."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"((((({a}) // 4294967296) * {cl} + (({a}) % 4294967296) * {ch})"
+        f" % 4294967296 * 4294967296 + (({a}) % 4294967296) * {cl}) % {_M64})"
+    )
+
+
+def _xorshift(a: str, s: int) -> str:
+    """SQL for a ^ (a >> s), values < 2^64, via UBIGINT xor."""
+    return (
+        f"CAST(xor(CAST({a} AS UBIGINT), CAST(({a}) // {1 << s} AS UBIGINT))"
+        " AS HUGEINT)"
+    )
+
+
+def _simhash_sql() -> str:
+    fold = "CAST(ord(substr(text, i+0, 1)) AS HUGEINT)"
+    for j in range(1, 8):
+        fold = f"(({fold}) * {_FNV_C} + ord(substr(text, i+{j}, 1))) % {_M64}"
+    return f"""
+        WITH pos AS (
+          SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+          FROM documents
+        ),
+        raw AS (SELECT doc_id, ({fold}) AS h FROM pos),
+        s1 AS (SELECT doc_id, {_xorshift('h', 30)} AS x FROM raw),
+        s2 AS (SELECT doc_id, {_mulmod64('x', _SM1)} AS x FROM s1),
+        s3 AS (SELECT doc_id, {_xorshift('x', 27)} AS x FROM s2),
+        s4 AS (SELECT doc_id, {_mulmod64('x', _SM2)} AS x FROM s3),
+        s5 AS (SELECT doc_id, CAST({_xorshift('x', 31)} AS UBIGINT) AS x
+               FROM s4),
+        bits AS (
+          SELECT doc_id, b.b AS b,
+                 sum(CASE WHEN (x >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM s5, (SELECT unnest(range(0, 64)) AS b) b
+          GROUP BY doc_id, b.b
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN vote > 0
+                      THEN CAST((CAST(1 AS UBIGINT) << b) AS HUGEINT)
+                      ELSE 0 END) AS UBIGINT) AS simhash
+          FROM bits GROUP BY doc_id
+        )
+        SELECT doc_id, simhash,
+               (simhash >> 0)  & 65535 AS band0,
+               (simhash >> 16) & 65535 AS band1,
+               (simhash >> 32) & 65535 AS band2,
+               (simhash >> 48) & 65535 AS band3
+        FROM sig
+    """
+
+
 ORACLE_SQL = {
+    "simhash_sigs": _simhash_sql(),
     "ngram_jaccard_exact_pairs": """
         WITH shingles AS (
           SELECT doc_id, UNNEST(list_distinct(list_transform(
