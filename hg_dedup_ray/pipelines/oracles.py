@@ -82,8 +82,102 @@ def _simhash_sql() -> str:
     """
 
 
+def _splitmix_doc_id_sql() -> str:
+    """CTE chain computing sm = splitmix64(doc_id) over documents —
+    shares the mulmod/xorshift helpers with the simhash oracle."""
+    return f"""
+        r0 AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS x
+               FROM documents),
+        r1 AS (SELECT doc_id, lang, {_xorshift('x', 30)} AS x FROM r0),
+        r2 AS (SELECT doc_id, lang, {_mulmod64('x', _SM1)} AS x FROM r1),
+        r3 AS (SELECT doc_id, lang, {_xorshift('x', 27)} AS x FROM r2),
+        r4 AS (SELECT doc_id, lang, {_mulmod64('x', _SM2)} AS x FROM r3),
+        sm AS (SELECT doc_id, lang,
+                      CAST({_xorshift('x', 31)} AS UBIGINT) AS sm FROM r4)
+    """
+
+
+_SAMPLE_RATE_CASE = """
+    CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000 WHEN 'es' THEN 5000
+              WHEN 'fr' THEN 5000 WHEN 'zh' THEN 5000 ELSE 1000 END
+"""
+
 ORACLE_SQL = {
     "simhash_sigs": _simhash_sql(),
+    "stratified_sample": f"""
+        WITH {_splitmix_doc_id_sql()}
+        SELECT doc_id, lang FROM sm
+        WHERE sm % 10000 < {_SAMPLE_RATE_CASE}
+    """,
+    "decontaminate": r"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        grams AS (
+            SELECT doc_id, unnest(list_transform(
+                       range(1, greatest(len(w) - 7, 0) + 1),
+                       i -> array_to_string(w[i:i+7], ' '))) AS g
+            FROM words
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 19 = 0),
+        flags AS (
+            SELECT g.doc_id, bool_or(b.g IS NOT NULL) AS contaminated
+            FROM grams g LEFT JOIN bench b ON g.g = b.g
+            WHERE g.doc_id % 19 <> 0
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id, coalesce(f.contaminated, FALSE) AS contaminated
+        FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id
+        WHERE d.doc_id % 19 <> 0
+    """,
+    "redact_pii": r"""
+        SELECT event_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(props,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\d+', '<NUM>', 'g') AS redacted,
+               len(regexp_extract_all(props,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                 AS n_email,
+               len(regexp_extract_all(props,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+               len(regexp_extract_all(props, '\d+'))::BIGINT AS n_num
+        FROM events
+    """,
+    "json_props_stats": r"""
+        SELECT event_type,
+               count(*)::BIGINT AS n_events,
+               sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+                   AS BIGINT))::BIGINT AS sum_k,
+               round(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+                   AS BIGINT)) * 1.0 / count(*), 6) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+    "pack_sequences": r"""
+        WITH counts AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM counts
+        )
+        SELECT doc_id, n_tokens,
+               (cum_before // 256)::BIGINT AS pack_id,
+               (cum_before % 256)::BIGINT AS pack_off
+        FROM cum
+    """,
     "ngram_jaccard_exact_pairs": """
         WITH shingles AS (
           SELECT doc_id, UNNEST(list_distinct(list_transform(

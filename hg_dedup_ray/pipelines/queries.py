@@ -1555,6 +1555,13 @@ from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
     dup_ngram_stats,
     heavy_hitter_tokens,
 )
+from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
+    decontaminate,
+    json_props_stats,
+    pack_sequences,
+    redact_pii,
+    stratified_sample,
+)
 
 QUERIES = {
     "exact_dedup": exact_dedup,
@@ -1600,4 +1607,9 @@ QUERIES = {
     "distinct_token_counts": distinct_token_counts,
     "dup_ngram_stats": dup_ngram_stats,
     "approx_distinct_hll": approx_distinct_hll,
+    "decontaminate": decontaminate,
+    "stratified_sample": stratified_sample,
+    "redact_pii": redact_pii,
+    "json_props_stats": json_props_stats,
+    "pack_sequences": pack_sequences,
 }

@@ -1,0 +1,344 @@
+"""Training-data hygiene operators over the web-document table:
+benchmark decontamination, deterministic stratified sampling, PII/number
+redaction, JSON metadata extraction, and token-budget sequence packing.
+
+These are the cleaning stages a 100 TB pretraining pipeline runs between
+dedup and tokenization. Scale shapes:
+
+- decontaminate: the benchmark (eval-set) gram table is SMALL by
+  definition — build it once, broadcast via ``ray.put`` (exact u64 set
+  below ``DECON_EXACT_LIMIT`` grams, Bloom filter + exact-verify above),
+  and filter the big side with vectorized membership per batch. No
+  shuffle touches the corpus.
+- stratified_sample: pure per-batch hash arithmetic, embarrassingly
+  parallel, deterministic across runs/cluster sizes.
+- redact_pii / json_props_stats: RE2 kernels (pyarrow.compute) per batch;
+  DuckDB's regex engine is also RE2, which is what makes the oracles
+  byte-exact.
+- pack_sequences: a distributed exclusive prefix-sum (scan) — an operator
+  Ray Data lacks as a builtin: per-block partial sums (8 bytes each) meet
+  on the driver, the cumulative block offsets broadcast back, and each
+  block finishes independently. Only per-block scalars ever leave the
+  workers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from hg_dedup_ray.functions.bloom import bloom_build, bloom_query
+from hg_dedup_ray.functions.wordgrams import (
+    distinct_per_doc,
+    doc_tokens,
+    word_gram_hashes,
+)
+
+DECON_N = 8                 # word-gram order for contamination matching
+DECON_BENCH_MOD = 19        # benchmark set = doc_id % MOD == 0
+DECON_EXACT_LIMIT = 50_000_000  # grams; ~400 MB of u64 keys broadcast
+SAMPLE_RATES_BP = {"en": 2500, "de": 5000, "es": 5000, "fr": 5000, "zh": 5000}
+SAMPLE_DEFAULT_BP = 1000
+PACK_CAPACITY = 256         # tokens per training sequence
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _events(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# ------------------------------------------------------------ decontaminate
+
+
+def _bench_gram_set(sf_dir: str, n: int, mod: int) -> np.ndarray:
+    """Distinct word-n-gram hashes of the benchmark docs (doc_id % mod
+    == 0). The eval set is small by definition; per-batch distinct gram
+    arrays (8 B each) return to the driver and union there."""
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % mod == 0
+        if not keep.any():
+            return pa.table({"g": pa.array([], pa.uint64())})
+        th, off = doc_tokens(batch["text"].filter(pa.array(keep)))
+        grams, _ = word_gram_hashes(th, off, n)
+        return pa.table({"g": pa.array(np.unique(grams), pa.uint64())})
+
+    parts = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(bench_grams, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    )
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.array([r["g"] for r in parts], np.uint64))
+
+
+def decontaminate(sf_dir: str, n: int = DECON_N, mod: int = DECON_BENCH_MOD):
+    """Flag every non-benchmark doc sharing at least one word-n-gram with
+    the benchmark subset (doc_id % mod == 0) — eval-set decontamination.
+
+    Output: (doc_id, contaminated) for non-benchmark docs. Membership is
+    an exact broadcast u64 set below DECON_EXACT_LIMIT grams; above it a
+    Bloom filter (functions/bloom.py) prunes per batch and only the rare
+    possible-positives re-check against sharded exact sets — the fixture
+    path is exact, the bloom kernel is pinned in tests/test_webclean.py.
+    """
+    bench = _bench_gram_set(sf_dir, n, mod)
+    use_bloom = bench.shape[0] > DECON_EXACT_LIMIT
+    ref = ray.put(bloom_build(bench) if use_bloom else bench)
+    # bloom path would also broadcast hash-sharded exact sets for the
+    # verify step; with the fixture-scale benchmark the exact set IS the
+    # broadcast, so the verify set and the filter coincide.
+    exact_ref = ref if not use_bloom else ray.put(bench)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % mod != 0
+        if not keep.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "contaminated": pa.array([], pa.bool_())}
+            )
+        ids = ids[keep]
+        th, off = doc_tokens(batch["text"].filter(pa.array(keep)))
+        grams, goff = word_gram_hashes(th, off, n)
+        if use_bloom:
+            maybe = bloom_query(get_broadcast(ref), grams)
+            hit = np.zeros(grams.shape[0], bool)
+            if maybe.any():
+                hit[maybe] = np.isin(
+                    grams[maybe], get_broadcast(exact_ref), kind="sort"
+                )
+        else:
+            hit = np.isin(grams, get_broadcast(ref), kind="sort")
+        counts = np.diff(goff)
+        doc_idx = np.repeat(np.arange(counts.shape[0]), counts)
+        contaminated = np.bincount(
+            doc_idx[hit], minlength=counts.shape[0]
+        ) > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "contaminated": pa.array(contaminated, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        flag, batch_format="pyarrow", batch_size=4096
+    )
+
+
+# -------------------------------------------------------- stratified sample
+
+
+def stratified_sample(sf_dir: str):
+    """Deterministic per-language downsampling: keep doc iff
+    splitmix64(doc_id) % 10000 < rate_bp[lang]. Hash-based so the sample
+    is reproducible across runs, cluster sizes, and input partitionings —
+    the property random_shuffle/random_sample lack. Output (doc_id, lang)
+    of kept docs."""
+    from hg_dedup_ray.functions.bloom import _splitmix
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys = _splitmix(ids.astype(np.uint64)) % np.uint64(10000)
+        lang = batch["lang"]
+        enc = lang.combine_chunks().dictionary_encode() if isinstance(
+            lang, pa.ChunkedArray
+        ) else lang.dictionary_encode()
+        rates = np.array(
+            [
+                SAMPLE_RATES_BP.get(v, SAMPLE_DEFAULT_BP)
+                for v in enc.dictionary.to_pylist()
+            ],
+            np.uint64,
+        )
+        thresh = rates[enc.indices.to_numpy(zero_copy_only=False)]
+        return batch.filter(pa.array(keys < thresh))
+
+    return _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
+        pick, batch_format="pyarrow", batch_size=8192
+    )
+
+
+# --------------------------------------------------------------- redact_pii
+
+
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>", "n_email"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>", "n_ip"),
+    (r"\d+", "<NUM>", "n_num"),
+)
+
+
+def redact_pii(sf_dir: str):
+    """Scrub emails / IPv4s / digit runs from the events' props payload
+    (the one fixture column with redactable content — the same kernel
+    applies to any string column). Counts are per-pattern matches in the
+    ORIGINAL string; replacement applies in pattern order. pyarrow's RE2
+    == DuckDB's RE2, so the oracle matches byte-for-byte.
+
+    Output: (event_id, redacted, n_email, n_ip, n_num)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        s = batch["props"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        cols = {"event_id": batch["event_id"]}
+        counts = {}
+        red = s
+        for pat, repl, cname in _PII_PATTERNS:
+            counts[cname] = pc.count_substring_regex(s, pat)
+            red = pc.replace_substring_regex(red, pat, repl)
+        cols["redacted"] = red
+        for _, _, cname in _PII_PATTERNS:
+            cols[cname] = pc.cast(counts[cname], pa.int64())
+        return pa.table(cols)
+
+    return _events(sf_dir, columns=["event_id", "props"]).map_batches(
+        scrub, batch_format="pyarrow", batch_size=8192
+    )
+
+
+# --------------------------------------------------------- json extraction
+
+
+def json_props_stats(sf_dir: str):
+    """Per-event-type stats of the integer ``k`` field inside the JSON
+    props string — vectorized RE2 extraction (no per-row json.loads),
+    partial-aggregated inside map_batches so the groupby sees one tiny
+    row per (batch, type). Output: (event_type, n_events, sum_k, avg_k)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["props"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        kvals = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(s, r'"k":\s*(?P<k>\d+)'), "k"
+            ),
+            pa.int64(),
+        )
+        k = kvals.to_numpy(zero_copy_only=False)
+        et = batch["event_type"]
+        enc = et.combine_chunks().dictionary_encode() if isinstance(
+            et, pa.ChunkedArray
+        ) else et.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        nt = len(enc.dictionary)
+        return pa.table(
+            {
+                "event_type": enc.dictionary,
+                "n": pa.array(np.bincount(idx, minlength=nt), pa.int64()),
+                "s": pa.array(
+                    np.bincount(idx, weights=k, minlength=nt).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        _events(sf_dir, columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_k"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_events"].to_numpy(zero_copy_only=False)
+        s = b["sum_k"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n_events": b["n_events"],
+                "sum_k": b["sum_k"],
+                "avg_k": pa.array(np.round(s / np.maximum(n, 1), 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- pack_sequences
+
+
+def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY):
+    """Token-budget sequence packing: docs in doc_id order fill training
+    sequences of ``capacity`` tokens; doc -> pack floor(cum_before /
+    capacity) where cum_before is the exclusive prefix sum of whitespace
+    token counts. A doc straddling a boundary stays with its starting
+    pack (overflow bounded by the longest doc) — the token-quantized
+    packing used when exact bin fills matter less than a stable,
+    shuffle-free assignment.
+
+    Distributed scan shape: stage 1 computes per-doc counts; per-block
+    token sums (ONE int each) meet on the driver for the block-offset
+    cumsum; stage 2 finishes each block with its broadcast offset. Blocks
+    are doc_id-ordered (asserted from per-block bounds; violated input
+    gets a one-time sort). Output: (doc_id, n_tokens, pack_id, pack_off).
+    """
+
+    def counts(batch: pa.Table) -> pa.Table:
+        _, off = doc_tokens(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(np.diff(off), pa.int64()),
+            }
+        )
+
+    mat = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(counts, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+
+    @ray.remote
+    def block_meta(block: pa.Table):
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        nt = block["n_tokens"].to_numpy(zero_copy_only=False)
+        if ids.shape[0] == 0:
+            return (None, None, 0, True)
+        mono = bool((np.diff(ids) > 0).all())
+        return (int(ids[0]), int(ids[-1]), int(nt.sum()), mono)
+
+    refs = mat.to_arrow_refs()
+    metas = ray.get([block_meta.remote(r) for r in refs])
+    lo_hi = [(m[0], m[1]) for m in metas if m[0] is not None]
+    ordered = all(m[3] for m in metas) and all(
+        lo_hi[i][1] < lo_hi[i + 1][0] for i in range(len(lo_hi) - 1)
+    )
+    if not ordered:  # non-contiguous input: pay one sort, then recurse-free
+        mat = mat.sort("doc_id").materialize()
+        refs = mat.to_arrow_refs()
+        metas = ray.get([block_meta.remote(r) for r in refs])
+    sums = np.array([m[2] for m in metas], np.int64)
+    offs = np.zeros(len(metas), np.int64)
+    offs[1:] = np.cumsum(sums[:-1])
+
+    @ray.remote
+    def finish(block: pa.Table, base: int) -> pa.Table:
+        nt = block["n_tokens"].to_numpy(zero_copy_only=False)
+        cum_before = base + np.cumsum(nt) - nt
+        pack_id = cum_before // capacity
+        return pa.table(
+            {
+                "doc_id": block["doc_id"],
+                "n_tokens": block["n_tokens"],
+                "pack_id": pa.array(pack_id, pa.int64()),
+                "pack_off": pa.array(cum_before - pack_id * capacity, pa.int64()),
+            }
+        )
+
+    out_refs = [finish.remote(r, int(offs[i])) for i, r in enumerate(refs)]
+    return ray.data.from_arrow_refs(out_refs)

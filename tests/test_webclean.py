@@ -1,0 +1,161 @@
+"""webclean operators: bloom kernel accuracy, decontaminate bloom/exact
+equivalence, pack_sequences vs naive prefix sum (incl. unordered input),
+redact_pii RE2 parity on crafted PII, stratified_sample determinism."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ bloom
+
+
+def test_bloom_membership_and_fpr():
+    from hg_dedup_ray.functions.bloom import bloom_build, bloom_query
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 1 << 63, 50_000, dtype=np.uint64)
+    others = rng.integers(0, 1 << 63, 100_000, dtype=np.uint64)
+    others = others[~np.isin(others, members)]
+    bits = bloom_build(members)
+    assert bloom_query(bits, members).all()  # no false negatives, ever
+    fpr = bloom_query(bits, others).mean()
+    assert fpr < 0.01, fpr  # 12 bits/key, k=8 -> ~5e-4 expected
+
+
+def test_bloom_empty():
+    from hg_dedup_ray.functions.bloom import bloom_build, bloom_query
+
+    bits = bloom_build(np.empty(0, np.uint64))
+    assert not bloom_query(bits, np.arange(10, dtype=np.uint64)).any()
+
+
+# --------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_bloom_path_matches_exact(monkeypatch):
+    import hg_dedup_ray.pipelines.webclean as wc
+
+    exact = wc.decontaminate(SF).to_pandas().sort_values("doc_id")
+    monkeypatch.setattr(wc, "DECON_EXACT_LIMIT", 0)  # force bloom+verify
+    bloom = wc.decontaminate(SF).to_pandas().sort_values("doc_id")
+    assert (exact.to_numpy() == bloom.to_numpy()).all()
+    assert (exact["doc_id"] % wc.DECON_BENCH_MOD != 0).all()
+
+
+# -------------------------------------------------------- pack_sequences
+
+
+def _naive_pack(ids, ntok, capacity):
+    order = np.argsort(ids)
+    cum_before = np.cumsum(ntok[order]) - ntok[order]
+    pack_id = cum_before // capacity
+    return pd.DataFrame(
+        {
+            "doc_id": ids[order],
+            "n_tokens": ntok[order],
+            "pack_id": pack_id,
+            "pack_off": cum_before - pack_id * capacity,
+        }
+    )
+
+
+def test_pack_sequences_matches_naive():
+    from hg_dedup_ray.pipelines.webclean import PACK_CAPACITY, pack_sequences
+
+    got = pack_sequences(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ntok = np.array(
+        [len(s.split()) for s in t["text"].to_pylist()], np.int64
+    )
+    exp = _naive_pack(
+        t["doc_id"].to_numpy(), ntok, PACK_CAPACITY
+    ).reset_index(drop=True)
+    assert (got.to_numpy() == exp.to_numpy()).all()
+    # packs fill to capacity: every pack's docs start below capacity
+    assert (got["pack_off"] < PACK_CAPACITY).all()
+
+
+def test_pack_sequences_unordered_input(tmp_path):
+    """Out-of-order doc_ids trigger the one-time sort fallback and still
+    produce the doc_id-order packing."""
+    from hg_dedup_ray.pipelines.webclean import PACK_CAPACITY, pack_sequences
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(200).astype(np.int64)
+    texts = ["w " * int(rng.integers(1, 40)) for _ in ids]
+    pq.write_table(
+        pa.table({"doc_id": ids, "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    got = (
+        pack_sequences(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ntok = np.array([len(t.split()) for t in texts], np.int64)
+    exp = _naive_pack(ids, ntok, PACK_CAPACITY).reset_index(drop=True)
+    assert (got.to_numpy() == exp.to_numpy()).all()
+
+
+# ------------------------------------------------------------ redact_pii
+
+
+def test_redact_pii_on_crafted_pii(tmp_path):
+    import duckdb
+
+    from hg_dedup_ray.pipelines.webclean import redact_pii
+
+    props = [
+        'contact bob.smith+x@ex-ample.co.uk or 10.0.255.3 now',
+        '{"k": 42, "ip": "192.168.1.1"}',
+        "no pii here",
+        "just 123 and 456789",
+        "a@b.io a@b.io 1.2.3.4",
+    ]
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(5), pa.int64()), "props": props}
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = redact_pii(str(tmp_path)).to_pandas().sort_values("event_id")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+
+    exp = con.sql(ORACLE_SQL["redact_pii"]).df().sort_values("event_id")
+    assert (got.to_numpy() == exp.to_numpy()).all()
+    r = got.set_index("event_id")
+    assert r.loc[0, "redacted"] == "contact <EMAIL> or <IP> now"
+    assert r.loc[0, "n_email"] == 1 and r.loc[0, "n_ip"] == 1
+    assert r.loc[4, "n_email"] == 2 and r.loc[4, "n_ip"] == 1
+
+
+# ----------------------------------------------------- stratified_sample
+
+
+def test_stratified_sample_deterministic_and_rated():
+    from hg_dedup_ray.pipelines.webclean import (
+        SAMPLE_RATES_BP,
+        stratified_sample,
+    )
+
+    a = stratified_sample(SF).to_pandas().sort_values("doc_id")
+    b = stratified_sample(SF).to_pandas().sort_values("doc_id")
+    assert (a.to_numpy() == b.to_numpy()).all()
+    full = pq.read_table(f"{SF}/documents.parquet", columns=["lang"])
+    totals = pd.Series(full["lang"].to_pylist()).value_counts()
+    kept = a["lang"].value_counts()
+    for lang, rate in SAMPLE_RATES_BP.items():
+        if totals.get(lang, 0) >= 50:
+            frac = kept.get(lang, 0) / totals[lang]
+            assert abs(frac - rate / 10000) < 0.25, (lang, frac)
