@@ -82,6 +82,83 @@ def _simhash_sql() -> str:
     """
 
 
+def _xorconst(a: str, c: int) -> str:
+    """SQL for a ^ c, values < 2^64, via UBIGINT xor."""
+    return f"CAST(xor(CAST({a} AS UBIGINT), CAST({c} AS UBIGINT)) AS HUGEINT)"
+
+
+def _oph_sql(k: int = 16, num_perm: int = 128, seed: int = 42) -> str:
+    """DuckDB replication of functions/minhash.batch_signatures_oph at
+    the production config: FNV k-byte window fold -> xor seed-mix ->
+    splitmix64 -> bin = top-7-bits -> per-(doc, bin) min -> rotation
+    densification (empty bin borrows the nearest non-empty bin to the
+    right cyclically, value re-mixed with shift * MIX2). Long output
+    (doc_id, perm, sig) matching queries.minhash_sig_rows cell-for-cell.
+    Assumes every doc has >= k bytes (true of the fixtures)."""
+    pbits = num_perm.bit_length() - 1
+    seed_mix = (seed * _SM1) % _M64
+    fold = "CAST(ord(substr(text, i+0, 1)) AS HUGEINT)"
+    for j in range(1, k):
+        fold = f"(({fold}) * {_FNV_C} + ord(substr(text, i+{j}, 1))) % {_M64}"
+
+    def chain(src: str, prefix: str) -> str:
+        return f"""
+        {prefix}1 AS (SELECT doc_id, bin0, {_xorshift('x', 30)} AS x FROM {src}),
+        {prefix}2 AS (SELECT doc_id, bin0, {_mulmod64('x', _SM1)} AS x FROM {prefix}1),
+        {prefix}3 AS (SELECT doc_id, bin0, {_xorshift('x', 27)} AS x FROM {prefix}2),
+        {prefix}4 AS (SELECT doc_id, bin0, {_mulmod64('x', _SM2)} AS x FROM {prefix}3),
+        {prefix}5 AS (SELECT doc_id, bin0, {_xorshift('x', 31)} AS x FROM {prefix}4)"""
+
+    return f"""
+        WITH pos AS (
+          SELECT doc_id, text, unnest(range(1, length(text) - {k - 2})) AS i
+          FROM documents
+        ),
+        raw AS (SELECT doc_id, CAST(NULL AS BIGINT) AS bin0,
+                       {_xorconst(f'(({fold}))', seed_mix)} AS x FROM pos),
+        {chain('raw', 'w')},
+        mins AS (
+          SELECT doc_id, CAST(x // {1 << (64 - pbits)} AS BIGINT) AS bin,
+                 min(CAST(x AS UBIGINT)) AS v
+          FROM w5 GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT d.doc_id, g.bin
+          FROM (SELECT DISTINCT doc_id FROM documents) d,
+               (SELECT unnest(range(0, {num_perm})) AS bin) g
+        ),
+        holes AS (
+          SELECT g.doc_id, g.bin
+          FROM grid g LEFT JOIN mins m
+            ON m.doc_id = g.doc_id AND m.bin = g.bin
+          WHERE m.v IS NULL
+        ),
+        borrow AS (
+          SELECT doc_id, bin, s, v FROM (
+            SELECT h.doc_id, h.bin, s.s AS s, m.v,
+                   row_number() OVER (PARTITION BY h.doc_id, h.bin
+                                      ORDER BY s.s) AS rn
+            FROM holes h
+            JOIN (SELECT unnest(range(1, {num_perm})) AS s) s ON TRUE
+            JOIN mins m ON m.doc_id = h.doc_id
+                       AND m.bin = (h.bin + s.s) % {num_perm}
+          ) WHERE rn = 1
+        ),
+        braw AS (
+          SELECT doc_id, bin AS bin0,
+                 (CAST(v AS HUGEINT) + (s * {_SM2}) % {_M64}) % {_M64} AS x
+          FROM borrow
+        ),
+        {chain('braw', 'b')},
+        dense AS (
+          SELECT doc_id, bin0 AS bin, CAST(x AS UBIGINT) AS v FROM b5
+          UNION ALL
+          SELECT doc_id, bin, v FROM mins
+        )
+        SELECT doc_id, CAST(bin AS BIGINT) AS perm, v AS sig FROM dense
+    """
+
+
 def _splitmix_doc_id_sql() -> str:
     """CTE chain computing sm = splitmix64(doc_id) over documents —
     shares the mulmod/xorshift helpers with the simhash oracle."""
@@ -104,6 +181,7 @@ _SAMPLE_RATE_CASE = """
 
 ORACLE_SQL = {
     "simhash_sigs": _simhash_sql(),
+    "minhash_sig_rows": _oph_sql(),
     "stratified_sample": f"""
         WITH {_splitmix_doc_id_sql()}
         SELECT doc_id, lang FROM sm

@@ -126,6 +126,38 @@ def sa_dedup_documents(sf_dir: str, minlen: int = 64):
     )
 
 
+def minhash_sig_rows(sf_dir: str):
+    """OPH MinHash signatures at the PRODUCTION config (shingle_k=16,
+    num_perm=128, seed=42 — config.py defaults, the ones minhash_clusters
+    routes candidates with), exploded to long (doc_id, perm, sig) rows so
+    the DuckDB oracle can hash-check every cell: the oracle replicates
+    the FNV window fold, seed xor, splitmix64, 7-bit binning, per-bin
+    min, and rotation densification bit-for-bit in SQL."""
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+    from hg_dedup_ray.functions.minhash import batch_signatures_oph
+
+    k, num_perm, seed = 16, 128, 42
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        buf, off = string_column_bytes(batch["text"])
+        sig = batch_signatures_oph(buf, off, k, num_perm, seed)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = ids.shape[0]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, num_perm), pa.int64()),
+                "perm": pa.array(
+                    np.tile(np.arange(num_perm, dtype=np.int64), n), pa.int64()
+                ),
+                "sig": pa.array(sig.reshape(-1), pa.uint64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        sig_rows, batch_format="pyarrow", batch_size=2048
+    )
+
+
 def simhash_sigs(sf_dir: str):
     """64-bit SimHash signatures + 16-bit LSH bands per doc (rows-only).
 
@@ -1607,6 +1639,7 @@ QUERIES = {
     "distinct_token_counts": distinct_token_counts,
     "dup_ngram_stats": dup_ngram_stats,
     "approx_distinct_hll": approx_distinct_hll,
+    "minhash_sig_rows": minhash_sig_rows,
     "decontaminate": decontaminate,
     "stratified_sample": stratified_sample,
     "redact_pii": redact_pii,
