@@ -44,12 +44,14 @@ def _xorshift(a: str, s: int) -> str:
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
+    """Shared CTE chain ending in sig(doc_id, simhash) — used by both the
+    signature oracle and the banded near-dup-pair oracle."""
     fold = "CAST(ord(substr(text, i+0, 1)) AS HUGEINT)"
     for j in range(1, 8):
         fold = f"(({fold}) * {_FNV_C} + ord(substr(text, i+{j}, 1))) % {_M64}"
     return f"""
-        WITH pos AS (
+        pos AS (
           SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
           FROM documents
         ),
@@ -72,13 +74,39 @@ def _simhash_sql() -> str:
                       THEN CAST((CAST(1 AS UBIGINT) << b) AS HUGEINT)
                       ELSE 0 END) AS UBIGINT) AS simhash
           FROM bits GROUP BY doc_id
-        )
+        )"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+        WITH {_simhash_cte()}
         SELECT doc_id, simhash,
                (simhash >> 0)  & 65535 AS band0,
                (simhash >> 16) & 65535 AS band1,
                (simhash >> 32) & 65535 AS band2,
                (simhash >> 48) & 65535 AS band3
         FROM sig
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Banded Hamming near-dup pairs on the SQL-computed signatures:
+    pairs sharing >= 1 of the 4 16-bit bands with bit_count(xor) <=
+    max_hamming — the LSH guarantee means this equals the Ray query's
+    band-bucket search exactly (a <= 3-bit-distant pair always shares a
+    band; a pair found in a bucket always shares that band)."""
+    band_eq = " OR ".join(
+        f"((a.simhash >> {16 * b}) & 65535 = (b.simhash >> {16 * b}) & 65535)"
+        for b in range(4)
+    )
+    return f"""
+        WITH {_simhash_cte()}
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE ({band_eq})
+          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
 
 
@@ -181,6 +209,7 @@ _SAMPLE_RATE_CASE = """
 
 ORACLE_SQL = {
     "simhash_sigs": _simhash_sql(),
+    "simhash_near_dup_pairs": _simhash_pairs_sql(),
     "minhash_sig_rows": _oph_sql(),
     "stratified_sample": f"""
         WITH {_splitmix_doc_id_sql()}

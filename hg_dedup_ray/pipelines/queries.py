@@ -793,8 +793,9 @@ def lang_len_percentiles(sf_dir: str):
 def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
     """Near-dup doc pairs via SimHash: band explode -> hot-band prefilter
     -> groupby(band_key) -> within-bucket Hamming filter -> vectorized
-    pair distinct (rows-only; the banded Hamming search is not
-    SQL-expressible).
+    pair distinct. Oracle-checked: <=3 differing bits cannot touch all 4
+    16-bit bands, so band-bucket search finds EXACTLY the pairs the
+    oracle's self-join (band equality + bit_count(xor) <= 3) finds.
 
     No per-singleton-group Python anywhere: band keys seen once are
     filtered out before the groupby, and duplicate pairs from multiple
