@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 import ray
 
 from hg_dedup_ray.config import DedupConfig
+from hg_dedup_ray.functions.readers import read_parquet_sized
 from hg_dedup_ray.stages import textstats
 from hg_dedup_ray.stages.embed import (
     PartialTopK,
@@ -1043,7 +1044,9 @@ def jsonl_roundtrip_dedup(sf_dir: str):
 
 # ------------------------------------------------- relational breadth ops
 def _events(sf_dir: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    from hg_dedup_ray.functions.readers import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def event_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 32):
@@ -1182,7 +1185,7 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 32):
     composite (custkey, date-rank) key, and ONE np.searchsorted resolves
     every event's as-of row. No driver-side data, no per-row Python."""
     ev = _events(sf_dir, columns=["event_id", "ts", "user_id"])
-    od = ray.data.read_parquet(
+    od = read_parquet_sized(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
@@ -1278,7 +1281,7 @@ def range_join_orders_prior_year(sf_dir: str, num_buckets: int = 32):
     bound) + a prefix-sum gather answer every row — no per-row Python,
     no driver data."""
     DAY_US = 86_400_000_000
-    od = ray.data.read_parquet(
+    od = read_parquet_sized(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
@@ -1331,37 +1334,73 @@ def range_join_orders_prior_year(sf_dir: str, num_buckets: int = 32):
     )
 
 
-def events_hourly(sf_dir: str):
+def events_hourly(sf_dir: str, num_buckets: int = 64):
     """Tumbling-window aggregate: per (user, hour) event count + value
-    sum. Window key computed vectorized in map_batches (epoch-hour
-    int64), then a combiner-friendly groupby-aggregate."""
-    from ray.data.aggregate import Count, Sum
+    sum.
 
-    def add_hour(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64())  # epoch microseconds
-        hour = pc.divide(us, 3_600_000_000)
+    The (user, hour) key space grows with the data (~1 group per user per
+    active hour — 95k at sf0.1), so the native groupby.aggregate pays
+    Ray's per-group cost and dominated this query 7:1. Scale shape
+    instead: per-batch vectorized pre-reduce (lexsort + reduceat) emits
+    one partial row per in-batch group, keyed by a COARSE hash bucket;
+    the shuffle then has num_buckets groups regardless of user count and
+    each bucket combines its partials with one more lexsort + segment
+    sum. Values accumulate in integer centi-units (the fixture's values
+    have 2 decimals) so the distributed reduction order cannot perturb
+    the rounded float64 result."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.lexsort((hour, uid))
+        uid, hour, cents = uid[order], hour[order], cents[order]
+        bnd = np.flatnonzero(
+            np.concatenate(([True], (uid[1:] != uid[:-1]) | (hour[1:] != hour[:-1])))
+        )
+        n = np.diff(np.concatenate((bnd, [uid.shape[0]])))
+        s = np.add.reduceat(cents, bnd)
+        u, h = uid[bnd], hour[bnd]
         return pa.table(
             {
-                "user_id": batch["user_id"],
-                "hour_bucket": hour.cast(pa.int64()),
-                "value": batch["value"],
+                "cbucket": pa.array((u * 31 + h) % num_buckets, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "hour_bucket": pa.array(h, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "cents": pa.array(s, pa.int64()),
             }
         )
 
-    agg = (
-        _events(sf_dir, columns=["ts", "user_id", "value"])
-        .map_batches(add_hour, batch_format="pyarrow", batch_size=8192)
-        .groupby(["user_id", "hour_bucket"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-    )
-
-    def round6(batch: pa.Table) -> pa.Table:
-        i = batch.column_names.index("sum_value")
-        return batch.set_column(
-            i, "sum_value", pc.round(batch["sum_value"], ndigits=6)
+    def combine(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        hour = group["hour_bucket"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        c = group["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hour, uid))
+        uid, hour, n, c = uid[order], hour[order], n[order], c[order]
+        bnd = np.flatnonzero(
+            np.concatenate(([True], (uid[1:] != uid[:-1]) | (hour[1:] != hour[:-1])))
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid[bnd], pa.int64()),
+                "hour_bucket": pa.array(hour[bnd], pa.int64()),
+                "n": pa.array(np.add.reduceat(n, bnd), pa.int64()),
+                "sum_value": pa.array(
+                    np.round(np.add.reduceat(c, bnd) / 100.0, 6), pa.float64()
+                ),
+            }
         )
 
-    return agg.map_batches(round6, batch_format="pyarrow")
+    return (
+        _events(sf_dir, columns=["ts", "user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("cbucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
 
 
 def orders_per_nation(sf_dir: str):
@@ -1420,7 +1459,7 @@ def orders_per_nation(sf_dir: str):
         )
 
     agg = (
-        ray.data.read_parquet(
+        read_parquet_sized(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
         )
         .map_batches(attach_nation, batch_format="pyarrow", batch_size=8192)
@@ -1515,7 +1554,7 @@ def pricing_summary(sf_dir: str):
     """
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",

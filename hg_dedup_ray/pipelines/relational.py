@@ -24,7 +24,9 @@ import ray
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from hg_dedup_ray.functions.readers import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def revenue_by_segment(sf_dir: str, num_buckets: int = 64):
