@@ -53,17 +53,47 @@ def exact_dedup(sf_dir: str):
     """Exact dedup: keep the min-doc_id doc of every identical text
     (SURVEY.md A6; the guide's exact-dedup idiom).
 
-    Only (fp:u64, doc_id) enters the shuffle — never text — and the
-    keep-first reduction is a VECTORIZED Min aggregate (no per-group
-    Python). Keeper ids (8 B/doc) stream to the driver for a broadcast
+    Only (fp:u64, doc_id) enters the shuffle — never text. The fp key
+    space is ~one group per distinct doc, so a native per-fp aggregate
+    pays Ray's per-group cost on every unique document; instead each
+    batch pre-reduces to its per-fp min (one lexsort) and the shuffle
+    groups by a COARSE fp%64 bucket whose combine is one more
+    lexsort-boundary pass — group count fixed regardless of corpus
+    size. Keeper ids (8 B/doc) stream to the driver for a broadcast
     semi-join; at a scale where that outgrows the driver, replace with
     bucket = hash(doc_id)%B on both sides + per-bucket join."""
-    from ray.data.aggregate import Min
+    num_buckets = 64
 
-    hashed = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        textstats.content_hash_u64, batch_format="pyarrow", batch_size=4096
+    def fp_min_partial(batch: pa.Table) -> pa.Table:
+        h = textstats.content_hash_u64(batch)
+        fp = h["fp"].to_numpy(zero_copy_only=False)
+        d = h["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, fp))
+        fp, d = fp[order], d[order]
+        bnd = np.flatnonzero(np.concatenate(([True], fp[1:] != fp[:-1])))
+        fp, d = fp[bnd], d[bnd]  # first per fp == min doc_id
+        return pa.table(
+            {
+                "cbucket": pa.array((fp % num_buckets).astype(np.int64), pa.int64()),
+                "fp": pa.array(fp, pa.uint64()),
+                "keep_id": pa.array(d, pa.int64()),
+            }
+        )
+
+    def fp_min_combine(group: pa.Table) -> pa.Table:
+        fp = group["fp"].to_numpy(zero_copy_only=False)
+        d = group["keep_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, fp))
+        fp, d = fp[order], d[order]
+        bnd = np.flatnonzero(np.concatenate(([True], fp[1:] != fp[:-1])))
+        return pa.table({"keep_id": pa.array(d[bnd], pa.int64())})
+
+    keepers = (
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(fp_min_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("cbucket")
+        .map_groups(fp_min_combine, batch_format="pyarrow")
     )
-    keepers = hashed.groupby("fp").aggregate(Min("doc_id", alias_name="keep_id"))
     keep_ids = np.sort(
         np.concatenate(
             [
@@ -86,9 +116,10 @@ def exact_dedup(sf_dir: str):
         mask = (pos < ids.shape[0]) & (ids[np.minimum(pos, ids.shape[0] - 1)] == d)
         return batch.filter(pa.array(mask))
 
-    return _docs(sf_dir, columns=["doc_id", "lang", "source", "n_chars"]).map_batches(
-        filter_keep, batch_format="pyarrow"
-    )
+    return read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    ).map_batches(filter_keep, batch_format="pyarrow")
 
 
 def minhash_clusters(sf_dir: str, threshold: float = 0.5):
