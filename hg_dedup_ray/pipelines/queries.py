@@ -36,6 +36,14 @@ def _docs(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _docs_sized(sf_dir: str, columns=None):
+    """Size-derived block count (functions/readers) — for the light
+    per-batch map/agg queries whose cost is task+shuffle orchestration,
+    not per-byte compute. The flagship keeps _docs: its partitioning is
+    derived from doc_seq bounds, block granularity tuned separately."""
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
+
+
 def _emb(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -185,7 +193,7 @@ def minhash_sig_rows(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+    return _docs_sized(sf_dir, columns=["doc_id", "text"]).map_batches(
         sig_rows, batch_format="pyarrow", batch_size=2048
     )
 
@@ -198,7 +206,7 @@ def simhash_sigs(sf_dir: str):
     spin-up would dominate this sub-second stage."""
     from hg_dedup_ray.pipelines.sa_dedup import _task_stage
 
-    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+    return _docs_sized(sf_dir, columns=["doc_id", "text"]).map_batches(
         _task_stage(SimHasher), batch_format="pyarrow", batch_size=2048
     )
 
@@ -563,25 +571,25 @@ def ngram_jaccard_exact_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: 
 
 # --------------------------------------------------------- text analysis
 def token_counts(sf_dir: str):
-    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+    return _docs_sized(sf_dir, columns=["doc_id", "text"]).map_batches(
         textstats.token_stats, batch_format="pyarrow", batch_size=4096
     )
 
 
 def quality_scores(sf_dir: str):
-    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+    return _docs_sized(sf_dir, columns=["doc_id", "text"]).map_batches(
         textstats.quality_stats, batch_format="pyarrow", batch_size=4096
     )
 
 
 def lang_id_pred(sf_dir: str):
-    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+    return _docs_sized(sf_dir, columns=["doc_id", "text"]).map_batches(
         textstats.lang_id, batch_format="pyarrow", batch_size=4096
     )
 
 
 def fingerprints(sf_dir: str):
-    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+    return _docs_sized(sf_dir, columns=["doc_id", "text"]).map_batches(
         textstats.md5_fingerprint, batch_format="pyarrow", batch_size=4096
     )
 
@@ -601,7 +609,7 @@ def unigram_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return (
-        _docs(sf_dir, columns=["text"])
+        _docs_sized(sf_dir, columns=["text"])
         .map_batches(partial_counts, batch_format="pyarrow", batch_size=4096)
         .groupby("token")
         .aggregate(Sum("partial", alias_name="cnt"))
@@ -614,7 +622,7 @@ def corpus_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     return (
-        _docs(sf_dir, columns=["lang", "source", "n_chars"])
+        _docs_sized(sf_dir, columns=["lang", "source", "n_chars"])
         .groupby(["lang", "source"])
         .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
     )
@@ -1171,7 +1179,7 @@ def event_type_stats(sf_dir: str):
 def top_docs_by_chars(sf_dir: str, k: int = 10):
     """Global sort + limit (top-k docs by n_chars, doc_id tiebreak)."""
     return (
-        _docs(sf_dir, columns=["doc_id", "n_chars"])
+        _docs_sized(sf_dir, columns=["doc_id", "n_chars"])
         .sort(key=["n_chars", "doc_id"], descending=[True, False])
         .limit(k)
     )
@@ -1197,7 +1205,7 @@ def bpe_token_counts(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+    return _docs_sized(sf_dir, columns=["doc_id", "text"]).map_batches(
         count, batch_format="pyarrow", batch_size=4096
     )
 
