@@ -85,3 +85,24 @@ def hot_u64_keys(mat_ds, col: str, parallel_limit: int = 2_000_000) -> np.ndarra
     allk = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
     u, c = np.unique(allk, return_counts=True)
     return u[c >= 2]
+
+
+def hot_u64_keys_counts(
+    mat_ds, col: str, parallel_limit: int = 2_000_000
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted hot keys, per-key occurrence counts) — same routing as
+    hot_u64_keys, but the counts come back too (document frequencies for
+    prefix-filter ordering: PPJoin ranks each doc's shingles by global df
+    ascending, so the counts ARE the order key)."""
+    import ray
+
+    if mat_ds.count() > parallel_limit:
+        from hg_dedup_ray.pipelines.sa_dedup import _hot_keys_parallel_counts
+
+        return _hot_keys_parallel_counts(mat_ds, col)
+    tabs = ray.get(mat_ds.to_arrow_refs())
+    chunks = [t[col].to_numpy(zero_copy_only=False) for t in tabs if len(t)]
+    allk = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+    u, c = np.unique(allk, return_counts=True)
+    hot = c >= 2
+    return u[hot], c[hot].astype(np.int64)

@@ -378,10 +378,17 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: int = 
     return joined.groupby("pbucket").map_groups(verify_bucket, batch_format="pyarrow")
 
 
-def ngram_jaccard_exact_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: int = 64):
-    """EXACT k=8-byte-shingle Jaccard pairs — the inverted-index algorithm
-    (shingle explode -> co-occurrence pair counts -> Jaccard filter), no
-    LSH approximation, DuckDB-green.
+def ngram_jaccard_exact_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    num_buckets: int = 64,
+    verify_broadcast_limit: int = 8_000_000,
+    bitset_byte_limit: int = 256 << 20,
+):
+    """EXACT k=8-byte-shingle Jaccard pairs, DuckDB-green, via PPJoin
+    prefix + positional filtering (Xiao et al., WWW'08): candidates come
+    only from the RAREST ~(1-t) fraction of each doc's shingles, pruned
+    further by match position, then verified exactly.
 
     k is fixed at 8 so each shingle packs EXACTLY into one u64 word
     (big-endian): shingle identity is collision-free and bijective with
@@ -390,39 +397,61 @@ def ngram_jaccard_exact_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: 
     ASCII text (the fixtures are ASCII; on non-ASCII input the two
     definitions intentionally diverge and the byte definition is ours).
 
-    Scale shape: only (u64 shingle, doc_id, n) rows shuffle — never text.
-    Singleton shingles (the overwhelming majority) are dropped by the
-    hot-key prefilter BEFORE any groupby; pair expansion runs inside
-    coarse hash buckets with fully vectorized run-expansion (no Python
-    per shingle) and PRE-REDUCES per-pair counts within the bucket; the
-    cross-bucket combine is a second coarse groupby (pair % num_buckets)
-    with a vectorized segment-sum per group — measured 30x+ faster than
-    ``groupby("pair").aggregate(...)``, whose cost grows with the
-    DISTINCT-pair count (~1M pairs took 240 s in Ray 2.49). The
-    documented scale knob is a stop-shingle cap (drop shingles shared by
-    > M docs — standard prefix-filter territory); unset here so the
-    result is exact for the oracle."""
+    Why not plain inverted-index counting: expanding all-pairs within each
+    shingle's posting list is O(sum_sh df(sh)^2) — measured 280M pair
+    rows / 190+ s at sf0.1 where the final answer is 256 pairs. The
+    exact-filter cascade gets there in a few seconds:
+
+    1. df pass: per-doc-distinct shingle rows -> global doc frequency of
+       every shingle with >= 2 docs ("hot"; 32-way shard+reduce).
+    2. prefix pass: re-derive each doc's distinct shingles, order by the
+       global (df, sh) total order ascending, keep the first
+       p = n - ceil(t*n) + 1 (the prefix). If J(A,B) >= t the prefixes
+       MUST share a shingle, and shared shingles have df >= 2 — only
+       prefix-AND-hot rows (with their rank) enter the inverted index.
+    3. candidates: within each prefix posting run, all-pairs plus
+       (a) the length filter min(n_a,n_b) >= t*max(n_a,n_b) and
+       (b) the POSITIONAL filter: a match at ranks (ra, rb) bounds the
+       overlap by 1 + min(n_a-1-ra, n_b-1-rb), which must reach
+       alpha = ceil(t/(1+t)*(n_a+n_b)). Per-occurrence testing equals
+       testing at the pair's globally first shared token (earlier
+       matches only have larger bounds), so this stays EXACT while
+       cutting candidates ~7x on repetitive web text (1.44M -> 200k
+       measured at sf0.1).
+    4. verify: shared shingles necessarily have df >= 2, so
+       |A ∩ B| = |hot(A) ∩ hot(B)| exactly. Each candidate doc's
+       hot-shingle rows ship ONCE per pair-hash bucket that needs them
+       (not once per pair); the per-pair replication happens node-local
+       inside the verify task (numpy repeat + one lexsort + run-length
+       dup count) — shuffle volume stays O(docs x shingles x buckets),
+       never O(pairs x shingles). Texts never shuffle; candidate pair
+       keys (8 B each, output-bounded) are the only driver collection.
+
+    Floating-point care: all candidate-side bounds use ceil(x - 1e-9) /
+    >= x - 1e-9 so rounding only ENLARGES the candidate set; the final
+    Jaccard test is exact integer inter/union in float64 division,
+    matching DuckDB."""
     from hg_dedup_ray.functions.arrow_utils import string_column_bytes
-    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys_counts
 
     K = 8
+    EPS = 1e-9
+    n_verify_buckets = 16
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
+    def _doc_shingles(batch: pa.Table):
+        """Distinct (doc, shingle) rows sorted by (doc, shingle):
+        returns (ids, doc_ix, sh, n_per_doc)."""
         data, offsets = string_column_bytes(batch["text"])
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 32):
-            # pair identity below packs two ids into one u64 (32-bit halves)
+            # pair identity packs two ids into one u64 (32-bit halves)
             raise ValueError("ngram_jaccard_exact_pairs requires 0 <= doc_id < 2^32")
         nb = len(batch)
         lens = np.diff(offsets)
         cnt = np.maximum(lens - K + 1, 0).astype(np.int64)
         total = int(cnt.sum())
         if total == 0:
-            return pa.table(
-                {"sh": pa.array([], pa.uint64()),
-                 "doc_id": pa.array([], pa.int64()),
-                 "n": pa.array([], pa.int64())}
-            )
+            return ids, np.empty(0, np.int64), np.empty(0, np.uint64), np.zeros(nb, np.int64)
         # pack every 8-byte window of the whole batch buffer into u64
         buf = np.concatenate([data, np.zeros(K, np.uint8)])
         m = data.shape[0]
@@ -433,19 +462,18 @@ def ngram_jaccard_exact_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: 
         seg_start = np.cumsum(cnt) - cnt
         pos = (np.arange(total) - seg_start[doc_ix]) + offsets[doc_ix]
         sh = v8[pos]
-        # distinct (doc, shingle)
         order = np.lexsort((sh, doc_ix))
         d_s, s_s = doc_ix[order], sh[order]
         keep = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])))
         d_k, s_k = d_s[keep], s_s[keep]
         n_doc = np.bincount(d_k, minlength=nb).astype(np.int64)
-        return pa.table(
-            {
-                "sh": pa.array(s_k, pa.uint64()),
-                "doc_id": pa.array(ids[d_k], pa.int64()),
-                "n": pa.array(n_doc[d_k], pa.int64()),
-            }
-        )
+        return ids, d_k, s_k, n_doc
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        # df pass emits ONLY the 8-byte shingle column (one row per
+        # distinct (doc, shingle)) — row count per shingle IS its df
+        _ids, _d, s_k, _n = _doc_shingles(batch)
+        return pa.table({"sh": pa.array(s_k, pa.uint64())})
 
     mat = (
         _docs(sf_dir, columns=["doc_id", "text"])
@@ -458,37 +486,59 @@ def ngram_jaccard_exact_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: 
             {"doc_id_a": pa.array([], pa.int64()), "doc_id_b": pa.array([], pa.int64())}
         )
     )
-    hot = hot_u64_keys(mat, "sh")
+    hot, dfc = hot_u64_keys_counts(mat, "sh")
     if hot.shape[0] == 0:
         return empty
-    hot_ref = ray.put(pa.array(hot, pa.uint64()))
+    hot_ref = ray.put((hot, dfc))
 
-    def keep_hot_bucketed(b: pa.Table) -> pa.Table:
-        from hg_dedup_ray.stages.broadcast import get_broadcast
-
-        b = b.filter(pc.is_in(b["sh"], value_set=get_broadcast(hot_ref)))
-        sh = b["sh"].to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "bucket", pa.array((sh % np.uint64(num_buckets)).astype(np.int64))
-        )
-
-    _empty_pairs = pa.table(
-        {
-            "pair": pa.array([], pa.uint64()),
-            "pbucket": pa.array([], pa.int64()),
-            "inter": pa.array([], pa.int64()),
-            "na": pa.array([], pa.int64()),
-            "nb": pa.array([], pa.int64()),
-        }
+    _empty_cand = pa.table(
+        {"pbucket": pa.array([], pa.int64()), "pair": pa.array([], pa.uint64())}
     )
 
-    def expand_pairs(group: pa.Table) -> pa.Table:
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        H, DF = get_broadcast(hot_ref)
+        ids, d_k, s_k, n_doc = _doc_shingles(batch)
+        if s_k.shape[0] == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.searchsorted(H, s_k)
+        pos_c = np.minimum(pos, H.shape[0] - 1)
+        is_hot = (pos < H.shape[0]) & (H[pos_c] == s_k)
+        dfv = np.where(is_hot, DF[pos_c], 1)
+        # rank each doc's shingles under the global (df, sh) order
+        order = np.lexsort((s_k, dfv, d_k))
+        d_o, s_o, df_o = d_k[order], s_k[order], dfv[order]
+        starts = np.searchsorted(d_o, np.arange(n_doc.shape[0]))
+        rank = np.arange(d_o.shape[0]) - starts[d_o]
+        p_doc = n_doc - np.ceil(threshold * n_doc - EPS).astype(np.int64) + 1
+        keep = (rank < p_doc[d_o]) & (df_o >= 2)
+        d_f, s_f, r_f = d_o[keep], s_o[keep], rank[keep]
+        return pa.table(
+            {
+                "bucket": pa.array((s_f % np.uint64(num_buckets)).astype(np.int64)),
+                "sh": pa.array(s_f, pa.uint64()),
+                "doc_id": pa.array(ids[d_f], pa.int64()),
+                "n": pa.array(n_doc[d_f], pa.int64()),
+                "rank": pa.array(r_f, pa.int64()),
+            }
+        )
+
+    def expand_candidates(group: pa.Table) -> pa.Table:
         sh = group["sh"].to_numpy(zero_copy_only=False)
         did = group["doc_id"].to_numpy(zero_copy_only=False)
         n = group["n"].to_numpy(zero_copy_only=False)
+        rk = group["rank"].to_numpy(zero_copy_only=False)
         order = np.lexsort((did, sh))
-        sh, did, n = sh[order], did[order], n[order]
-        # run boundaries per shingle; all-pairs within each run, a < b
+        sh, did, n, rk = sh[order], did[order], n[order], rk[order]
         new = np.concatenate(([True], sh[1:] != sh[:-1]))
         run_id = np.cumsum(new) - 1
         run_len = np.bincount(run_id)
@@ -497,75 +547,442 @@ def ngram_jaccard_exact_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: 
         rep = (run_len[run_id] - 1 - local).astype(np.int64)
         tot = int(rep.sum())
         if tot == 0:
-            return _empty_pairs
+            return _empty_cand
         a_idx = np.repeat(np.arange(sh.shape[0]), rep)
         seg = np.cumsum(rep) - rep
         off = np.arange(tot) - seg[a_idx] + 1
         b_idx = a_idx + off
-        pair = (did[a_idx].astype(np.uint64) << np.uint64(32)) | did[
-            b_idx
-        ].astype(np.uint64)
-        na, nb = n[a_idx], n[b_idx]
-        # pre-reduce within this bucket: one row per distinct pair with a
-        # partial intersection count (a pair repeats once per shared
-        # shingle that hashed into this bucket)
-        porder = np.argsort(pair, kind="stable")
-        p_s, na_s, nb_s = pair[porder], na[porder], nb[porder]
-        pnew = np.concatenate(([True], p_s[1:] != p_s[:-1]))
-        inter = np.bincount(np.cumsum(pnew) - 1).astype(np.int64)
-        p_u = p_s[pnew]
+        na, nbv, ra, rb = n[a_idx], n[b_idx], rk[a_idx], rk[b_idx]
+        # length filter + positional filter (both exact, see docstring)
+        alpha = np.ceil(
+            threshold / (1.0 + threshold) * (na + nbv) - EPS
+        ).astype(np.int64)
+        ok = (np.minimum(na, nbv) >= threshold * np.maximum(na, nbv) - EPS) & (
+            1 + np.minimum(na - 1 - ra, nbv - 1 - rb) >= alpha
+        )
+        a_idx, b_idx = a_idx[ok], b_idx[ok]
+        if a_idx.shape[0] == 0:
+            return _empty_cand
+        pair = np.unique(
+            (did[a_idx].astype(np.uint64) << np.uint64(32))
+            | did[b_idx].astype(np.uint64)
+        )
         return pa.table(
             {
-                "pair": pa.array(p_u, pa.uint64()),
-                "pbucket": pa.array(
-                    (p_u % np.uint64(num_buckets)).astype(np.int64)
-                ),
-                "inter": pa.array(inter, pa.int64()),
-                "na": pa.array(na_s[pnew], pa.int64()),
-                "nb": pa.array(nb_s[pnew], pa.int64()),
+                "pbucket": pa.array((pair % np.uint64(num_buckets)).astype(np.int64)),
+                "pair": pa.array(pair, pa.uint64()),
             }
         )
 
-    def combine_and_filter(group: pa.Table) -> pa.Table:
-        """One pair-hash bucket: segment-sum the partial intersection
-        counts, then apply the Jaccard threshold — vectorized, no
-        per-pair dispatch."""
-        pair = group["pair"].to_numpy(zero_copy_only=False)
-        if pair.shape[0] == 0:
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        pair = np.unique(group["pair"].to_numpy(zero_copy_only=False))
+        return pa.table({"pair": pa.array(pair, pa.uint64())})
+
+    cand = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(prefix_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(expand_candidates, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .materialize()
+    )
+    ptabs = ray.get(cand.to_arrow_refs())
+    pchunks = [t["pair"].to_numpy(zero_copy_only=False) for t in ptabs if len(t)]
+    if not pchunks:
+        return empty
+    allp = np.concatenate(pchunks)
+    docs_needed = np.unique(
+        np.concatenate(
+            [allp >> np.uint64(32), allp & np.uint64(0xFFFFFFFF)]
+        ).astype(np.int64)
+    )
+    docs_ref = ray.put(docs_needed)
+
+    _empty_out = pa.table(
+        {"doc_id_a": pa.array([], pa.int64()), "doc_id_b": pa.array([], pa.int64())}
+    )
+
+    def _cand_doc_hot(batch: pa.Table):
+        """(doc_id, hot shingle, n) arrays for candidate docs only."""
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        need = get_broadcast(docs_ref)
+        ids0 = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(need, ids0)
+        m = (pos < need.shape[0]) & (need[np.minimum(pos, need.shape[0] - 1)] == ids0)
+        batch = batch.filter(pa.array(m))
+        ids, d_k, s_k, n_doc = _doc_shingles(batch)
+        H, _DF = get_broadcast(hot_ref)
+        if s_k.shape[0]:
+            p2 = np.searchsorted(H, s_k)
+            p2c = np.minimum(p2, H.shape[0] - 1)
+            is_hot = (p2 < H.shape[0]) & (H[p2c] == s_k)
+            d_f, s_f = d_k[is_hot], s_k[is_hot]
+        else:
+            d_f, s_f = d_k, s_k
+        return ids[d_f], s_f, n_doc[d_f]
+
+    # --- verify-path selection. The doc side of the verification join is
+    # the candidate docs' hot-shingle rows, bounded above by mat's row
+    # count (already materialized — the check is free). Below the limit
+    # that side is a few-MB ray.put broadcast read by every verify task:
+    # verification becomes one shuffle-free map_batches over candidate
+    # pairs. Above it, the bucketed two-hop join keeps every row in the
+    # object store — the 100 TB path, same math, tested equal.
+    if mat.count() <= verify_broadcast_limit:
+        def cand_doc_hot_rows(b: pa.Table) -> pa.Table:
+            doc, sh_, n_ = _cand_doc_hot(b)
             return pa.table(
                 {
-                    "doc_id_a": pa.array([], pa.int64()),
-                    "doc_id_b": pa.array([], pa.int64()),
+                    "doc_id": pa.array(doc, pa.int64()),
+                    "sh": pa.array(sh_, pa.uint64()),
+                    "n": pa.array(n_, pa.int64()),
                 }
             )
-        inter_p = group["inter"].to_numpy(zero_copy_only=False)
-        na = group["na"].to_numpy(zero_copy_only=False)
-        nb = group["nb"].to_numpy(zero_copy_only=False)
-        order = np.argsort(pair, kind="stable")
-        p_s, i_s = pair[order], inter_p[order]
-        new = np.concatenate(([True], p_s[1:] != p_s[:-1]))
-        rid = np.cumsum(new) - 1
-        inter = np.bincount(rid, weights=i_s).astype(np.int64)
-        p_u = p_s[new]
-        na_u, nb_u = na[order][new], nb[order][new]
-        jac = inter.astype(np.float64) / (na_u + nb_u - inter)
-        keep = jac >= threshold
-        p_u = p_u[keep]
+
+        doc_rows = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            cand_doc_hot_rows, batch_format="pyarrow", batch_size=4096
+        )
+        tabs2 = ray.get(doc_rows.materialize().to_arrow_refs())
+        dd = [t["doc_id"].to_numpy(zero_copy_only=False) for t in tabs2 if len(t)]
+        if not dd:
+            return empty
+        ddoc = np.concatenate(dd)
+        dsh = np.concatenate(
+            [t["sh"].to_numpy(zero_copy_only=False) for t in tabs2 if len(t)]
+        )
+        dn = np.concatenate(
+            [t["n"].to_numpy(zero_copy_only=False) for t in tabs2 if len(t)]
+        )
+        order = np.lexsort((dsh, ddoc))
+        ddoc, dsh, dn = ddoc[order], dsh[order], dn[order]
+        doc_u, doc_start, doc_cnt = np.unique(
+            ddoc, return_index=True, return_counts=True
+        )
+        n_by_doc = dn[doc_start]
+
+        # Bitset fast path: hot shingles index a compact bit space, so
+        # each doc is one row of a (docs x ceil(|hot|/64)) u64 matrix and
+        # |A ∩ B| is AND + popcount — no per-batch lexsort at all.
+        # Guarded by matrix size; the lexsort verify below is the
+        # fallback when the local hot-shingle space is too wide.
+        width = (hot.shape[0] + 63) // 64
+        if doc_u.shape[0] * width * 8 <= bitset_byte_limit:
+            row = np.searchsorted(doc_u, ddoc)
+            idx = np.searchsorted(hot, dsh).astype(np.uint64)
+            bits = np.zeros((doc_u.shape[0], width), np.uint64)
+            np.bitwise_or.at(
+                bits,
+                (row, (idx >> np.uint64(6)).astype(np.int64)),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+            pop16 = np.array(
+                [bin(i).count("1") for i in range(1 << 16)], np.uint8
+            )
+            side_ref = ray.put((doc_u, bits, n_by_doc, pop16))
+
+            def verify_bitset(b: pa.Table) -> pa.Table:
+                from hg_dedup_ray.stages.broadcast import get_broadcast
+
+                doc_u, bits, n_by_doc, pop16 = get_broadcast(side_ref)
+                pair = b["pair"].to_numpy(zero_copy_only=False)
+                if pair.shape[0] == 0:
+                    return _empty_out
+                a = (pair >> np.uint64(32)).astype(np.int64)
+                bb = (pair & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                pa_ = np.searchsorted(doc_u, a)
+                pb_ = np.searchsorted(doc_u, bb)
+                nd = doc_u.shape[0]
+                found = (
+                    (pa_ < nd)
+                    & (pb_ < nd)
+                    & (doc_u[np.minimum(pa_, nd - 1)] == a)
+                    & (doc_u[np.minimum(pb_, nd - 1)] == bb)
+                )
+                pair, pa_, pb_ = pair[found], pa_[found], pb_[found]
+                if pair.shape[0] == 0:
+                    return _empty_out
+                band = bits[pa_] & bits[pb_]
+                inter = (
+                    pop16[band.view(np.uint16).reshape(pair.shape[0], -1)]
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
+                union = n_by_doc[pa_] + n_by_doc[pb_] - inter
+                jac = np.divide(
+                    inter, union, out=np.zeros(pair.shape[0]), where=union > 0
+                )
+                keepp = pair[jac >= threshold]
+                return pa.table(
+                    {
+                        "doc_id_a": pa.array(
+                            (keepp >> np.uint64(32)).astype(np.int64)
+                        ),
+                        "doc_id_b": pa.array(
+                            (keepp & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                        ),
+                    }
+                )
+
+            n_parts = max(1, min(64, allp.shape[0] // 65536 + 1))
+            return cand.repartition(n_parts).map_batches(
+                verify_bitset, batch_format="pyarrow", batch_size=65536
+            )
+
+        side_ref = ray.put((doc_u, doc_start, doc_cnt, n_by_doc, dsh))
+
+        def verify_broadcast(b: pa.Table) -> pa.Table:
+            from hg_dedup_ray.stages.broadcast import get_broadcast
+
+            doc_u, doc_start, doc_cnt, n_by_doc, dsh = get_broadcast(side_ref)
+            pair = b["pair"].to_numpy(zero_copy_only=False)
+            if pair.shape[0] == 0:
+                return _empty_out
+            np_ = pair.shape[0]
+            mdoc = np.concatenate(
+                [
+                    (pair >> np.uint64(32)).astype(np.int64),
+                    (pair & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                ]
+            )
+            pidx = np.concatenate([np.arange(np_)] * 2)
+            pos = np.searchsorted(doc_u, mdoc)
+            okd = (pos < doc_u.shape[0]) & (
+                doc_u[np.minimum(pos, doc_u.shape[0] - 1)] == mdoc
+            )
+            pidx, pos = pidx[okd], pos[okd]
+            sum_n = np.bincount(
+                pidx, weights=n_by_doc[pos], minlength=np_
+            ).astype(np.int64)
+            mcount = np.bincount(pidx, minlength=np_)
+            rep = doc_cnt[pos]
+            tot = int(rep.sum())
+            if tot == 0:
+                return _empty_out
+            mi = np.repeat(np.arange(pidx.shape[0]), rep)
+            seg = np.cumsum(rep) - rep
+            off = np.arange(tot) - seg[mi]
+            di = doc_start[pos][mi] + off
+            p_all, sh_all = pidx[mi], dsh[di]
+            o3 = np.lexsort((sh_all, p_all))
+            p_s, sh_s = p_all[o3], sh_all[o3]
+            dup = (p_s[1:] == p_s[:-1]) & (sh_s[1:] == sh_s[:-1])
+            inter = np.bincount(p_s[1:][dup], minlength=np_).astype(np.int64)
+            union = sum_n - inter
+            jac = np.divide(inter, union, out=np.zeros(np_), where=union > 0)
+            keepp = pair[(jac >= threshold) & (mcount == 2)]
+            return pa.table(
+                {
+                    "doc_id_a": pa.array(
+                        (keepp >> np.uint64(32)).astype(np.int64)
+                    ),
+                    "doc_id_b": pa.array(
+                        (keepp & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                    ),
+                }
+            )
+
+        # cand materializes as a handful of blocks; re-split so the verify
+        # tasks (the compute-heavy part) use the whole CPU pool. 8 KB-row
+        # slices keep the local replication (~0.5 M rows each) cache-warm.
+        n_parts = max(1, min(256, allp.shape[0] // 8192 + 1))
+        return cand.repartition(n_parts).map_batches(
+            verify_broadcast, batch_format="pyarrow", batch_size=8192
+        )
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        pair = b["pair"].to_numpy(zero_copy_only=False)
+        a = (pair >> np.uint64(32)).astype(np.int64)
+        bb = (pair & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        doc = np.concatenate([a, bb])
+        pr = np.concatenate([pair, pair])
+        nm = doc.shape[0]
         return pa.table(
             {
-                "doc_id_a": pa.array((p_u >> np.uint64(32)).astype(np.int64)),
-                "doc_id_b": pa.array(
-                    (p_u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                "dbucket": pa.array(doc % num_buckets, pa.int64()),
+                "kind": pa.array(np.ones(nm, np.uint8), pa.uint8()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "sh": pa.nulls(nm, pa.uint64()),
+                "n": pa.nulls(nm, pa.int64()),
+                "pair": pa.array(pr, pa.uint64()),
+            }
+        )
+
+    def doc_side_rows(batch: pa.Table) -> pa.Table:
+        doc, s_f, n_f = _cand_doc_hot(batch)
+        nr = doc.shape[0]
+        return pa.table(
+            {
+                "dbucket": pa.array(doc % num_buckets, pa.int64()),
+                "kind": pa.array(np.zeros(nr, np.uint8), pa.uint8()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "sh": pa.array(s_f, pa.uint64()),
+                "n": pa.array(n_f, pa.int64()),
+                "pair": pa.nulls(nr, pa.uint64()),
+            }
+        )
+
+    _empty_attached = pa.table(
+        {
+            "pbucket": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.uint8()),
+            "pair": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.uint64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def attach_docs(group: pa.Table) -> pa.Table:
+        """One doc-hash bucket: ship each doc's hot-shingle rows ONCE per
+        pair-hash bucket that needs the doc (kind=0 rows), plus one
+        (pair, doc) row per membership (kind=1). The per-pair replication
+        is deferred to the verify task — node-local numpy, not shuffle."""
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        d = group.filter(pa.array(kind == 0))
+        m = group.filter(pa.array(kind == 1))
+        if len(d) == 0 or len(m) == 0:
+            return _empty_attached
+        mdoc = m["doc_id"].to_numpy(zero_copy_only=False)
+        mpair = m["pair"].to_numpy(zero_copy_only=False)
+        mpb = (mpair % np.uint64(n_verify_buckets)).astype(np.int64)
+        # distinct (doc, pbucket) demand
+        okey = np.lexsort((mpb, mdoc))
+        dd, pp = mdoc[okey], mpb[okey]
+        firstd = np.concatenate(([True], (dd[1:] != dd[:-1]) | (pp[1:] != pp[:-1])))
+        dem_doc, dem_pb = dd[firstd], pp[firstd]
+        # replicate doc rows once per demanded pbucket
+        ddoc = d["doc_id"].to_numpy(zero_copy_only=False)
+        dsh = d["sh"].to_numpy(zero_copy_only=False)
+        dn = d["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ddoc, kind="stable")
+        ddoc, dsh, dn = ddoc[order], dsh[order], dn[order]
+        doc_u, doc_start, doc_cnt = np.unique(
+            ddoc, return_index=True, return_counts=True
+        )
+        pos = np.searchsorted(doc_u, dem_doc)
+        okd = (pos < doc_u.shape[0]) & (
+            doc_u[np.minimum(pos, doc_u.shape[0] - 1)] == dem_doc
+        )
+        dem_pb, pos = dem_pb[okd], pos[okd]
+        rep = doc_cnt[pos]
+        tot = int(rep.sum())
+        if tot == 0:
+            return _empty_attached
+        mi = np.repeat(np.arange(dem_pb.shape[0]), rep)
+        seg = np.cumsum(rep) - rep
+        off = np.arange(tot) - seg[mi]
+        di = doc_start[pos][mi] + off
+        nm = mpair.shape[0]
+        return pa.table(
+            {
+                "pbucket": pa.array(
+                    np.concatenate([dem_pb[mi], mpb]), pa.int64()
+                ),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(tot, np.uint8), np.ones(nm, np.uint8)]
+                    ),
+                    pa.uint8(),
+                ),
+                "pair": pa.chunked_array(
+                    [pa.nulls(tot, pa.uint64()), pa.array(mpair, pa.uint64())]
+                ),
+                "doc_id": pa.array(
+                    np.concatenate([ddoc[di], mdoc]), pa.int64()
+                ),
+                "sh": pa.chunked_array(
+                    [pa.array(dsh[di], pa.uint64()), pa.nulls(nm, pa.uint64())]
+                ),
+                "n": pa.chunked_array(
+                    [pa.array(dn[di], pa.int64()), pa.nulls(nm, pa.int64())]
                 ),
             }
         )
 
+    def verify_pairs(group: pa.Table) -> pa.Table:
+        """One pair-hash bucket: replicate doc shingle rows per pair
+        LOCALLY, then |A ∩ B| = duplicated (pair, shingle) keys (each
+        side's set is distinct, so a key appears at most twice). One
+        lexsort + run-length pass — no per-pair dispatch, no per-pair
+        shuffle volume."""
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        d = group.filter(pa.array(kind == 0))
+        m = group.filter(pa.array(kind == 1))
+        if len(d) == 0 or len(m) == 0:
+            return _empty_out
+        # doc rows may arrive duplicated only if a doc's rows were
+        # demanded from its single dbucket — unique by construction
+        ddoc = d["doc_id"].to_numpy(zero_copy_only=False)
+        dsh = d["sh"].to_numpy(zero_copy_only=False)
+        dn = d["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ddoc, kind="stable")
+        ddoc, dsh, dn = ddoc[order], dsh[order], dn[order]
+        doc_u, doc_start, doc_cnt = np.unique(
+            ddoc, return_index=True, return_counts=True
+        )
+        n_by_doc = dn[doc_start]
+        # each (pair, doc) membership appears twice (once per side's
+        # dbucket emission) — dedupe
+        mpair = m["pair"].to_numpy(zero_copy_only=False)
+        mdoc = m["doc_id"].to_numpy(zero_copy_only=False)
+        ok2 = np.lexsort((mdoc, mpair))
+        mpair, mdoc = mpair[ok2], mdoc[ok2]
+        firstm = np.concatenate(
+            ([True], (mpair[1:] != mpair[:-1]) | (mdoc[1:] != mdoc[:-1]))
+        )
+        mpair, mdoc = mpair[firstm], mdoc[firstm]
+        pu, pidx = np.unique(mpair, return_inverse=True)
+        # replicate each membership's doc rows locally
+        pos = np.searchsorted(doc_u, mdoc)
+        okd = (pos < doc_u.shape[0]) & (
+            doc_u[np.minimum(pos, doc_u.shape[0] - 1)] == mdoc
+        )
+        pidx, pos, mdoc = pidx[okd], pos[okd], mdoc[okd]
+        # denominators: sum of the two docs' n per pair
+        sum_n = np.bincount(
+            pidx, weights=n_by_doc[pos], minlength=pu.shape[0]
+        ).astype(np.int64)
+        rep = doc_cnt[pos]
+        tot = int(rep.sum())
+        if tot == 0:
+            return _empty_out
+        mi = np.repeat(np.arange(pidx.shape[0]), rep)
+        seg = np.cumsum(rep) - rep
+        off = np.arange(tot) - seg[mi]
+        di = doc_start[pos][mi] + off
+        p_all, sh_all = pidx[mi], dsh[di]
+        o3 = np.lexsort((sh_all, p_all))
+        p_s, sh_s = p_all[o3], sh_all[o3]
+        dup = (p_s[1:] == p_s[:-1]) & (sh_s[1:] == sh_s[:-1])
+        inter = np.bincount(p_s[1:][dup], minlength=pu.shape[0]).astype(np.int64)
+        union = sum_n - inter
+        jac = np.divide(
+            inter, union, out=np.zeros(pu.shape[0]), where=union > 0
+        )
+        # defensive: only pairs with BOTH docs' rows resolved may pass
+        mcount = np.bincount(pidx, minlength=pu.shape[0])
+        keepp = pu[(jac >= threshold) & (mcount == 2)]
+        return pa.table(
+            {
+                "doc_id_a": pa.array((keepp >> np.uint64(32)).astype(np.int64)),
+                "doc_id_b": pa.array(
+                    (keepp & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+            }
+        )
+
+    members = cand.map_batches(member_rows, batch_format="pyarrow")
+    docrows = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        doc_side_rows, batch_format="pyarrow", batch_size=4096
+    )
     return (
-        mat.map_batches(keep_hot_bucketed, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(expand_pairs, batch_format="pyarrow")
+        docrows.union(members)
+        .groupby("dbucket")
+        .map_groups(attach_docs, batch_format="pyarrow")
         .groupby("pbucket")
-        .map_groups(combine_and_filter, batch_format="pyarrow")
+        .map_groups(verify_pairs, batch_format="pyarrow")
     )
 
 
@@ -1542,11 +1959,30 @@ def kept_middle_lengths(sf_dir: str, minlen: int = 24):
     out = dedup_dataset(_docs(sf_dir, columns=["doc_id", "text"]), cfg)
 
     def gaps(batch: pa.Table) -> pa.Table:
-        lens: list[int] = []
-        for rr in batch["sa_remove_ranges"].to_pylist():
-            for a, b in zip(rr, rr[1:]):
-                lens.append(int(b["start"]) - int(a["end"]))
-        vals, counts = np.unique(np.array(lens, np.int64), return_counts=True)
+        """Vectorized over the list<struct<start,end>> column: gap j of a
+        doc is ranges[j+1].start - ranges[j].end; adjacent-element diffs
+        over the flattened struct values, masked at list boundaries."""
+        chunks = []
+        col = batch["sa_remove_ranges"]
+        arrs = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        for la in arrs:
+            if la.null_count:
+                la = la.fill_null([])
+            vals = la.flatten()  # slice-safe, unlike .values
+            if len(vals) < 2:
+                continue
+            lens_per = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+            offs = np.concatenate(([0], np.cumsum(lens_per.astype(np.int64))))
+            starts = vals.field("start").to_numpy(zero_copy_only=False)
+            ends = vals.field("end").to_numpy(zero_copy_only=False)
+            g = starts[1:].astype(np.int64) - ends[:-1].astype(np.int64)
+            mask = np.ones(g.shape[0], bool)
+            inner = offs[1:-1]  # list boundaries in value space
+            inner = inner[(inner > 0) & (inner <= g.shape[0])]
+            mask[inner - 1] = False  # diff crossing two docs
+            chunks.append(g[mask])
+        lens = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+        vals, counts = np.unique(lens, return_counts=True)
         return pa.table(
             {
                 "gap_len": pa.array(vals, pa.int64()),

@@ -189,6 +189,35 @@ def _reduce_hot_shard(*chunks):
     return u[hot], int(c[hot].sum())
 
 
+@ray.remote
+def _reduce_hot_shard_counts(*chunks):
+    """Like _reduce_hot_shard but returns per-key occurrence counts
+    (document frequencies) instead of the summed row total."""
+    allk = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+    u, c = np.unique(allk, return_counts=True)
+    hot = c >= 2
+    return u[hot], c[hot].astype(np.int64)
+
+
+def _hot_keys_parallel_counts(cand, col: str = "bucket_key"):
+    """(sorted hot keys, per-key counts) via the 32-way shard+reduce.
+    Shards split by the TOP key bits, so concatenating reducer outputs
+    in shard order yields a globally sorted key array — searchsorted-able
+    without a driver-side re-sort."""
+    block_refs = cand.to_arrow_refs()
+    shard_refs = [_shard_block_keys.remote(r, col) for r in block_refs]
+    hot_refs = [
+        _reduce_hot_shard_counts.remote(*(row[s] for row in shard_refs))
+        for s in range(_HOT_SHARDS)
+    ]
+    parts = ray.get(hot_refs)
+    if not parts:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    keys = np.concatenate([p[0] for p in parts])
+    cnts = np.concatenate([p[1] for p in parts])
+    return keys, cnts
+
+
 def _hot_keys_parallel(cand, col: str = "bucket_key", return_rows: bool = False):
     """Two-round raw-task shard + reduce: each block's key column splits
     into 32 hash shards (map side), one reducer per shard np.uniques its

@@ -50,18 +50,15 @@ class PartialTopK:
         Q, n = sims.shape
         k = min(self.k + 1, n)  # +1 headroom: query may be in this batch
         idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        rows_q, rows_n, rows_s = [], [], []
-        for qi in range(Q):
-            for j in idx[qi]:
-                if vids[j] != self.qids[qi]:
-                    rows_q.append(self.qids[qi])
-                    rows_n.append(vids[j])
-                    rows_s.append(sims[qi, j])
+        qi = np.repeat(np.arange(Q), k)
+        jj = idx.reshape(-1)
+        mask = vids[jj] != self.qids[qi]
+        qi, jj = qi[mask], jj[mask]
         return pa.table(
             {
-                "query_id": pa.array(rows_q, pa.int64()),
-                "neighbor_id": pa.array(rows_n, pa.int64()),
-                "sim": pa.array(rows_s, pa.float64()),
+                "query_id": pa.array(self.qids[qi], pa.int64()),
+                "neighbor_id": pa.array(vids[jj], pa.int64()),
+                "sim": pa.array(sims[qi, jj], pa.float64()),
             }
         )
 

@@ -116,3 +116,25 @@ def test_kept_middle_lengths_positive(ray_session, tmp_path):
     assert len(out) > 0, "no gap rows"
     assert (out["gap_len"] > 0).all()
     assert out["n"].sum() >= 6  # docs 1..7 each contribute a gap
+
+
+def test_exact_jaccard_three_verify_paths_agree(ray_session):
+    """The bitset, broadcast-lexsort, and bucketed-join verify paths of
+    ngram_jaccard_exact_pairs are threshold-selected variants of the same
+    exact semantics — force each and compare."""
+    from hg_dedup_ray.pipelines.queries import ngram_jaccard_exact_pairs
+
+    def run(**kw):
+        return (
+            ngram_jaccard_exact_pairs(SF_DIR, **kw)
+            .to_pandas()
+            .sort_values(["doc_id_a", "doc_id_b"])
+            .reset_index(drop=True)
+        )
+
+    bitset = run()
+    lexsort = run(bitset_byte_limit=0)
+    bucketed = run(verify_broadcast_limit=0)
+    assert len(bitset) > 0
+    assert lexsort.equals(bitset)
+    assert bucketed.equals(bitset)
