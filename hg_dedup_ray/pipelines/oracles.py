@@ -305,6 +305,28 @@ ORACLE_SQL = {
         JOIN counts cb ON cb.doc_id = doc_id_b
         WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
     """,
+    "segment_dedup_stats": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 unnest(range(len(string_split(text, ' ')))) AS wi
+          FROM documents
+        ),
+        segs AS (
+          SELECT doc_id, wi // 16 AS seg_no,
+                 string_agg(word, ' ' ORDER BY wi) AS seg
+          FROM w GROUP BY doc_id, wi // 16
+        ),
+        marked AS (
+          SELECT doc_id, seg_no,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+          FROM segs
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_segments,
+               sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segments
+        FROM marked GROUP BY doc_id
+    """,
     "exact_dedup": """
         SELECT doc_id, lang, source, n_chars
         FROM documents

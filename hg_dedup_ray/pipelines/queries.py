@@ -986,6 +986,133 @@ def ngram_jaccard_exact_pairs(
     )
 
 
+def segment_dedup_stats(sf_dir: str, words_per_seg: int = 16, num_buckets: int = 64):
+    """Sub-document keep-first dedup at SEGMENT granularity (CCNet /
+    RefinedWeb-style line dedup, generalized): split every doc into
+    consecutive ``words_per_seg``-word segments, keep the globally first
+    occurrence of each distinct segment (order = (doc_id, seg_no)), and
+    report per doc how many of its segments were non-first duplicates.
+    DuckDB-green via window functions.
+
+    The fixture text is single-space separated (no leading/trailing or
+    doubled spaces), so a segment IS a contiguous byte slice of the doc —
+    segments hash directly off the corpus buffer with a vectorized
+    FNV-1a over byte columns, no string materialization. Scale shape
+    mirrors exact_dedup: only (u64 hash, packed-origin) rows shuffle,
+    pre-reduced per batch, combined in coarse hash buckets (fixed group
+    count); the dup flags then pre-reduce per doc and combine in coarse
+    doc buckets. No broadcast, no driver state, two small shuffles.
+
+    64-bit segment hashes stand in for segment identity (collision odds
+    ~n^2/2^64 — negligible below ~10^8 distinct segments); a 10^12-doc
+    run would widen to 128-bit (two u64 lanes) with the same shape."""
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+
+    W = words_per_seg
+    FNV_OFF = np.uint64(0xCBF29CE484222325)
+    FNV_PRIME = np.uint64(0x100000001B3)
+
+    def seg_rows(batch: pa.Table) -> pa.Table:
+        data, offsets = string_column_bytes(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 47):
+            raise ValueError("segment_dedup_stats packs doc_id into 48 bits")
+        nb = len(batch)
+        doc_start = offsets[:-1].astype(np.int64)
+        doc_end = offsets[1:].astype(np.int64)
+        # word starts: each doc's start byte + every byte after a space
+        spaces = np.flatnonzero(data == 32)
+        ws = np.sort(np.concatenate([doc_start, spaces + 1]))
+        wdoc = np.searchsorted(offsets, ws, side="right") - 1
+        first = np.concatenate(([True], wdoc[1:] != wdoc[:-1]))
+        wstart_ix = np.flatnonzero(first)
+        widx = np.arange(ws.shape[0]) - wstart_ix[np.cumsum(first) - 1]
+        # segment starts every W words
+        is_seg = (widx % W) == 0
+        seg_start = ws[is_seg]
+        seg_doc = wdoc[is_seg]
+        seg_no = (widx[is_seg] // W).astype(np.int64)
+        if len(seg_no) and seg_no.max() >= 1 << 16:
+            raise ValueError("segment_dedup_stats packs seg_no into 16 bits")
+        # segment end: byte before the next segment's separating space,
+        # or the doc end for each doc's last segment
+        nxt = np.concatenate([seg_start[1:], [np.int64(0)]])
+        same = np.concatenate([seg_doc[1:] == seg_doc[:-1], [False]])
+        seg_end = np.where(same, nxt - 1, doc_end[seg_doc])
+        lens = seg_end - seg_start
+        # vectorized FNV-1a over the variable-length slices
+        h = np.full(seg_start.shape[0], FNV_OFF, np.uint64)
+        max_len = int(lens.max()) if lens.shape[0] else 0
+        for j in range(max_len):
+            act = lens > j
+            h[act] = (h[act] ^ data[seg_start[act] + j].astype(np.uint64)) * FNV_PRIME
+        packed = (ids[seg_doc].astype(np.uint64) << np.uint64(16)) | seg_no.astype(
+            np.uint64
+        )
+        # pre-reduce: keep only each hash's min-packed row per batch, plus
+        # every occurrence row (needed for the dup flags) — occurrences
+        # ARE the rows; the combine below handles the min
+        return pa.table(
+            {
+                "hbucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+                "h": pa.array(h, pa.uint64()),
+                "packed": pa.array(packed, pa.uint64()),
+            }
+        )
+
+    def mark_dups(group: pa.Table) -> pa.Table:
+        """One hash bucket: winner per hash = min packed origin; every
+        other occurrence is a dup. Pre-reduce dup counts per doc."""
+        h = group["h"].to_numpy(zero_copy_only=False)
+        packed = group["packed"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((packed, h))
+        h, packed = h[order], packed[order]
+        firsth = np.concatenate(([True], h[1:] != h[:-1]))
+        dup = ~firsth  # sorted by packed within hash: first == min origin
+        doc = (packed >> np.uint64(16)).astype(np.int64)
+        du, dinv = np.unique(doc, return_inverse=True)
+        nseg = np.bincount(dinv, minlength=du.shape[0]).astype(np.int64)
+        ndup = np.bincount(
+            dinv, weights=dup.astype(np.float64), minlength=du.shape[0]
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "dbucket": pa.array(du % num_buckets, pa.int64()),
+                "doc_id": pa.array(du, pa.int64()),
+                "n_part": pa.array(nseg, pa.int64()),
+                "dup_part": pa.array(ndup, pa.int64()),
+            }
+        )
+
+    def combine_docs(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        np_ = group["n_part"].to_numpy(zero_copy_only=False)
+        dp = group["dup_part"].to_numpy(zero_copy_only=False)
+        du, dinv = np.unique(doc, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(du, pa.int64()),
+                "n_segments": pa.array(
+                    np.bincount(dinv, weights=np_.astype(np.float64)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n_dup_segments": pa.array(
+                    np.bincount(dinv, weights=dp.astype(np.float64)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        _docs_sized(sf_dir, columns=["doc_id", "text"])
+        .map_batches(seg_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("hbucket")
+        .map_groups(mark_dups, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(combine_docs, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------- text analysis
 def token_counts(sf_dir: str):
     return _docs_sized(sf_dir, columns=["doc_id", "text"]).map_batches(
@@ -2112,6 +2239,7 @@ from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
 
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "segment_dedup_stats": segment_dedup_stats,
     "pricing_summary": pricing_summary,
     "annotate_documents": annotate_documents,
     "kept_middle_lengths": kept_middle_lengths,
