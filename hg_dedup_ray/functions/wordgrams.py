@@ -81,9 +81,13 @@ def token_hashes(tokens: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return _splitmix(sums + lens.astype(np.uint64) * _Q)
 
 
-def doc_tokens(text_col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """(flat token u64 hashes, int64 doc offsets (n_docs+1,)) for a text
-    column, using the oracle-compatible whitespace split."""
+def doc_tokens_full(
+    text_col: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat token u64 hashes, flat token char lengths, int64 doc offsets
+    (n_docs+1,)) for a text column, using the oracle-compatible whitespace
+    split. Lengths are CHARACTER counts (``pc.utf8_length``) to match the
+    DuckDB oracles' ``length(w)``."""
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
     toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(text_col))
@@ -93,7 +97,7 @@ def doc_tokens(text_col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.nda
     np.cumsum(counts, out=doc_off[1:])
     # empty/whitespace-only docs split to [''] — drop those empty tokens
     # and zero their doc's count
-    flat_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    flat_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
     if (flat_lens == 0).any():
         nonempty = flat_lens > 0
         flat = flat.filter(pa.array(nonempty))
@@ -104,7 +108,15 @@ def doc_tokens(text_col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.nda
             docs_rep[~nonempty], minlength=counts.shape[0]
         ).astype(np.int64)
         np.cumsum(counts, out=doc_off[1:])
+        flat_lens = flat_lens[nonempty]
     th = token_hashes(flat)
+    return th, flat_lens, doc_off
+
+
+def doc_tokens(text_col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token u64 hashes, int64 doc offsets (n_docs+1,)) for a text
+    column, using the oracle-compatible whitespace split."""
+    th, _lens, doc_off = doc_tokens_full(text_col)
     return th, doc_off
 
 

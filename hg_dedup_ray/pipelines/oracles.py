@@ -569,4 +569,83 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(a.embedding, b.embedding)
               >= {NEAR_DUP_COS}
     """,
+    "repetition_stats": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+                 generate_subscripts(
+                     regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          FROM documents WHERE trim(text) <> ''
+        ),
+        wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+        words AS (
+          SELECT doc_id,
+                 sum(c)::BIGINT AS n_words,
+                 count(*)::BIGINT AS n_distinct_words,
+                 max(c)::BIGINT AS top_word_count,
+                 sum((c - 1) * length(w))::BIGINT AS dup_word_chars,
+                 sum(c * length(w))::BIGINT AS total_word_chars
+          FROM wc GROUP BY 1
+        ),
+        bg AS (
+          SELECT doc_id,
+                 w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+          FROM toks QUALIFY b IS NOT NULL
+        ),
+        bgtop AS (
+          SELECT doc_id, max(c)::BIGINT AS top_bigram_count FROM (
+            SELECT doc_id, b, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2
+          ) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(w.n_words, 0)::BIGINT AS n_words,
+               coalesce(w.n_distinct_words, 0)::BIGINT AS n_distinct_words,
+               coalesce(w.top_word_count, 0)::BIGINT AS top_word_count,
+               coalesce(b.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+               coalesce(w.dup_word_chars, 0)::BIGINT AS dup_word_chars,
+               coalesce(w.total_word_chars, 0)::BIGINT AS total_word_chars
+        FROM documents d
+        LEFT JOIN words w USING (doc_id) LEFT JOIN bgtop b USING (doc_id)
+    """,
+    "word_doc_freq": r"""
+        SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) <> '') GROUP BY token
+    """,
+    "jaccard_dup_clusters": """
+        WITH RECURSIVE shingles AS (
+          SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, greatest(length(text) - 7, 0) + 1),
+              i -> substr(text, i, 8)))) AS sh
+          FROM documents
+        ),
+        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ua, b.doc_id AS ub, count(*) AS i
+          FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT ua, ub FROM inter
+          JOIN counts ca ON ca.doc_id = ua JOIN counts cb ON cb.doc_id = ub
+          WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+        ),
+        edges AS (SELECT ua AS u, ub AS v FROM pairs
+                  UNION SELECT ub, ua FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.u, w.lab FROM walk w JOIN edges e ON e.v = w.n
+          WHERE w.lab < e.u
+        )
+        SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
+    """,
+    "incremental_dedup": """
+        SELECT b.doc_id FROM documents b
+        WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+          SELECT 1 FROM documents a
+          WHERE a.doc_id % 2 = 0 AND a.text = b.text)
+    """,
 }

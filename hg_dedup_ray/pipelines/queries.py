@@ -1160,6 +1160,160 @@ def unigram_counts(sf_dir: str):
     )
 
 
+def word_doc_freq(sf_dir: str):
+    """token -> document frequency (count of docs containing it) — the
+    df table behind tf-idf / PPJoin orderings / stopword induction.
+
+    Combiner pattern like ``unigram_counts``, but the partial is
+    DISTINCT-per-doc first: docs are atomic within a batch (one row per
+    doc), so per-batch distinct (token, doc) pairs — one Arrow C++
+    group_by, no Python per token — make the per-token partial counts
+    sum to the exact global df."""
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+        flat = pc.list_flatten(toks)
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docs = np.repeat(np.arange(len(batch), dtype=np.int64), nper)
+        t = pa.table({"token": flat, "d": pa.array(docs, pa.int64())})
+        # whitespace-only docs split to [''] — the oracle's WHERE trim<>'' drops them
+        t = t.filter(pc.greater(pc.utf8_length(t["token"]), 0))
+        dist = t.group_by(["token", "d"]).aggregate([])
+        g = dist.group_by("token").aggregate([("d", "count")])
+        return pa.table(
+            {"token": g["token"], "partial": g["d_count"].cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _docs_sized(sf_dir, columns=["text"])
+        .map_batches(partial_df, batch_format="pyarrow", batch_size=4096)
+        .groupby("token")
+        .aggregate(Sum("partial", alias_name="df"))
+    )
+
+
+def _seg_max(vals: np.ndarray, seg_sorted: np.ndarray, nseg: int) -> np.ndarray:
+    """Per-segment max of ``vals`` whose segment ids ``seg_sorted`` are
+    sorted ascending; empty segments get 0. One reduceat, no Python loop."""
+    out = np.zeros(nseg, np.int64)
+    if vals.shape[0]:
+        starts = np.searchsorted(seg_sorted, np.arange(nseg))
+        red = np.maximum.reduceat(vals, np.minimum(starts, vals.shape[0] - 1))
+        nonempty = np.bincount(seg_sorted, minlength=nseg) > 0
+        out[nonempty] = red[nonempty]
+    return out
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher/MassiveText-style repetition quality signals per doc, as
+    integer counts (ratio-free so the DuckDB oracle hashes exactly):
+    n_words, n_distinct_words, top_word_count (max multiplicity of any
+    word), top_bigram_count, dup_word_chars (chars in occurrences beyond
+    each word's first), total_word_chars. The repetition filters of a
+    pretraining pipeline threshold on the ratios of these counts.
+
+    One vectorized map_batches — token hashing, one lexsort for word
+    runs, one for bigram runs, segment reductions; no shuffle (per-doc
+    stats never leave their batch). u64 token-hash identity stands in for
+    string identity (collision odds ~2^-64/pair, see functions/wordgrams)."""
+    from hg_dedup_ray.functions.wordgrams import doc_tokens_full, word_gram_hashes
+
+    def rep_stats(batch: pa.Table) -> pa.Table:
+        nb = len(batch)
+        th, lens, off = doc_tokens_full(batch["text"])
+        counts = np.diff(off)
+        docs_rep = np.repeat(np.arange(nb, dtype=np.int64), counts)
+        if th.shape[0]:
+            order = np.lexsort((th, docs_rep))
+            t_s, d_s, l_s = th[order], docs_rep[order], lens[order]
+            new = np.concatenate(
+                ([True], (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1]))
+            )
+            run_id = np.cumsum(new) - 1
+            run_len = np.bincount(run_id).astype(np.int64)
+            run_doc = d_s[new]
+            run_wlen = l_s[new]
+            n_distinct = np.bincount(run_doc, minlength=nb).astype(np.int64)
+            top_word = _seg_max(run_len, run_doc, nb)
+            dup_chars = np.bincount(
+                run_doc, weights=(run_len - 1) * run_wlen, minlength=nb
+            ).astype(np.int64)
+            tot_chars = np.bincount(
+                docs_rep, weights=lens, minlength=nb
+            ).astype(np.int64)
+        else:
+            n_distinct = top_word = dup_chars = tot_chars = np.zeros(nb, np.int64)
+        bg, goff = word_gram_hashes(th, off, 2)
+        if bg.shape[0]:
+            gdocs = np.repeat(np.arange(nb, dtype=np.int64), np.diff(goff))
+            border = np.lexsort((bg, gdocs))
+            b_s, gd_s = bg[border], gdocs[border]
+            bnew = np.concatenate(
+                ([True], (b_s[1:] != b_s[:-1]) | (gd_s[1:] != gd_s[:-1]))
+            )
+            brun_len = np.bincount(np.cumsum(bnew) - 1).astype(np.int64)
+            top_bigram = _seg_max(brun_len, gd_s[bnew], nb)
+        else:
+            top_bigram = np.zeros(nb, np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(counts, pa.int64()),
+                "n_distinct_words": pa.array(n_distinct, pa.int64()),
+                "top_word_count": pa.array(top_word, pa.int64()),
+                "top_bigram_count": pa.array(top_bigram, pa.int64()),
+                "dup_word_chars": pa.array(dup_chars, pa.int64()),
+                "total_word_chars": pa.array(tot_chars, pa.int64()),
+            }
+        )
+
+    return _docs_sized(sf_dir, columns=["doc_id", "text"]).map_batches(
+        rep_stats, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def jaccard_dup_clusters(sf_dir: str, threshold: float = 0.8):
+    """Near-dup CLUSTER ASSIGNMENTS (doc_id -> cluster_id = min doc_id of
+    its connected component) over the exact-Jaccard pair graph — the
+    north-star's "cluster assignments" deliverable in oracle-checkable
+    form (the DuckDB side closes the same edge set with a recursive CTE).
+
+    Edges come from the PPJoin cascade (``ngram_jaccard_exact_pairs``,
+    fully distributed); the edge set is answer-sized (near-dup pairs at
+    t>=0.8), so components resolve on the driver below
+    ``driver_edge_limit`` and through the groupby min-label propagation
+    rounds (state/cluster.distributed_min_label) above it."""
+    from hg_dedup_ray.state.cluster import (
+        distributed_min_label,
+        union_find_clusters,
+    )
+
+    edges: list[tuple[int, int, int, int]] = []
+    for b in ngram_jaccard_exact_pairs(sf_dir, threshold).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        a = b["doc_id_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_id_b"].to_numpy(zero_copy_only=False)
+        edges.extend(
+            (int(x), int(y), int(x), int(y)) for x, y in zip(a, bb)
+        )
+    resolve = union_find_clusters if len(edges) <= 1_000_000 else distributed_min_label
+    labels = resolve(edges)
+    ids = np.array(sorted(labels), dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    np.array([labels[i] for i in ids], dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+    )
+
+
 def corpus_stats(sf_dir: str):
     """Per (lang, source) doc counts and char sums — metrics aggregation
     (SURVEY.md A3)."""
@@ -2231,6 +2385,7 @@ from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
 )
 from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     decontaminate,
+    incremental_dedup,
     json_props_stats,
     pack_sequences,
     redact_pii,
@@ -2288,4 +2443,8 @@ QUERIES = {
     "redact_pii": redact_pii,
     "json_props_stats": json_props_stats,
     "pack_sequences": pack_sequences,
+    "repetition_stats": repetition_stats,
+    "word_doc_freq": word_doc_freq,
+    "jaccard_dup_clusters": jaccard_dup_clusters,
+    "incremental_dedup": incremental_dedup,
 }

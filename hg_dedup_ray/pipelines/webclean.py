@@ -342,3 +342,103 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY):
 
     out_refs = [finish.remote(r, int(offs[i])) for i, r in enumerate(refs)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+# -------------------------------------------------------- incremental dedup
+
+INCR_EXACT_LIMIT = 50_000_000  # history fps; ~400 MB of u64 keys broadcast
+
+
+def incremental_dedup(sf_dir: str, exact_limit: int = INCR_EXACT_LIMIT):
+    """Cross-snapshot exact dedup: emit NEW-snapshot doc_ids whose text
+    does not appear in the HISTORY snapshot — the monthly-crawl pattern
+    (dedup each new dump against everything already indexed). Snapshots
+    are carved deterministically from the fixture: history = doc_id % 2
+    == 0, new = the rest.
+
+    Identity is the u64 content hash (blake2b-8, same stand-in as
+    exact_dedup; the SQL oracle compares the texts themselves). Two
+    shapes, picked by history row count:
+
+    - exact broadcast (<= ``exact_limit`` rows): per-batch distinct
+      history fps union on the driver, ``ray.put`` once, vectorized
+      searchsorted anti-membership per new-side batch. No shuffle.
+    - bucketed anti-join above it: both sides emit keys-only rows
+      (fp[, doc_id] — 8-16 B/row, never text), groupby a coarse
+      fp%256 bucket, and each bucket drops new-side fps present in its
+      history side with one searchsorted. Linear, driver-free — the
+      10^12-doc path. ``tests/test_webclean.py`` pins both paths equal.
+    """
+    from hg_dedup_ray.stages.textstats import content_hash_u64
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    n_hist_est = docs.count() // 2
+
+    def side_fps(batch: pa.Table, want_parity: int, with_id: bool) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % 2 == want_parity))
+        h = content_hash_u64(sub)
+        fp = h["fp"].to_numpy(zero_copy_only=False)
+        if not with_id:
+            return pa.table({"fp": pa.array(np.unique(fp), pa.uint64())})
+        return pa.table({"fp": h["fp"], "doc_id": h["doc_id"]})
+
+    if n_hist_est <= exact_limit:
+        parts = docs.map_batches(
+            lambda b: side_fps(b, 0, False),
+            batch_format="pyarrow",
+            batch_size=4096,
+        ).take_all()
+        hist = np.unique(np.array([r["fp"] for r in parts], np.uint64))
+        hist_ref = ray.put(hist)
+
+        def keep_new(batch: pa.Table) -> pa.Table:
+            from hg_dedup_ray.stages.broadcast import get_broadcast
+
+            h = get_broadcast(hist_ref)
+            t = side_fps(batch, 1, True)
+            fp = t["fp"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(h, fp)
+            member = (pos < h.shape[0]) & (
+                h[np.minimum(pos, h.shape[0] - 1)] == fp
+            )
+            return pa.table({"doc_id": t["doc_id"].filter(pa.array(~member))})
+
+        return docs.map_batches(keep_new, batch_format="pyarrow", batch_size=4096)
+
+    # ---- bucketed anti-join (scale path) --------------------------------
+    num_buckets = 256
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = content_hash_u64(batch)
+        fp = h["fp"].to_numpy(zero_copy_only=False)
+        side = (ids % 2).astype(np.uint8)  # 0 = history, 1 = new
+        return pa.table(
+            {
+                "bucket": pa.array((fp % num_buckets).astype(np.int64), pa.int64()),
+                "side": pa.array(side, pa.uint8()),
+                "fp": pa.array(fp, pa.uint64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def bucket_anti(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        fp = group["fp"].to_numpy(zero_copy_only=False)
+        hist = np.unique(fp[side == 0])
+        new_fp = fp[side == 1]
+        new_id = group["doc_id"].to_numpy(zero_copy_only=False)[side == 1]
+        if hist.shape[0] == 0:  # bucket with no history rows: all new kept
+            return pa.table({"doc_id": pa.array(new_id, pa.int64())})
+        pos = np.searchsorted(hist, new_fp)
+        member = (pos < hist.shape[0]) & (
+            hist[np.minimum(pos, hist.shape[0] - 1)] == new_fp
+        )
+        return pa.table({"doc_id": pa.array(new_id[~member], pa.int64())})
+
+    return (
+        docs.map_batches(key_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(bucket_anti, batch_format="pyarrow")
+    )

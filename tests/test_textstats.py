@@ -66,3 +66,47 @@ def test_lang_id_uses_token_semantics():
 def test_token_stats_basic():
     got = token_stats(_batch()).to_pandas()
     assert list(got["n_tokens"]) == [3, 3, 2, 3, 0, 2, 1]
+
+
+# ----------------------------------------------------- repetition_stats
+
+
+def test_repetition_stats_brute_force(ray_session, tmp_path):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import repetition_stats
+
+    texts = [
+        "a a a b",             # top word 3x, bigram 'a a' 2x
+        "x",                   # single word: no bigrams
+        "",                    # empty
+        "   ",                 # whitespace-only
+        "ab ab cd cd ab",      # mixed repeats
+        "  lead trail  ",      # trimming
+        "one two one two one", # bigram 'one two' 2x
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        repetition_stats(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    for i, t in enumerate(texts):
+        words = t.split()
+        wc = Counter(words)
+        bg = Counter(zip(words, words[1:]))
+        row = got.iloc[i]
+        assert row["n_words"] == len(words)
+        assert row["n_distinct_words"] == len(wc)
+        assert row["top_word_count"] == (max(wc.values()) if wc else 0)
+        assert row["top_bigram_count"] == (max(bg.values()) if bg else 0)
+        assert row["dup_word_chars"] == sum((c - 1) * len(w) for w, c in wc.items())
+        assert row["total_word_chars"] == sum(len(w) for w in words)

@@ -159,3 +159,40 @@ def test_stratified_sample_deterministic_and_rated():
         if totals.get(lang, 0) >= 50:
             frac = kept.get(lang, 0) / totals[lang]
             assert abs(frac - rate / 10000) < 0.25, (lang, frac)
+
+
+# ----------------------------------------------------- incremental_dedup
+
+
+def test_incremental_dedup_bucketed_matches_broadcast(ray_session):
+    import hg_dedup_ray.pipelines.webclean as wc
+
+    exact = np.sort(wc.incremental_dedup(SF).to_pandas()["doc_id"].to_numpy())
+    bucketed = np.sort(
+        wc.incremental_dedup(SF, exact_limit=0).to_pandas()["doc_id"].to_numpy()
+    )
+    assert (exact == bucketed).all()
+    assert (exact % 2 == 1).all()  # only new-snapshot docs survive
+
+
+def test_incremental_dedup_drops_history_dups(ray_session, tmp_path):
+    import ray
+
+    import hg_dedup_ray.pipelines.webclean as wc
+
+    # doc 1 repeats doc 0's text; doc 3 is unique; doc 5 repeats doc 3 —
+    # but doc 3 is NEW-side (odd), so only doc 1 drops (history = even).
+    tab = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 5], pa.int64()),
+            "text": pa.array(["aa bb", "aa bb", "cc dd", "ee ff", "ee ff"]),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    for lim in (10**9, 0):  # broadcast path, then bucketed path
+        got = np.sort(
+            wc.incremental_dedup(str(tmp_path), exact_limit=lim)
+            .to_pandas()["doc_id"]
+            .to_numpy()
+        )
+        assert got.tolist() == [3, 5]
