@@ -648,4 +648,30 @@ ORACLE_SQL = {
           SELECT 1 FROM documents a
           WHERE a.doc_id % 2 = 0 AND a.text = b.text)
     """,
+    # LSH band clusters on the SQL-recomputed OPH signatures: band key =
+    # the r-tuple of sigs (string form; the Ray side's u64 fold is an
+    # injective-stand-in), closure = recursive min-label walk.
+    "minhash_band_clusters": f"""
+        WITH RECURSIVE sigs AS ({_oph_sql()}),
+        bands AS (
+          SELECT doc_id, perm // 4 AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY perm) AS bkey
+          FROM sigs GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS ua, b.doc_id AS ub
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        edges AS (SELECT ua AS u, ub AS v FROM pairs
+                  UNION SELECT ub, ua FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.u, w.lab FROM walk w JOIN edges e ON e.v = w.n
+          WHERE w.lab < e.u
+        )
+        SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
+    """,
 }

@@ -198,6 +198,133 @@ def minhash_sig_rows(sf_dir: str):
     )
 
 
+def minhash_band_clusters(sf_dir: str, num_bands: int = 32, band_r: int = 4):
+    """Textbook MinHash-LSH clustering, DuckDB-hash-checked end to end:
+    OPH signatures (the cell-exact ``minhash_sig_rows`` kernel) -> b=32
+    bands of r=4 perms -> docs sharing any band bucket are edges ->
+    connected components labeled by min doc_id. The oracle recomputes
+    the signatures in SQL, folds the same bands, and closes the same
+    graph with a recursive-CTE min-label walk — so LSH *cluster
+    assignments* (not just signatures) are value-checked.
+
+    Scale shape: 32 compact (u64 band key, doc_id) rows per doc; a
+    hot-key prefilter (functions/pair_distinct.hot_u64_keys) drops the
+    overwhelmingly-singleton buckets before any grouping; hot buckets
+    emit STAR edges (member -> bucket-min) per coarse key%64 group —
+    enough for connectivity, linear in bucket size; components resolve
+    via driver union-find below ``driver_edge_limit`` rows and the
+    groupby min-label rounds above. Band-key u64 folding stands in for
+    the r-tuple of sigs (collision odds ~2^-64/pair)."""
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+    from hg_dedup_ray.functions.minhash import batch_signatures_oph
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+    from hg_dedup_ray.state.cluster import (
+        distributed_min_label,
+        union_find_clusters,
+    )
+
+    k, num_perm, seed = 16, 128, 42
+    _M1 = np.uint64(0xBF58476D1CE4E5B9)
+    _M2 = np.uint64(0x94D049BB133111EB)
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * _M1
+            x = (x ^ (x >> np.uint64(27))) * _M2
+        return x ^ (x >> np.uint64(31))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        buf, off = string_column_bytes(batch["text"])
+        sig = batch_signatures_oph(buf, off, k, num_perm, seed)  # (n, 128)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = ids.shape[0]
+        bands = sig.reshape(n, num_bands, band_r)
+        key = np.full((n, num_bands), np.uint64(0x9E3779B97F4A7C15))
+        with np.errstate(over="ignore"):
+            key = key + np.arange(num_bands, dtype=np.uint64)[None, :]
+            for j in range(band_r):
+                key = _mix(key ^ bands[:, :, j])
+        return pa.table(
+            {
+                "bkey": pa.array(key.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
+            }
+        )
+
+    rows = (
+        _docs_sized(sf_dir, columns=["doc_id", "text"])
+        .map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
+        .materialize()
+    )
+    hot = hot_u64_keys(rows, "bkey")
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    )
+    if hot.shape[0] == 0:
+        return empty
+    hot_ref = ray.put(hot)
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        h = get_broadcast(hot_ref)
+        bk = batch["bkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(h, bk)
+        mask = (pos < h.shape[0]) & (h[np.minimum(pos, h.shape[0] - 1)] == bk)
+        b = batch.filter(pa.array(mask))
+        return b.append_column(
+            "cb",
+            pa.array(
+                (b["bkey"].to_numpy(zero_copy_only=False) % 64).astype(np.int64),
+                pa.int64(),
+            ),
+        )
+
+    def star_edges(group: pa.Table) -> pa.Table:
+        bk = group["bkey"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, bk))
+        bk, did = bk[order], did[order]
+        new = np.concatenate(([True], bk[1:] != bk[:-1]))
+        run_id = np.cumsum(new) - 1
+        rep = did[new][run_id]  # bucket min (first in sorted run)
+        keep = did != rep
+        return pa.table(
+            {
+                "u": pa.array(rep[keep], pa.int64()),
+                "v": pa.array(did[keep], pa.int64()),
+            }
+        )
+
+    edge_tab = (
+        rows.map_batches(hot_only, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(star_edges, batch_format="pyarrow")
+    )
+    edges: list[tuple[int, int, int, int]] = []
+    for b in edge_tab.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        edges.extend((int(x), int(y), int(x), int(y)) for x, y in zip(u, v))
+    if not edges:
+        return empty
+    resolve = union_find_clusters if len(edges) <= 1_000_000 else distributed_min_label
+    labels = resolve(edges)
+    ids = np.array(sorted(labels), dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    np.array([labels[i] for i in ids], dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+    )
+
+
 def simhash_sigs(sf_dir: str):
     """64-bit SimHash signatures + 16-bit LSH bands per doc (rows-only).
 
@@ -2445,6 +2572,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "repetition_stats": repetition_stats,
     "word_doc_freq": word_doc_freq,
+    "minhash_band_clusters": minhash_band_clusters,
     "jaccard_dup_clusters": jaccard_dup_clusters,
     "incremental_dedup": incremental_dedup,
 }
