@@ -674,4 +674,40 @@ ORACLE_SQL = {
         )
         SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
     """,
+    # LSH recall evaluation: exact Jaccard>=0.8 pairs vs MinHash b=32/r=4
+    # band-candidate pairs, as three integer counts in one row.
+    "lsh_recall_report": f"""
+        WITH shingles AS (
+          SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, greatest(length(text) - 7, 0) + 1),
+              i -> substr(text, i, 8)))) AS sh
+          FROM documents
+        ),
+        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ua, b.doc_id AS ub, count(*) AS i
+          FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        expairs AS (
+          SELECT ua, ub FROM inter
+          JOIN counts ca ON ca.doc_id = ua JOIN counts cb ON cb.doc_id = ub
+          WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+        ),
+        sigs AS ({_oph_sql()}),
+        bands AS (
+          SELECT doc_id, perm // 4 AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY perm) AS bkey
+          FROM sigs GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS ua, b.doc_id AS ub
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT (SELECT count(*) FROM expairs)::BIGINT AS n_exact_pairs,
+               (SELECT count(*) FROM cand)::BIGINT AS n_candidate_pairs,
+               (SELECT count(*) FROM cand c JOIN expairs e
+                  ON c.ua = e.ua AND c.ub = e.ub)::BIGINT AS n_hits
+    """,
 }

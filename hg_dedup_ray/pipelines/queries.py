@@ -325,6 +325,166 @@ def minhash_band_clusters(sf_dir: str, num_bands: int = 32, band_r: int = 4):
     )
 
 
+def lsh_recall_report(sf_dir: str, num_bands: int = 32, band_r: int = 4,
+                      threshold: float = 0.8):
+    """LSH quality evaluation — ONE row of integer counts quantifying the
+    north-star's recall criterion on this fixture: n_exact_pairs (exact
+    k=8-shingle Jaccard >= 0.8, the PPJoin cascade), n_candidate_pairs
+    (distinct doc pairs sharing any MinHash band bucket at b=32/r=4), and
+    n_hits (exact pairs the LSH candidates cover). recall = hits/exact on
+    the consumer side; at this config the banding theory gives
+    P[candidate | J>=0.8] = 1-(1-0.8^4)^32 ~ 1-5e-8.
+
+    Scale shape: the exact-pair set is answer-sized -> broadcast as
+    packed u64s; candidate pairs expand per coarse bkey%64 group (bucket
+    sizes are near-dup cluster sizes, bounded), deduplicate globally per
+    pair%64 group, and only per-group COUNT scalars return to the
+    driver."""
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+    from hg_dedup_ray.functions.minhash import batch_signatures_oph
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+
+    # ---- exact side (already fully distributed) -------------------------
+    ex_a, ex_b = [], []
+    for b in ngram_jaccard_exact_pairs(sf_dir, threshold).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        ex_a.append(b["doc_id_a"].to_numpy(zero_copy_only=False))
+        ex_b.append(b["doc_id_b"].to_numpy(zero_copy_only=False))
+    ea = np.concatenate(ex_a) if ex_a else np.empty(0, np.int64)
+    eb = np.concatenate(ex_b) if ex_b else np.empty(0, np.int64)
+    exact_packed = np.unique(
+        (ea.astype(np.uint64) << np.uint64(32)) | eb.astype(np.uint64)
+    )
+    exact_ref = ray.put(exact_packed)
+
+    # ---- candidate side: band rows (shared kernel config with
+    # minhash_band_clusters / minhash_sig_rows) ---------------------------
+    k, num_perm, seed = 16, 128, 42
+    _M1 = np.uint64(0xBF58476D1CE4E5B9)
+    _M2 = np.uint64(0x94D049BB133111EB)
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * _M1
+            x = (x ^ (x >> np.uint64(27))) * _M2
+        return x ^ (x >> np.uint64(31))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        buf, off = string_column_bytes(batch["text"])
+        sig = batch_signatures_oph(buf, off, k, num_perm, seed)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = ids.shape[0]
+        bands = sig.reshape(n, num_bands, band_r)
+        key = np.full((n, num_bands), np.uint64(0x9E3779B97F4A7C15))
+        with np.errstate(over="ignore"):
+            key = key + np.arange(num_bands, dtype=np.uint64)[None, :]
+            for j in range(band_r):
+                key = _mix(key ^ bands[:, :, j])
+        return pa.table(
+            {
+                "bkey": pa.array(key.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
+            }
+        )
+
+    rows = (
+        _docs_sized(sf_dir, columns=["doc_id", "text"])
+        .map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
+        .materialize()
+    )
+    hot = hot_u64_keys(rows, "bkey")
+    if hot.shape[0] == 0:
+        return pa.table(
+            {
+                "n_exact_pairs": pa.array([int(exact_packed.shape[0])], pa.int64()),
+                "n_candidate_pairs": pa.array([0], pa.int64()),
+                "n_hits": pa.array([0], pa.int64()),
+            }
+        )
+    hot_ref = ray.put(hot)
+
+    def hot_pairs(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        h = get_broadcast(hot_ref)
+        bk = batch["bkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(h, bk)
+        mask = (pos < h.shape[0]) & (h[np.minimum(pos, h.shape[0] - 1)] == bk)
+        bk = bk[mask]
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)[mask]
+        return pa.table(
+            {
+                "cb": pa.array((bk % 64).astype(np.int64), pa.int64()),
+                "bkey": pa.array(bk, pa.uint64()),
+                "doc_id": pa.array(did, pa.int64()),
+            }
+        )
+
+    def expand_bucket_pairs(group: pa.Table) -> pa.Table:
+        bk = group["bkey"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, bk))
+        bk, did = bk[order], did[order]
+        new = np.concatenate(([True], bk[1:] != bk[:-1]))
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        run_start = np.cumsum(run_len) - run_len
+        local = np.arange(did.shape[0]) - run_start[run_id]
+        rep = (run_len[run_id] - 1 - local).astype(np.int64)
+        tot = int(rep.sum())
+        if tot == 0:
+            return pa.table(
+                {"pb": pa.array([], pa.int64()), "pair": pa.array([], pa.uint64())}
+            )
+        a_idx = np.repeat(np.arange(did.shape[0]), rep)
+        seg = np.cumsum(rep) - rep
+        b_idx = a_idx + (np.arange(tot) - seg[a_idx] + 1)
+        lo = np.minimum(did[a_idx], did[b_idx]).astype(np.uint64)
+        hi = np.maximum(did[a_idx], did[b_idx]).astype(np.uint64)
+        pair = np.unique((lo << np.uint64(32)) | hi)
+        return pa.table(
+            {
+                "pb": pa.array((pair % 64).astype(np.int64), pa.int64()),
+                "pair": pa.array(pair, pa.uint64()),
+            }
+        )
+
+    def count_partial(group: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        ex = get_broadcast(exact_ref)
+        pair = np.unique(group["pair"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(ex, pair)
+        hits = int(
+            ((pos < ex.shape[0]) & (ex[np.minimum(pos, ex.shape[0] - 1)] == pair)).sum()
+        ) if ex.shape[0] else 0
+        return pa.table(
+            {
+                "n_cand": pa.array([pair.shape[0]], pa.int64()),
+                "n_hit": pa.array([hits], pa.int64()),
+            }
+        )
+
+    parts = (
+        rows.map_batches(hot_pairs, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(expand_bucket_pairs, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(count_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    n_cand = int(sum(r["n_cand"] for r in parts))
+    n_hit = int(sum(r["n_hit"] for r in parts))
+    return pa.table(
+        {
+            "n_exact_pairs": pa.array([int(exact_packed.shape[0])], pa.int64()),
+            "n_candidate_pairs": pa.array([n_cand], pa.int64()),
+            "n_hits": pa.array([n_hit], pa.int64()),
+        }
+    )
+
+
 def simhash_sigs(sf_dir: str):
     """64-bit SimHash signatures + 16-bit LSH bands per doc (rows-only).
 
@@ -2573,6 +2733,7 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "word_doc_freq": word_doc_freq,
     "minhash_band_clusters": minhash_band_clusters,
+    "lsh_recall_report": lsh_recall_report,
     "jaccard_dup_clusters": jaccard_dup_clusters,
     "incremental_dedup": incremental_dedup,
 }
