@@ -167,3 +167,32 @@ def test_customers_no_urgent_orders(ray_session, con):
         con.sql(ORACLE_SQL["customers_no_urgent_orders"]).df(),
         float_cols=("c_acctbal",),
     )
+
+
+# ------------------------------------------------- minhash_band_clusters
+
+
+def test_minhash_band_clusters_crafted(ray_session, tmp_path):
+    """Exact-duplicate texts share all 32 bands -> one cluster labeled by
+    the min doc_id; a unique doc forms no cluster row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import minhash_band_clusters
+
+    dup = "the quick brown fox jumps over the lazy dog " * 8
+    other = "completely different content with no overlap at all " * 8
+    tab = pa.table(
+        {
+            "doc_id": pa.array([10, 3, 7, 99], pa.int64()),
+            "text": pa.array([dup, dup, dup, other]),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        minhash_band_clusters(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["doc_id"].tolist() == [3, 7, 10]
+    assert got["cluster_id"].tolist() == [3, 3, 3]
