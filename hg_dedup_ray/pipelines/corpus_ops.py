@@ -1,0 +1,565 @@
+"""Web-corpus curation reporting and ranking operators, all DuckDB-green.
+
+- ``dup_rate_by_source``: per-source exact-duplicate rates — the
+  per-domain dedup report a web-corpus curation run publishes.
+- ``tfidf_top_terms``: per-doc top-k tf-idf terms via a bucketed
+  token-df join + per-doc vectorized top-k.
+- ``prefix_dup_docs``: docs whose text is a proper prefix of another
+  doc's text, via the global-sort successor property (substring-dedup
+  lite; the sort-neighbor shape generalizes the suffix-array scan's
+  "equal windows sort adjacent" argument to whole documents).
+- ``minhash_jaccard_estimate_pairs``: estimated Jaccard from MinHash
+  signature agreement for every LSH band-candidate pair — the verify
+  step a 100 TB near-dup pass runs when exact text comparison is too
+  expensive (reference README.md:101-115's minhash filtering stage).
+
+Tokenization matches the DuckDB oracles' ``regexp_split_to_array(
+trim(text), '\\s+')``; u64 content/token hashes stand in for string
+identity with the same documented ~2^-64 collision assumption as
+exact_dedup / dup_ngram_stats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+from hg_dedup_ray.functions.wordgrams import token_hashes
+from hg_dedup_ray.stages.textstats import content_hash_u64
+
+
+def _docs(sf_dir: str, columns=None):
+    from hg_dedup_ray.functions.readers import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ------------------------------------------------------- dup rate by source
+
+
+def dup_rate_by_source(sf_dir: str, num_buckets: int = 64):
+    """Per-source (n_docs, n_distinct_texts, n_dup_docs): the dedup-rate
+    report grouped by provenance. Only (source, fp:u64) rows shuffle —
+    never text; per-batch pre-dedup then one coarse fp%B groupby whose
+    group count is fixed regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        h = content_hash_u64(batch)
+        fp = h["fp"].to_numpy(zero_copy_only=False)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        code, inv = np.unique(src, return_inverse=True)
+        order = np.lexsort((fp, inv))
+        f, c = fp[order], inv[order]
+        keep = np.concatenate(([True], (f[1:] != f[:-1]) | (c[1:] != c[:-1])))
+        f, c = f[keep], c[keep]
+        return pa.table(
+            {
+                "cbucket": pa.array((f % num_buckets).astype(np.int64), pa.int64()),
+                "fp": pa.array(f, pa.uint64()),
+                "source": pa.array([str(code[i]) for i in c], pa.string()),
+            }
+        )
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        fp = group["fp"].to_numpy(zero_copy_only=False)
+        src = np.asarray(group["source"].to_pylist(), dtype=object)
+        code, inv = np.unique(src, return_inverse=True)
+        order = np.lexsort((fp, inv))
+        f, c = fp[order], inv[order]
+        keep = np.concatenate(([True], (f[1:] != f[:-1]) | (c[1:] != c[:-1])))
+        cnt = np.bincount(c[keep], minlength=code.shape[0]).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in code], pa.string()),
+                "partial": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    distinct = (
+        _docs(sf_dir, columns=["doc_id", "source", "text"])
+        .map_batches(fp_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("cbucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("partial", alias_name="n_distinct_texts"))
+        .take_all()
+    )
+    totals = (
+        _docs(sf_dir, columns=["source"]).groupby("source").count().take_all()
+    )
+    n_by_src = {r["source"]: int(r["count()"]) for r in totals}
+    srcs = sorted(n_by_src)
+    d_by_src = {r["source"]: int(r["n_distinct_texts"]) for r in distinct}
+    nd = np.array([n_by_src[s] for s in srcs], np.int64)
+    dd = np.array([d_by_src.get(s, 0) for s in srcs], np.int64)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_distinct_texts": pa.array(dd, pa.int64()),
+            "n_dup_docs": pa.array(nd - dd, pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------ tf-idf top-k
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3, num_buckets: int = 64,
+                    doc_buckets: int = 32):
+    """Per-doc top-k terms by tf-idf (score = tf * ln(N/df); ties broken
+    by token asc), fully distributed:
+
+    1. per-batch distinct (doc, token) rows with in-doc tf (one lexsort
+       per batch) keyed by token-hash bucket;
+    2. per-token-bucket df attach (tokens are bucket-complete, so df is
+       exact inside the group — a join with zero extra shuffle);
+    3. re-key by doc bucket; per-group vectorized score + segment top-k.
+
+    Two coarse-bucket shuffles total, rows are (ids + token + 2 ints) —
+    texts never shuffle. Scores are rounded to 6 dp BEFORE ranking on
+    both sides so the order is robust to last-ulp ln() differences."""
+
+    n_total = int(
+        _docs(sf_dir, columns=["text"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                np.sum(
+                                    pc.utf8_length(
+                                        pc.utf8_trim_whitespace(b["text"])
+                                    ).to_numpy(zero_copy_only=False)
+                                    > 0
+                                )
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        .sum("n")
+    )
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "tbucket": pa.array([], pa.int64()),
+                    "th": pa.array([], pa.uint64()),
+                    "token": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        doc_ix = np.repeat(np.arange(len(ids)), counts.astype(np.int64))
+        # empty/whitespace-only docs split to a single '' token — drop it
+        # (the oracle excludes trim(text)='' docs entirely)
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat = flat.filter(pa.array(nonempty))
+        doc_ix = doc_ix[nonempty]
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "tbucket": pa.array([], pa.int64()),
+                    "th": pa.array([], pa.uint64()),
+                    "token": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        th = token_hashes(flat)
+        order = np.lexsort((th, doc_ix))
+        d_s, h_s = doc_ix[order], th[order]
+        new = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])))
+        run_id = np.cumsum(new) - 1
+        tf = np.bincount(run_id).astype(np.int64)
+        rep = order[new]  # first occurrence index -> token string
+        return pa.table(
+            {
+                "tbucket": pa.array(
+                    (h_s[new] % num_buckets).astype(np.int64), pa.int64()
+                ),
+                "th": pa.array(h_s[new], pa.uint64()),
+                "token": flat.take(pa.array(rep)),
+                "doc_id": pa.array(ids[d_s[new]], pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+            }
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        th = group["th"].to_numpy(zero_copy_only=False)
+        order = np.argsort(th, kind="stable")
+        h_s = th[order]
+        new = np.concatenate(([True], h_s[1:] != h_s[:-1]))
+        run_id = np.cumsum(new) - 1
+        df = np.bincount(run_id).astype(np.int64)  # rows are per-(doc,token)
+        df_row = np.empty(th.shape[0], np.int64)
+        df_row[order] = df[run_id]
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dbucket": pa.array((did % doc_buckets).astype(np.int64), pa.int64()),
+                "doc_id": group["doc_id"],
+                "token": group["token"],
+                "tf": group["tf"],
+                "df": pa.array(df_row, pa.int64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = group["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tok = np.asarray(group["token"].to_pylist(), dtype=object)
+        score = np.round(tf * np.log(n_total / df), 6)
+        order = np.lexsort((tok, -score, did))
+        d_s, s_s, t_s = did[order], score[order], tok[order]
+        new = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        rank = np.arange(d_s.shape[0]) - starts[run_id]
+        keep = rank < k
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[keep], pa.int64()),
+                "token": pa.array([str(t) for t in t_s[keep]], pa.string()),
+                "score": pa.array(s_s[keep], pa.float64()),
+                "term_rank": pa.array(rank[keep].astype(np.int64) + 1, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("tbucket")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+# -------------------------------------------------------- prefix dup docs
+
+
+def prefix_dup_docs(sf_dir: str, num_buckets: int = 64):
+    """Flag docs whose text is a PROPER prefix of another doc's text.
+
+    The scalable shape is a global sort of the distinct texts: if a is a
+    proper prefix of any b, every string between them in sorted order
+    also starts with a — so a's immediate sorted successor does, and
+    checking each row against its successor (plus one head row exchanged
+    per block boundary, O(#blocks) driver state) finds every prefix doc
+    in one pass. Adjacent-pair prefix tests are vectorized with a packed
+    first-8-byte u64 prefilter; only surviving candidates run the exact
+    byte compare. Flagged texts return as u64 fps (answer-sized) and a
+    final broadcast pass marks every doc."""
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        h = content_hash_u64(batch)
+        fp = h["fp"].to_numpy(zero_copy_only=False)
+        order = np.argsort(fp, kind="stable")
+        f = fp[order]
+        keep_idx = order[np.concatenate(([True], f[1:] != f[:-1]))]
+        return pa.table(
+            {
+                "cbucket": pa.array(
+                    (fp[keep_idx] % num_buckets).astype(np.int64), pa.int64()
+                ),
+                "fp": pa.array(fp[keep_idx], pa.uint64()),
+                "text": batch["text"].take(pa.array(keep_idx)),
+            }
+        )
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        fp = group["fp"].to_numpy(zero_copy_only=False)
+        order = np.argsort(fp, kind="stable")
+        f = fp[order]
+        keep_idx = order[np.concatenate(([True], f[1:] != f[:-1]))]
+        return pa.table(
+            {
+                "fp": pa.array(fp[keep_idx], pa.uint64()),
+                "text": group["text"].take(pa.array(keep_idx)),
+            }
+        )
+
+    distinct = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(distinct_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("cbucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
+    sorted_ds = distinct.sort("text").materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _head(tab: pa.Table):
+        return tab["text"][0].as_py() if len(tab) else None
+
+    heads = ray.get([_head.remote(r) for r in refs])
+    # successor text for each block's LAST row = next non-empty block head
+    nxt: list[str | None] = [None] * len(refs)
+    follow: str | None = None
+    for i in range(len(refs) - 1, -1, -1):
+        nxt[i] = follow
+        if heads[i] is not None:
+            follow = heads[i]
+
+    @ray.remote
+    def _flag_block(tab: pa.Table, next_head):
+        if len(tab) == 0:
+            return np.empty(0, np.uint64)
+        buf, off = string_column_bytes(tab["text"])
+        fp = tab["fp"].to_numpy(zero_copy_only=False)
+        n = off.shape[0] - 1
+        lens = np.diff(off)
+        # packed first-8-bytes prefilter (sorted neighbors rarely share it)
+        pad = np.concatenate([buf, np.zeros(8, np.uint8)])
+        first8 = np.zeros(n, np.uint64)
+        for j in range(8):
+            first8 = (first8 << np.uint64(8)) | pad[off[:-1] + j].astype(np.uint64)
+        # rows shorter than 8 bytes always go to the exact check
+        cand = np.flatnonzero(
+            (lens[:-1] < lens[1:])
+            & ((first8[:-1] == first8[1:]) | (lens[:-1] < 8))
+        )
+        mv = memoryview(buf)
+        flagged = [
+            fp[i]
+            for i in cand
+            if mv[off[i] : off[i + 1]] == mv[off[i + 1] : off[i + 1] + lens[i]]
+        ]
+        if next_head is not None and n > 0:
+            last = bytes(mv[off[n - 1] : off[n]])
+            nh = next_head.encode("utf-8")
+            if len(nh) > len(last) and nh[: len(last)] == last:
+                flagged.append(fp[n - 1])
+        return np.asarray(flagged, np.uint64)
+
+    parts = ray.get(
+        [_flag_block.remote(r, nxt[i]) for i, r in enumerate(refs)]
+    )
+    flagged = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    flag_ref = ray.put(flagged)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        fl = get_broadcast(flag_ref)
+        h = content_hash_u64(batch)
+        fp = h["fp"].to_numpy(zero_copy_only=False)
+        if fl.shape[0]:
+            pos = np.searchsorted(fl, fp)
+            is_p = (pos < fl.shape[0]) & (fl[np.minimum(pos, fl.shape[0] - 1)] == fp)
+        else:
+            is_p = np.zeros(fp.shape[0], bool)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "is_prefix_dup": pa.array(is_p, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        mark, batch_format="pyarrow", batch_size=4096
+    )
+
+
+# -------------------------------------- MinHash Jaccard estimates per pair
+
+
+def minhash_jaccard_estimate_pairs(
+    sf_dir: str, num_bands: int = 32, band_r: int = 4
+):
+    """(doc_id_a, doc_id_b, n_match_perms, est_jaccard) for every LSH
+    band-candidate pair at the b=32 / r=4 production banding: estimated
+    Jaccard = fraction of the 128 OPH signature cells that agree.
+
+    Shares the signature + band kernels with minhash_band_clusters (the
+    oracle recomputes both in SQL). Candidate pairs expand per coarse
+    band-key group after a hot-key prefilter; the pair set and the
+    candidate docs' signatures are answer-sized, so the final agree-count
+    is one vectorized gather over a broadcast-scale matrix."""
+    from hg_dedup_ray.functions.minhash import batch_signatures_oph
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+
+    k, num_perm, seed = 16, 128, 42
+    _M1 = np.uint64(0xBF58476D1CE4E5B9)
+    _M2 = np.uint64(0x94D049BB133111EB)
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * _M1
+            x = (x ^ (x >> np.uint64(27))) * _M2
+        return x ^ (x >> np.uint64(31))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        buf, off = string_column_bytes(batch["text"])
+        sig = batch_signatures_oph(buf, off, k, num_perm, seed)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = ids.shape[0]
+        bands = sig.reshape(n, num_bands, band_r)
+        key = np.full((n, num_bands), np.uint64(0x9E3779B97F4A7C15))
+        with np.errstate(over="ignore"):
+            key = key + np.arange(num_bands, dtype=np.uint64)[None, :]
+            for j in range(band_r):
+                key = _mix(key ^ bands[:, :, j])
+        return pa.table(
+            {
+                "bkey": pa.array(key.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "doc_id_a": pa.array([], pa.int64()),
+            "doc_id_b": pa.array([], pa.int64()),
+            "n_match_perms": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    rows = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
+        .materialize()
+    )
+    hot = hot_u64_keys(rows, "bkey")
+    if hot.shape[0] == 0:
+        return ray.data.from_arrow(empty)
+    hot_ref = ray.put(hot)
+
+    def hot_pairs(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        h = get_broadcast(hot_ref)
+        bk = batch["bkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(h, bk)
+        mask = (pos < h.shape[0]) & (h[np.minimum(pos, h.shape[0] - 1)] == bk)
+        bk = bk[mask]
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)[mask]
+        return pa.table(
+            {
+                "cb": pa.array((bk % 64).astype(np.int64), pa.int64()),
+                "bkey": pa.array(bk, pa.uint64()),
+                "doc_id": pa.array(did, pa.int64()),
+            }
+        )
+
+    def expand_bucket_pairs(group: pa.Table) -> pa.Table:
+        bk = group["bkey"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, bk))
+        bk, did = bk[order], did[order]
+        new = np.concatenate(([True], bk[1:] != bk[:-1]))
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        run_start = np.cumsum(run_len) - run_len
+        local = np.arange(did.shape[0]) - run_start[run_id]
+        rep = (run_len[run_id] - 1 - local).astype(np.int64)
+        tot = int(rep.sum())
+        if tot == 0:
+            return pa.table(
+                {"pb": pa.array([], pa.int64()), "pair": pa.array([], pa.uint64())}
+            )
+        a_idx = np.repeat(np.arange(did.shape[0]), rep)
+        seg = np.cumsum(rep) - rep
+        b_idx = a_idx + (np.arange(tot) - seg[a_idx] + 1)
+        lo = np.minimum(did[a_idx], did[b_idx]).astype(np.uint64)
+        hi = np.maximum(did[a_idx], did[b_idx]).astype(np.uint64)
+        pair = np.unique((lo << np.uint64(32)) | hi)
+        return pa.table(
+            {
+                "pb": pa.array((pair % 64).astype(np.int64), pa.int64()),
+                "pair": pa.array(pair, pa.uint64()),
+            }
+        )
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        pair = np.unique(group["pair"].to_numpy(zero_copy_only=False))
+        return pa.table({"pair": pa.array(pair, pa.uint64())})
+
+    pair_chunks = [
+        b["pair"].to_numpy(zero_copy_only=False)
+        for b in rows.map_batches(hot_pairs, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(expand_bucket_pairs, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+        if len(b)
+    ]
+    if not pair_chunks:
+        return ray.data.from_arrow(empty)
+    pairs = np.unique(np.concatenate(pair_chunks))
+    docs_needed = np.unique(
+        np.concatenate(
+            [pairs >> np.uint64(32), pairs & np.uint64(0xFFFFFFFF)]
+        ).astype(np.int64)
+    )
+    need_ref = ray.put(docs_needed)
+
+    def cand_sigs(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        need = get_broadcast(need_ref)
+        ids0 = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(need, ids0)
+        m = (pos < need.shape[0]) & (need[np.minimum(pos, need.shape[0] - 1)] == ids0)
+        batch = batch.filter(pa.array(m))
+        if len(batch) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "sig": pa.array([], pa.binary())}
+            )
+        buf, off = string_column_bytes(batch["text"])
+        sig = batch_signatures_oph(buf, off, k, num_perm, seed)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.array([s.tobytes() for s in sig], pa.binary()),
+            }
+        )
+
+    sig_rows = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(cand_sigs, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    )
+    sid = np.array([r["doc_id"] for r in sig_rows], np.int64)
+    smat = np.stack(
+        [np.frombuffer(r["sig"], np.uint64) for r in sig_rows]
+    ) if sig_rows else np.empty((0, num_perm), np.uint64)
+    order = np.argsort(sid, kind="stable")
+    sid, smat = sid[order], smat[order]
+    a = (pairs >> np.uint64(32)).astype(np.int64)
+    b = (pairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    ia = np.searchsorted(sid, a)
+    ib = np.searchsorted(sid, b)
+    match = (smat[ia] == smat[ib]).sum(axis=1).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id_a": pa.array(a, pa.int64()),
+                "doc_id_b": pa.array(b, pa.int64()),
+                "n_match_perms": pa.array(match, pa.int64()),
+                # match/128 is a dyadic rational — bit-exact vs the SQL
+                # division, no rounding (round-half cases differ between
+                # DuckDB half-up and numpy half-even)
+                "est_jaccard": pa.array(match / float(num_perm), pa.float64()),
+            }
+        )
+    )

@@ -674,6 +674,68 @@ ORACLE_SQL = {
         )
         SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
     """,
+    "dup_rate_by_source": """
+        SELECT source, count(*)::BIGINT AS n_docs,
+               count(DISTINCT text)::BIGINT AS n_distinct_texts,
+               (count(*) - count(DISTINCT text))::BIGINT AS n_dup_docs
+        FROM documents GROUP BY source
+    """,
+    "tfidf_top_terms": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) <> ''
+        ),
+        tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+               FROM toks GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+               FROM toks GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+        scored AS (
+          SELECT doc_id, token,
+                 round(tf * ln(n.n * 1.0 / df.df), 6) AS score
+          FROM tf JOIN df USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, score, term_rank FROM (
+          SELECT doc_id, token, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, token) AS term_rank
+          FROM scored)
+        WHERE term_rank <= 3
+    """,
+    "prefix_dup_docs": """
+        WITH t AS (SELECT DISTINCT text FROM documents),
+        p AS (
+          SELECT DISTINCT a.text FROM t a JOIN t b
+            ON length(b.text) > length(a.text)
+           AND starts_with(b.text, a.text)
+        )
+        SELECT d.doc_id,
+               (d.text IN (SELECT text FROM p)) AS is_prefix_dup
+        FROM documents d
+    """,
+    "minhash_jaccard_estimate_pairs": f"""
+        WITH sigs AS ({_oph_sql()}),
+        bands AS (
+          SELECT doc_id, perm // 4 AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY perm) AS bkey
+          FROM sigs GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS ua, b.doc_id AS ub
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT c.ua AS doc_id_a, c.ub AS doc_id_b,
+               sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)::BIGINT
+                   AS n_match_perms,
+               sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                     / 128.0 AS est_jaccard
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.ua
+        JOIN sigs sb ON sb.doc_id = c.ub AND sb.perm = sa.perm
+        GROUP BY 1, 2
+    """,
     # LSH recall evaluation: exact Jaccard>=0.8 pairs vs MinHash b=32/r=4
     # band-candidate pairs, as three integer counts in one row.
     "lsh_recall_report": f"""

@@ -2660,6 +2660,12 @@ def pricing_summary(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
+    dup_rate_by_source,
+    minhash_jaccard_estimate_pairs,
+    prefix_dup_docs,
+    tfidf_top_terms,
+)
 from hg_dedup_ray.pipelines.relational import (  # noqa: E402
     customers_no_urgent_orders,
     revenue_by_segment,
@@ -2736,4 +2742,8 @@ QUERIES = {
     "lsh_recall_report": lsh_recall_report,
     "jaccard_dup_clusters": jaccard_dup_clusters,
     "incremental_dedup": incremental_dedup,
+    "dup_rate_by_source": dup_rate_by_source,
+    "tfidf_top_terms": tfidf_top_terms,
+    "prefix_dup_docs": prefix_dup_docs,
+    "minhash_jaccard_estimate_pairs": minhash_jaccard_estimate_pairs,
 }

@@ -1,0 +1,138 @@
+"""corpus_ops operators on crafted fixtures: prefix-dup semantics, tf-idf
+ranking vs a naive Python oracle, per-source dup rates, and MinHash
+Jaccard estimates on identical docs. (The DuckDB value-hash check of the
+same operators runs in test_queries.py's contract sweep.)"""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, rows):
+    tab = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array(
+                [r[2] if len(r) > 2 else "s0" for r in rows], pa.string()
+            ),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_prefix_dup_crafted(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.corpus_ops import prefix_dup_docs
+
+    rows = [
+        (0, "abcdefghijklmnop"),          # prefix of doc 1
+        (1, "abcdefghijklmnopqrstuvwx"),  # prefix of doc 2
+        (2, "abcdefghijklmnopqrstuvwxyz extended even further"),
+        (3, "abcdefghijklmnop"),          # exact dup of 0 -> also flagged
+        (4, "completely different text"),
+        (5, "zzz unrelated tail"),
+        (6, "ab"),                        # short (<8 bytes) prefix of 0
+    ]
+    got = (
+        prefix_dup_docs(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    texts = {r[0]: r[1] for r in rows}
+    want = {
+        i: any(
+            t != texts[i] and t.startswith(texts[i]) for t in texts.values()
+        )
+        for i in texts
+    }
+    assert got["is_prefix_dup"].tolist() == [want[i] for i in sorted(texts)]
+
+
+def test_tfidf_crafted_vs_naive(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.corpus_ops import tfidf_top_terms
+
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana cherry cherry date"),
+        (2, "apple elderberry elderberry elderberry"),
+        (3, "   "),  # whitespace-only: excluded from N, no output rows
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        tfidf_top_terms(sf, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "term_rank"], ignore_index=True)
+    )
+    docs = {r[0]: r[1].split() for r in rows if r[1].split()}
+    n = len(docs)
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    want = []
+    for d in sorted(docs):
+        scored = sorted(
+            (
+                (round(docs[d].count(t) * math.log(n / df[t]), 6), t)
+                for t in set(docs[d])
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for rank, (s, t) in enumerate(scored, 1):
+            want.append((d, t, s, rank))
+    assert list(
+        got[["doc_id", "token", "score", "term_rank"]].itertuples(index=False)
+    ) == want
+
+
+def test_dup_rate_by_source_crafted(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.corpus_ops import dup_rate_by_source
+
+    rows = [
+        (0, "aaa", "web"),
+        (1, "aaa", "web"),
+        (2, "bbb", "web"),
+        (3, "aaa", "books"),  # same text, other source: distinct there
+        (4, "ccc", "books"),
+        (5, "ccc", "books"),
+        (6, "ccc", "books"),
+    ]
+    got = (
+        dup_rate_by_source(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    assert got["source"].tolist() == ["books", "web"]
+    assert got["n_docs"].tolist() == [4, 3]
+    assert got["n_distinct_texts"].tolist() == [2, 2]
+    assert got["n_dup_docs"].tolist() == [2, 1]
+
+
+def test_minhash_estimate_identical_docs(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.corpus_ops import minhash_jaccard_estimate_pairs
+
+    dup = "the quick brown fox jumps over the lazy dog " * 8
+    other = "completely different content with no overlap at all " * 8
+    rows = [(1, dup), (5, dup), (9, other)]
+    got = (
+        minhash_jaccard_estimate_pairs(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"], ignore_index=True)
+    )
+    pairs = list(got[["doc_id_a", "doc_id_b"]].itertuples(index=False))
+    assert (1, 5) in pairs
+    row = got[(got.doc_id_a == 1) & (got.doc_id_b == 5)].iloc[0]
+    assert row["n_match_perms"] == 128
+    assert row["est_jaccard"] == 1.0
+    # the unrelated doc must not pair with anything
+    assert 9 not in set(got["doc_id_a"]) | set(got["doc_id_b"])
+
+
+def test_prefix_dup_empty_corpus_distinct_single(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.corpus_ops import prefix_dup_docs
+
+    got = prefix_dup_docs(_write_docs(tmp_path, [(0, "only doc")])).to_pandas()
+    assert got["is_prefix_dup"].tolist() == [False]
