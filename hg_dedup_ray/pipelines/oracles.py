@@ -187,6 +187,50 @@ def _oph_sql(k: int = 16, num_perm: int = 128, seed: int = 42) -> str:
     """
 
 
+def _kmv_sql(k: int = 16) -> str:
+    """DuckDB replication of sketches.kmv_token_hashes + the KMV
+    estimate: Horner fold of the first 8 chars (zero-padded via CASE),
+    one more fold step with the length, splitmix64, then per-lang
+    k-smallest-distinct and (k-1)*2^64 // h_k (exact count below k).
+    ASCII fixture assumption (ord == byte), as with the simhash oracle."""
+    fold = (
+        "CAST(CASE WHEN length(token) >= 1"
+        " THEN ord(substr(token, 1, 1)) ELSE 0 END AS HUGEINT)"
+    )
+    for j in range(2, 9):
+        fold = (
+            f"(({fold}) * {_FNV_C} + CASE WHEN length(token) >= {j}"
+            f" THEN ord(substr(token, {j}, 1)) ELSE 0 END) % {_M64}"
+        )
+    fold = f"(({fold}) * {_FNV_C} + length(token)) % {_M64}"
+    return rf"""
+        WITH toks AS (
+          SELECT lang,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) <> ''
+        ),
+        raw AS (SELECT lang, ({fold}) AS x FROM toks),
+        k1 AS (SELECT lang, {_xorshift('x', 30)} AS x FROM raw),
+        k2 AS (SELECT lang, {_mulmod64('x', _SM1)} AS x FROM k1),
+        k3 AS (SELECT lang, {_xorshift('x', 27)} AS x FROM k2),
+        k4 AS (SELECT lang, {_mulmod64('x', _SM2)} AS x FROM k3),
+        k5 AS (SELECT DISTINCT lang,
+                      CAST({_xorshift('x', 31)} AS UBIGINT) AS x FROM k4),
+        r AS (SELECT lang, x,
+                     row_number() OVER (PARTITION BY lang ORDER BY x) AS rn
+              FROM k5),
+        agg AS (SELECT lang, count(*) AS nd,
+                       max(CASE WHEN rn = {k} THEN x END) AS hk
+                FROM r GROUP BY lang)
+        SELECT lang,
+               CAST(CASE WHEN nd < {k} THEN nd
+                    ELSE ({k - 1} * CAST('18446744073709551616' AS HUGEINT))
+                         // CAST(hk AS HUGEINT)
+                    END AS BIGINT) AS n_distinct_est
+        FROM agg
+    """
+
+
 def _splitmix_doc_id_sql() -> str:
     """CTE chain computing sm = splitmix64(doc_id) over documents —
     shares the mulmod/xorshift helpers with the simhash oracle."""
@@ -674,6 +718,7 @@ ORACLE_SQL = {
         )
         SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
     """,
+    "approx_distinct_kmv": _kmv_sql(),
     "dup_rate_by_source": """
         SELECT source, count(*)::BIGINT AS n_docs,
                count(DISTINCT text)::BIGINT AS n_distinct_texts,

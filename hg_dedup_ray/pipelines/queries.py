@@ -2672,6 +2672,7 @@ from hg_dedup_ray.pipelines.relational import (  # noqa: E402
 )
 from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
     approx_distinct_hll,
+    approx_distinct_kmv,
     distinct_token_counts,
     dup_ngram_stats,
     heavy_hitter_tokens,
@@ -2730,6 +2731,7 @@ QUERIES = {
     "distinct_token_counts": distinct_token_counts,
     "dup_ngram_stats": dup_ngram_stats,
     "approx_distinct_hll": approx_distinct_hll,
+    "approx_distinct_kmv": approx_distinct_kmv,
     "minhash_sig_rows": minhash_sig_rows,
     "decontaminate": decontaminate,
     "stratified_sample": stratified_sample,

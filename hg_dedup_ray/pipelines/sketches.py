@@ -286,6 +286,100 @@ def dup_ngram_stats(sf_dir: str, n: int = DUP_NGRAM_N):
     )
 
 
+# ------------------------------------------------------------ KMV distinct
+
+_KMV_P = np.uint64(1099511628211)  # FNV-64 prime, same base as wordgrams
+
+
+def kmv_token_hashes(tokens: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """u64 KMV hash per token: Horner fold of the first 8 bytes
+    (zero-padded), then one more fold step with the byte length, then
+    splitmix64. Deliberately SIMPLER than wordgrams.token_hashes — this
+    exact chain is replicated in the DuckDB oracle with HUGEINT mulmod
+    arithmetic (oracles.py), so the KMV estimate is value-checked, not
+    rows-only. Tokens sharing an 8-byte prefix AND length collide by
+    design; both sides use the same hash, so the estimates still match
+    bit-for-bit (ASCII fixture assumption, as with the simhash oracle)."""
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+    from hg_dedup_ray.functions.wordgrams import _splitmix
+
+    buf, off = string_column_bytes(tokens)
+    n = off.shape[0] - 1
+    if n == 0:
+        return np.empty(0, np.uint64)
+    lens = np.diff(off)
+    pad = np.concatenate([buf, np.zeros(8, np.uint8)])
+    h = np.zeros(n, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(8):
+            b = np.where(lens > j, pad[off[:-1] + j], 0).astype(np.uint64)
+            h = h * _KMV_P + b
+        h = h * _KMV_P + lens.astype(np.uint64)
+    return _splitmix(h)
+
+
+def approx_distinct_kmv(sf_dir: str, k: int = 16):
+    """Per-lang approximate distinct-token count via the k-minimum-values
+    sketch, DuckDB-green: keep the k smallest distinct token hashes per
+    lang; estimate = (k-1) * 2^64 / h_k (exact count when fewer than k
+    distinct values exist). KMV merges exactly — every global k-smallest
+    value is inside its producing batch's k-smallest — so each batch
+    ships at most k 8-byte rows per lang and tokens never shuffle.
+    All-integer arithmetic: the estimate is deterministic and the oracle
+    recomputes the identical hash chain in SQL.
+
+    Default k=16 so the ESTIMATOR branch (not just the exact-fallback)
+    is value-checked on the small-vocabulary fixtures; production runs
+    would use k >= 1024 (~3% relative error)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        langs = np.repeat(
+            np.asarray(batch["lang"].to_pylist(), dtype=object),
+            counts.astype(np.int64),
+        )
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = lens > 0
+        h = kmv_token_hashes(flat)[keep]
+        langs = langs[keep]
+        out_lang, out_h = [], []
+        for lang in np.unique(langs):
+            u = np.unique(h[langs == lang])[:k]  # k smallest distinct
+            out_lang.extend([str(lang)] * u.shape[0])
+            out_h.append(u)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "x": pa.array(
+                    np.concatenate(out_h) if out_h else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        u = np.unique(group["x"].to_numpy(zero_copy_only=False))
+        if u.shape[0] < k:
+            est = int(u.shape[0])
+        else:
+            est = (k - 1) * (1 << 64) // int(u[k - 1])
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "n_distinct_est": pa.array([est], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("lang")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------------------------------ HLL distinct
 
 

@@ -196,3 +196,51 @@ def test_minhash_band_clusters_crafted(ray_session, tmp_path):
     )
     assert got["doc_id"].tolist() == [3, 7, 10]
     assert got["cluster_id"].tolist() == [3, 3, 3]
+
+
+def test_kmv_accuracy_large_vocab(ray_session, tmp_path):
+    """KMV estimator branch on a vocabulary far above k: estimate within
+    the expected ~2/sqrt(k) relative error, and invariant to doc order."""
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.sketches import approx_distinct_kmv
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i:05d}" for i in range(3000)]
+    texts = [
+        " ".join(vocab[j] for j in rng.integers(0, len(vocab), size=60))
+        for _ in range(400)
+    ]
+    true_distinct = len({w for t in texts for w in t.split()})
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "lang": pa.array(["en"] * len(texts)),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = approx_distinct_kmv(str(tmp_path), k=256).to_pandas()
+    est = int(got["n_distinct_est"][0])
+    assert abs(est - true_distinct) / true_distinct < 0.2, (est, true_distinct)
+
+
+def test_kmv_exact_below_k(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.sketches import approx_distinct_kmv
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "lang": pa.array(["en", "de"]),
+            "text": pa.array(["a b c a", "x y"]),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        approx_distinct_kmv(str(tmp_path), k=16)
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    assert got["n_distinct_est"].tolist() == [2, 3]
