@@ -9,7 +9,9 @@ stages** — codec/model state is constructed once per actor in
 Decode is REAL: payloads are standard container formats parsed by the
 dependency-free ``StdCodec`` —
 
-    image: binary PPM (``P6``, RGB) / PGM (``P5``, grayscale) — full
+    image: real PNG (8-bit gray/RGB: chunk walk + CRC verify, zlib
+           IDAT inflate, all five scanline filters un-applied) and
+           binary PPM (``P6``, RGB) / PGM (``P5``, grayscale) — full
            header grammar (whitespace + ``#`` comments), netpbm spec
     audio: RIFF/WAVE, PCM 16-bit — proper chunk walk (fmt / data)
     video: YUV4MPEG2 (Y4M) mono — header params + FRAME-delimited planes
@@ -79,13 +81,89 @@ def y4m_bytes(frames: np.ndarray) -> bytes:
     return head + b"".join(b"FRAME\n" + frames[i].tobytes() for i in range(n))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_bytes(pixels: np.ndarray) -> bytes:
+    """(h, w, 3)/(h, w, 1)/(h, w) uint8 -> real PNG (8-bit, filter 0 per
+    scanline, one zlib IDAT). stdlib-only (zlib + struct)."""
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    color_type = {1: 0, 3: 2}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), pixels.reshape(h, w * c)], axis=1
+    ).tobytes()  # filter byte 0 per scanline
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4 (spec 9.2). Sub/Up are fully
+    vectorized (Sub is a per-residue-class cumsum); Average/Paeth fall
+    back to a per-byte loop — rows are short and those filters only
+    appear in foreign PNGs (our encoder emits filter 0)."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for r in range(h):
+        f = int(rows[r, 0])
+        cur = rows[r, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: prefix sum per residue class mod 256
+            for res in range(bpp):
+                cur[res::bpp] = (
+                    np.cumsum(cur[res::bpp], dtype=np.uint64) % 256
+                ).astype(np.uint8)
+        elif f == 2:  # Up
+            cur += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                cc = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else cc)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+        out[r] = cur
+        prev = cur
+    return out
+
+
 def image_payload(data: bytes) -> bytes:
-    """Package REAL input bytes as a binary PPM (P6): pixel plane = the
-    bytes themselves, square-ish dims derived from the content length."""
+    """Package REAL input bytes as a real image container: pixel plane =
+    the bytes themselves, square-ish dims derived from the content
+    length. Rows alternate container by a stable content property —
+    even byte length -> PNG (zlib-compressed, CRC-checked), odd -> binary
+    PPM — so the decode stage exercises BOTH real formats end to end."""
     c = 3
     side = int(np.clip(round((max(len(data), 1) / c) ** 0.5), 8, 64))
     pix = _tile_bytes(data, side * side * c).reshape(side, side, c)
-    return ppm_bytes(pix)
+    return png_bytes(pix) if len(data) % 2 == 0 else ppm_bytes(pix)
 
 
 def audio_payload(data: bytes) -> bytes:
@@ -153,6 +231,8 @@ class StdCodec:
     actor stages do not change."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
+        if payload[:8] == _PNG_SIG:
+            return self._decode_png(payload)
         magic = payload[:2]
         if magic in (b"P6", b"P5"):
             w, h, maxval, off = _pnm_header(payload)
@@ -165,6 +245,46 @@ class StdCodec:
             w, h, c = struct.unpack_from("<HHB", payload, 4)
             return np.frombuffer(payload, np.uint8, offset=9).reshape(h, w, c)
         raise ValueError("unsupported image container")
+
+    @staticmethod
+    def _decode_png(payload: bytes) -> np.ndarray:
+        """Real PNG decode, stdlib-only: chunk walk with CRC verify,
+        IHDR (8-bit, color type 0 grayscale / 2 RGB, no interlace),
+        zlib-inflated IDAT concatenation, scanline un-filtering
+        (all five spec filters via _png_unfilter)."""
+        import zlib
+
+        pos, n = 8, len(payload)
+        w = h = depth = ctype = interlace = None
+        idat = []
+        while pos + 8 <= n:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + size]
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+            if zlib.crc32(tag + body) != crc:
+                raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+            if tag == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+            pos += 12 + size
+        if w is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        if depth != 8 or ctype not in (0, 2) or interlace:
+            raise ValueError(
+                "only 8-bit grayscale/RGB non-interlaced PNG supported"
+            )
+        c = 1 if ctype == 0 else 3
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+        stride = w * c
+        if raw.shape[0] != h * (stride + 1):
+            raise ValueError("PNG IDAT size mismatch")
+        return _png_unfilter(raw, h, stride, c).reshape(h, w, c)
 
     def decode_audio(self, payload: bytes):
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -239,9 +359,9 @@ FakeCodec = StdCodec
 def _make_codec():
     if _have_pil():  # pragma: no cover - env lacks PIL
         raise NotImplementedError(
-            "lossy-codec (JPEG/PNG) support via PIL deliberately not "
+            "lossy-codec (JPEG) support via PIL deliberately not "
             "wired in this environment; StdCodec handles the real "
-            "uncompressed containers (PPM/PGM, WAV, Y4M)"
+            "containers (PNG, PPM/PGM, WAV, Y4M)"
         )
     return StdCodec()
 

@@ -165,7 +165,9 @@ def test_real_codec_gate_documented():
 # ----------------------------------------------------------- real containers
 def test_payloads_are_real_standard_containers():
     b = mm.attach_payloads(_batch([1]), "image")
-    assert b["payload"][0].as_py()[:2] == b"P6"  # binary PPM
+    # even content length -> PNG, odd -> binary PPM (both real containers)
+    p0 = b["payload"][0].as_py()
+    assert p0[:8] == mm._PNG_SIG or p0[:2] == b"P6"
     b = mm.attach_payloads(_batch([1]), "audio")
     p = b["payload"][0].as_py()
     assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
@@ -230,3 +232,96 @@ def test_codec_rejects_unknown_containers():
         c.decode_audio(b"OggS....")
     with pytest.raises(ValueError):
         c.decode_video(b"\x00\x00\x00\x20ftypmp42")
+
+
+def test_png_roundtrip_gray_and_rgb():
+    from hg_dedup_ray.stages.multimodal import StdCodec, png_bytes
+
+    rng = np.random.default_rng(3)
+    codec = StdCodec()
+    for shape in [(12, 17, 3), (9, 5, 1)]:
+        pix = rng.integers(0, 256, size=shape).astype(np.uint8)
+        out = codec.decode_image(png_bytes(pix))
+        assert out.shape == shape
+        assert (out == pix).all()
+
+
+def test_png_foreign_filters_unapplied():
+    """A PNG written with Sub/Up/Average/Paeth filters (as a real encoder
+    would emit) decodes to the same pixels as the filter-0 encoding."""
+    import struct
+    import zlib
+
+    from hg_dedup_ray.stages.multimodal import _PNG_SIG, StdCodec
+
+    rng = np.random.default_rng(5)
+    h, w, c = 6, 7, 3
+    pix = rng.integers(0, 256, size=(h, w, c)).astype(np.uint8)
+    stride = w * c
+    flat = pix.reshape(h, stride).astype(np.int64)
+    lines = []
+    prev = np.zeros(stride, np.int64)
+    for r in range(h):
+        f = [1, 2, 3, 4, 0, 4][r]
+        cur = flat[r]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            left = np.concatenate([np.zeros(c, np.int64), cur[:-c]])
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = np.empty(stride, np.int64)
+            for i in range(stride):
+                left = cur[i - c] if i >= c else 0
+                enc[i] = (cur[i] - ((left + prev[i]) >> 1)) % 256
+        elif f == 4:
+            enc = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0
+                b = prev[i]
+                cc = prev[i - c] if i >= c else 0
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else cc)
+                enc[i] = (cur[i] - pred) % 256
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    out = StdCodec().decode_image(png)
+    assert (out == pix).all()
+
+
+def test_png_crc_rejected():
+    import pytest as _pytest
+
+    from hg_dedup_ray.stages.multimodal import StdCodec, png_bytes
+
+    png = bytearray(png_bytes(np.zeros((4, 4, 3), np.uint8)))
+    png[40] ^= 0xFF  # corrupt inside IDAT
+    with _pytest.raises(ValueError):
+        StdCodec().decode_image(bytes(png))
+
+
+def test_image_payload_mixes_png_and_ppm():
+    from hg_dedup_ray.stages.multimodal import _PNG_SIG, StdCodec, image_payload
+
+    even, odd = image_payload(b"ab"), image_payload(b"abc")
+    assert even[:8] == _PNG_SIG
+    assert odd[:2] == b"P6"
+    codec = StdCodec()
+    assert codec.decode_image(even).ndim == 3
+    assert codec.decode_image(odd).ndim == 3
