@@ -379,6 +379,65 @@ def prefix_dup_docs(sf_dir: str, num_buckets: int = 64):
     )
 
 
+# ------------------------------------------------- near-dup keep-first
+
+
+def near_dedup_keep_first(sf_dir: str):
+    """The near-dup REMOVAL deliverable: keep only the min-doc_id member
+    of every MinHash-LSH cluster (b=32/r=4 banding over the cell-exact
+    OPH signatures — the minhash_band_clusters machinery) plus every
+    unclustered doc. The oracle recomputes signatures, bands, and the
+    min-label closure in SQL and applies the same keep rule, so the
+    final kept set — not just the cluster labels — is value-checked.
+
+    Scale shape: cluster labels are dup-bounded (only docs in >=1 hot
+    band bucket get a row); the drop set (cluster members that are not
+    their cluster's min) broadcasts as a sorted int64 array and the kept
+    corpus streams through one filter map_batches."""
+    from hg_dedup_ray.pipelines.queries import minhash_band_clusters
+
+    labels = minhash_band_clusters(sf_dir)
+    drop_chunks = [
+        t
+        for t in (
+            b
+            for b in labels.iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"
+            )
+        )
+        if len(t)
+    ]
+    if drop_chunks:
+        did = np.concatenate(
+            [t["doc_id"].to_numpy(zero_copy_only=False) for t in drop_chunks]
+        )
+        lab = np.concatenate(
+            [t["cluster_id"].to_numpy(zero_copy_only=False) for t in drop_chunks]
+        )
+        drop = np.sort(did[did != lab])
+    else:
+        drop = np.empty(0, np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        dr = get_broadcast(drop_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if dr.shape[0]:
+            pos = np.searchsorted(dr, d)
+            dropped = (pos < dr.shape[0]) & (
+                dr[np.minimum(pos, dr.shape[0] - 1)] == d
+            )
+        else:
+            dropped = np.zeros(d.shape[0], bool)
+        return batch.filter(pa.array(~dropped))
+
+    return _docs(
+        sf_dir, columns=["doc_id", "lang", "source", "n_chars"]
+    ).map_batches(keep, batch_format="pyarrow", batch_size=4096)
+
+
 # -------------------------------------- MinHash Jaccard estimates per pair
 
 

@@ -781,6 +781,36 @@ ORACLE_SQL = {
         JOIN sigs sb ON sb.doc_id = c.ub AND sb.perm = sa.perm
         GROUP BY 1, 2
     """,
+    # Near-dup REMOVAL: keep only the min-doc_id member of every LSH
+    # band cluster (same CTE chain as minhash_band_clusters) plus all
+    # unclustered docs.
+    "near_dedup_keep_first": f"""
+        WITH RECURSIVE sigs AS ({_oph_sql()}),
+        bands AS (
+          SELECT doc_id, perm // 4 AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY perm) AS bkey
+          FROM sigs GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS ua, b.doc_id AS ub
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        edges AS (SELECT ua AS u, ub AS v FROM pairs
+                  UNION SELECT ub, ua FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.u, w.lab FROM walk w JOIN edges e ON e.v = w.n
+          WHERE w.lab < e.u
+        ),
+        labels AS (SELECT n AS doc_id, min(lab) AS cluster_id
+                   FROM walk GROUP BY n)
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+        WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+    """,
     # LSH recall evaluation: exact Jaccard>=0.8 pairs vs MinHash b=32/r=4
     # band-candidate pairs, as three integer counts in one row.
     "lsh_recall_report": f"""

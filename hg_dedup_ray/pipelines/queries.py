@@ -2663,6 +2663,7 @@ def pricing_summary(sf_dir: str):
 from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
     dup_rate_by_source,
     minhash_jaccard_estimate_pairs,
+    near_dedup_keep_first,
     prefix_dup_docs,
     tfidf_top_terms,
 )
@@ -2748,4 +2749,5 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "prefix_dup_docs": prefix_dup_docs,
     "minhash_jaccard_estimate_pairs": minhash_jaccard_estimate_pairs,
+    "near_dedup_keep_first": near_dedup_keep_first,
 }

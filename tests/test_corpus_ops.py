@@ -136,3 +136,29 @@ def test_prefix_dup_empty_corpus_distinct_single(ray_session, tmp_path):
 
     got = prefix_dup_docs(_write_docs(tmp_path, [(0, "only doc")])).to_pandas()
     assert got["is_prefix_dup"].tolist() == [False]
+
+
+def test_near_dedup_keep_first_crafted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.corpus_ops import near_dedup_keep_first
+
+    dup = "the quick brown fox jumps over the lazy dog " * 8
+    other = "completely different content with no overlap at all " * 8
+    tab = pa.table(
+        {
+            "doc_id": pa.array([10, 3, 7, 99], pa.int64()),
+            "text": pa.array([dup, dup, dup, other]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(dup)] * 3 + [len(other)], pa.int64()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        near_dedup_keep_first(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # cluster {3, 7, 10} keeps min member 3; 99 is unclustered
+    assert got["doc_id"].tolist() == [3, 99]
