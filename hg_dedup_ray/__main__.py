@@ -14,6 +14,14 @@ step scripts.
     python -m hg_dedup_ray ... --token_dtype u16 --tokenizer bytepair
     python -m hg_dedup_ray ... --resumable     # checkpointed, rerun-safe
 
+Cluster deployment (the north-rule `ray job submit` path): the job
+driver inherits $RAY_ADDRESS from the submission environment and joins
+the fixed-size cluster — same command line, nothing else changes:
+
+    ray job submit --working-dir . -- python -m hg_dedup_ray \
+        --data_dir s3://pages/ --save_dir s3://out/ --minlen 500 \
+        --mode remove --resumable   # rerun skips finished partitions
+
 This module OWNS the Ray session (init + shutdown); the library never
 calls ray.init().
 """
@@ -56,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Rows per map_batches batch (default: config).")
     p.add_argument("--cpus", type=int, default=None,
                    help="ray.init num_cpus (default: all).")
+    p.add_argument("--ray_address", default=None,
+                   help="Ray cluster address. Default: $RAY_ADDRESS if "
+                   "set (e.g. under `ray job submit`, which injects it "
+                   "so the driver joins the submitting cluster), else "
+                   "'local'. --cpus is ignored on a real cluster.")
     p.add_argument("--text_col", default="text")
     p.add_argument("--id_col", default="url")
     p.add_argument("--seq_col", default="doc_seq",
@@ -71,10 +84,16 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        kw = {"include_dashboard": False}
-        if args.cpus:
-            kw["num_cpus"] = args.cpus
-        ray.init(address="local", **kw)
+        import os
+
+        addr = args.ray_address or os.environ.get("RAY_ADDRESS") or "local"
+        kw = {}
+        if addr == "local":
+            # a private local cluster: size + dashboard are ours to set
+            kw["include_dashboard"] = False
+            if args.cpus:
+                kw["num_cpus"] = args.cpus
+        ray.init(address=addr, **kw)
     try:
         from hg_dedup_ray.config import DedupConfig
 
