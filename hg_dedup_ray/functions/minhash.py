@@ -218,3 +218,51 @@ def band_hashes(sig: np.ndarray, num_bands: int) -> np.ndarray:
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     """MinHash Jaccard estimate = fraction of agreeing permutations."""
     return float(np.mean(sig_a == sig_b))
+
+
+def oph_band_keys(sig: np.ndarray, num_bands: int, band_r: int) -> np.ndarray:
+    """(n, num_bands) u64 LSH band bucket keys over OPH signature rows:
+    iterated splitmix fold of each band's r sig words, salted with the
+    band index (golden gamma) so identical slices in different bands
+    don't collide. Injective stand-in for the r-tuple (~2^-64/pair); the
+    DuckDB oracles key on the exact tuple via string_agg. Single source
+    of truth for minhash_band_clusters / lsh_recall_report /
+    minhash_jaccard_estimate_pairs / near_dedup_keep_first."""
+    n = sig.shape[0]
+    bands = sig.reshape(n, num_bands, band_r)
+    key = np.full((n, num_bands), np.uint64(0x9E3779B97F4A7C15))
+    with np.errstate(over="ignore"):
+        key = key + np.arange(num_bands, dtype=np.uint64)[None, :]
+        for j in range(band_r):
+            key = _splitmix(key ^ bands[:, :, j])
+    return key
+
+
+def make_band_rows(
+    k: int = 16,
+    num_perm: int = 128,
+    seed: int = 42,
+    num_bands: int = 32,
+    band_r: int = 4,
+    id_col: str = "doc_id",
+):
+    """map_batches fn factory: text batches -> long (bkey:u64, doc_id)
+    rows at the production OPH + banding config (one row per (doc,
+    band))."""
+    import pyarrow as pa
+
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+
+    def band_rows(batch: "pa.Table") -> "pa.Table":
+        buf, off = string_column_bytes(batch["text"])
+        sig = batch_signatures_oph(buf, off, k, num_perm, seed)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        key = oph_band_keys(sig, num_bands, band_r)
+        return pa.table(
+            {
+                "bkey": pa.array(key.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
+            }
+        )
+
+    return band_rows

@@ -453,36 +453,13 @@ def minhash_jaccard_estimate_pairs(
     band-key group after a hot-key prefilter; the pair set and the
     candidate docs' signatures are answer-sized, so the final agree-count
     is one vectorized gather over a broadcast-scale matrix."""
-    from hg_dedup_ray.functions.minhash import batch_signatures_oph
+    from hg_dedup_ray.functions.minhash import (
+        batch_signatures_oph,
+        make_band_rows,
+    )
     from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
 
     k, num_perm, seed = 16, 128, 42
-    _M1 = np.uint64(0xBF58476D1CE4E5B9)
-    _M2 = np.uint64(0x94D049BB133111EB)
-
-    def _mix(x: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            x = (x ^ (x >> np.uint64(30))) * _M1
-            x = (x ^ (x >> np.uint64(27))) * _M2
-        return x ^ (x >> np.uint64(31))
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        buf, off = string_column_bytes(batch["text"])
-        sig = batch_signatures_oph(buf, off, k, num_perm, seed)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        n = ids.shape[0]
-        bands = sig.reshape(n, num_bands, band_r)
-        key = np.full((n, num_bands), np.uint64(0x9E3779B97F4A7C15))
-        with np.errstate(over="ignore"):
-            key = key + np.arange(num_bands, dtype=np.uint64)[None, :]
-            for j in range(band_r):
-                key = _mix(key ^ bands[:, :, j])
-        return pa.table(
-            {
-                "bkey": pa.array(key.reshape(-1), pa.uint64()),
-                "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
-            }
-        )
 
     empty = pa.table(
         {
@@ -494,7 +471,11 @@ def minhash_jaccard_estimate_pairs(
     )
     rows = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
+        .map_batches(
+            make_band_rows(num_bands=num_bands, band_r=band_r),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
         .materialize()
     )
     hot = hot_u64_keys(rows, "bkey")

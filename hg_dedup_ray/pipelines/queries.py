@@ -215,45 +215,20 @@ def minhash_band_clusters(sf_dir: str, num_bands: int = 32, band_r: int = 4):
     via driver union-find below ``driver_edge_limit`` rows and the
     groupby min-label rounds above. Band-key u64 folding stands in for
     the r-tuple of sigs (collision odds ~2^-64/pair)."""
-    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
-    from hg_dedup_ray.functions.minhash import batch_signatures_oph
+    from hg_dedup_ray.functions.minhash import make_band_rows
     from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
     from hg_dedup_ray.state.cluster import (
         distributed_min_label,
         union_find_clusters,
     )
 
-    k, num_perm, seed = 16, 128, 42
-    _M1 = np.uint64(0xBF58476D1CE4E5B9)
-    _M2 = np.uint64(0x94D049BB133111EB)
-
-    def _mix(x: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            x = (x ^ (x >> np.uint64(30))) * _M1
-            x = (x ^ (x >> np.uint64(27))) * _M2
-        return x ^ (x >> np.uint64(31))
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        buf, off = string_column_bytes(batch["text"])
-        sig = batch_signatures_oph(buf, off, k, num_perm, seed)  # (n, 128)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        n = ids.shape[0]
-        bands = sig.reshape(n, num_bands, band_r)
-        key = np.full((n, num_bands), np.uint64(0x9E3779B97F4A7C15))
-        with np.errstate(over="ignore"):
-            key = key + np.arange(num_bands, dtype=np.uint64)[None, :]
-            for j in range(band_r):
-                key = _mix(key ^ bands[:, :, j])
-        return pa.table(
-            {
-                "bkey": pa.array(key.reshape(-1), pa.uint64()),
-                "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
-            }
-        )
-
     rows = (
         _docs_sized(sf_dir, columns=["doc_id", "text"])
-        .map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
+        .map_batches(
+            make_band_rows(num_bands=num_bands, band_r=band_r),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
         .materialize()
     )
     hot = hot_u64_keys(rows, "bkey")
@@ -340,8 +315,6 @@ def lsh_recall_report(sf_dir: str, num_bands: int = 32, band_r: int = 4,
     sizes are near-dup cluster sizes, bounded), deduplicate globally per
     pair%64 group, and only per-group COUNT scalars return to the
     driver."""
-    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
-    from hg_dedup_ray.functions.minhash import batch_signatures_oph
     from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
 
     # ---- exact side (already fully distributed) -------------------------
@@ -358,39 +331,17 @@ def lsh_recall_report(sf_dir: str, num_bands: int = 32, band_r: int = 4,
     )
     exact_ref = ray.put(exact_packed)
 
-    # ---- candidate side: band rows (shared kernel config with
-    # minhash_band_clusters / minhash_sig_rows) ---------------------------
-    k, num_perm, seed = 16, 128, 42
-    _M1 = np.uint64(0xBF58476D1CE4E5B9)
-    _M2 = np.uint64(0x94D049BB133111EB)
-
-    def _mix(x: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            x = (x ^ (x >> np.uint64(30))) * _M1
-            x = (x ^ (x >> np.uint64(27))) * _M2
-        return x ^ (x >> np.uint64(31))
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        buf, off = string_column_bytes(batch["text"])
-        sig = batch_signatures_oph(buf, off, k, num_perm, seed)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        n = ids.shape[0]
-        bands = sig.reshape(n, num_bands, band_r)
-        key = np.full((n, num_bands), np.uint64(0x9E3779B97F4A7C15))
-        with np.errstate(over="ignore"):
-            key = key + np.arange(num_bands, dtype=np.uint64)[None, :]
-            for j in range(band_r):
-                key = _mix(key ^ bands[:, :, j])
-        return pa.table(
-            {
-                "bkey": pa.array(key.reshape(-1), pa.uint64()),
-                "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
-            }
-        )
+    # ---- candidate side: band rows (shared kernel + banding config with
+    # minhash_band_clusters / minhash_sig_rows: functions/minhash) --------
+    from hg_dedup_ray.functions.minhash import make_band_rows
 
     rows = (
         _docs_sized(sf_dir, columns=["doc_id", "text"])
-        .map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
+        .map_batches(
+            make_band_rows(num_bands=num_bands, band_r=band_r),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
         .materialize()
     )
     hot = hot_u64_keys(rows, "bkey")
