@@ -379,6 +379,34 @@ def prefix_dup_docs(sf_dir: str, num_buckets: int = 64):
     )
 
 
+# ---------------------------------------------------- text normalization
+
+
+def normalize_texts(sf_dir: str):
+    """Dedup-preprocessing normalization (the step web pipelines run
+    before exact/near dedup so cosmetic variants collapse): lowercase,
+    strip every char outside [a-z0-9 ], collapse whitespace runs, trim.
+    Pure Arrow kernels (utf8_lower + two RE2 replaces) — zero Python per
+    row; emits (doc_id, norm_text, n_norm_chars)."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, r"[^a-z0-9 ]", " ")
+        t = pc.replace_substring_regex(t, r" +", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": t,
+                "n_norm_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow", batch_size=4096
+    )
+
+
 # ------------------------------------------------- near-dup keep-first
 
 

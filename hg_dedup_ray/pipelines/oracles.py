@@ -719,6 +719,15 @@ ORACLE_SQL = {
         SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
     """,
     "approx_distinct_kmv": _kmv_sql(),
+    "normalize_texts": r"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+               length(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))::BIGINT
+                   AS n_norm_chars
+        FROM documents
+    """,
     "dup_rate_by_source": """
         SELECT source, count(*)::BIGINT AS n_docs,
                count(DISTINCT text)::BIGINT AS n_distinct_texts,

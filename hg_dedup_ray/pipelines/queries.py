@@ -2615,6 +2615,7 @@ from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
     dup_rate_by_source,
     minhash_jaccard_estimate_pairs,
     near_dedup_keep_first,
+    normalize_texts,
     prefix_dup_docs,
     tfidf_top_terms,
 )
@@ -2701,4 +2702,5 @@ QUERIES = {
     "prefix_dup_docs": prefix_dup_docs,
     "minhash_jaccard_estimate_pairs": minhash_jaccard_estimate_pairs,
     "near_dedup_keep_first": near_dedup_keep_first,
+    "normalize_texts": normalize_texts,
 }
