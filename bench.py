@@ -227,8 +227,11 @@ def run_scaling() -> dict:
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     hw = _hardware_ceiling(lo, hi)
+    hw_mem = _membw_ceiling(lo, hi)
     return {
         "metric": "scaling_efficiency",
+        "kernel": os.environ.get("GRAFT_SCAN_KERNEL", "hash"),
+        "docs": int(os.environ.get("GRAFT_BENCH_DOCS", "320000")),
         "cpus_lo": lo,
         "cpus_hi": hi,
         "sec_lo": t_lo,
@@ -245,6 +248,15 @@ def run_scaling() -> dict:
         # coordination loss beyond the box's own limits.
         "hw_ceiling_efficiency": round(hw, 3),
         "pipeline_vs_hw": round(eff / hw, 3) if hw else None,
+        # DRAM-bandwidth ceiling: the hash kernel is a streaming/memory-
+        # bound workload, so its binding single-box resource is bandwidth,
+        # not cores — measured with pure numpy array copies at the same
+        # two levels. A pipeline_vs_membw near 1.0 means the pipeline
+        # saturates the box's memory system exactly as perfectly parallel
+        # streaming would; between real N- and 4N-node clusters each node
+        # brings its own memory channels and this distortion vanishes.
+        "hw_membw_efficiency": round(hw_mem, 3),
+        "pipeline_vs_membw": round(eff / hw_mem, 3) if hw_mem else None,
     }
 
 
@@ -261,6 +273,34 @@ def _hardware_ceiling(lo: int, hi: int) -> float:
 
     thr_lo, thr_hi = measure(lo), measure(hi)
     return (thr_hi / thr_lo) / (hi / lo)
+
+
+def _membw_ceiling(lo: int, hi: int) -> float:
+    """lo-vs-hi-proc throughput ratio of pure memory streaming (numpy
+    array copies, no compute): the single-box ceiling for DRAM-bound
+    kernels. Typically well below 1.0 on one box — lo procs share the
+    same memory channels hi procs saturate."""
+    import multiprocessing as mp
+
+    def measure(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_membw_probe, range(procs))
+            return procs / (time.time() - t0)
+
+    thr_lo, thr_hi = measure(lo), measure(hi)
+    return (thr_hi / thr_lo) / (hi / lo)
+
+
+def _membw_probe(_seed: int) -> float:
+    import numpy as np
+
+    a = np.arange(16_000_000, dtype=np.uint64)  # 128 MB
+    t0 = time.time()
+    for _ in range(4):
+        b = a.copy()
+        a[0] = b[-1]  # keep the copy live
+    return time.time() - t0
 
 
 def _sa_build_probe(seed: int) -> float:
