@@ -149,6 +149,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, num_buckets: int = 64,
             batch_size=4096,
         )
         .sum("n")
+        or 0  # Dataset.sum is None on an empty dataset
     )
 
     def tf_rows(batch: pa.Table) -> pa.Table:
