@@ -58,11 +58,26 @@ def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def estimate(regs: np.ndarray) -> int:
-    """Bias-corrected cardinality estimate (int)."""
+    """Bias-corrected cardinality estimate (int).
+
+    Arithmetic is deliberately order-independent so a SQL replica
+    (pipelines/oracles._hll_sql) lands on the SAME integer: the harmonic
+    sum Σ 2^-reg is scaled by 2^R (R = max rank = 64-p+1) into an EXACT
+    integer S = Σ 2^(R-reg) — the one float division
+    (alpha·m²·2^R) / float(S) then has no summation-order freedom.
+    Rounding is floor(x+0.5) (half-up) on both sides, and the
+    linear-counting branch uses scalar libm log (== DuckDB ln on the
+    same host) rather than numpy's vectorized log.
+    """
+    import math
+
     m = regs.shape[0]
-    inv = np.ldexp(1.0, -regs.astype(np.int64))  # 2^-reg
-    raw = _alpha(m) * m * m / float(inv.sum())
-    zeros = int((regs == 0).sum())
+    p = int(m).bit_length() - 1
+    r_max = 64 - p + 1
+    cnt = np.bincount(regs.astype(np.int64), minlength=r_max + 1)
+    s_int = sum(int(c) << (r_max - r) for r, c in enumerate(cnt.tolist()) if c)
+    raw = (_alpha(m) * m * m * float(1 << r_max)) / float(s_int)
+    zeros = int(cnt[0])
     if raw <= 2.5 * m and zeros > 0:
-        return int(round(m * np.log(m / zeros)))
-    return int(round(raw))
+        return int(math.floor(m * math.log(m / zeros) + 0.5))
+    return int(math.floor(raw + 0.5))

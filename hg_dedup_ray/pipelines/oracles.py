@@ -231,6 +231,71 @@ def _kmv_sql(k: int = 16) -> str:
     """
 
 
+def _hll_sql(p: int = 12) -> str:
+    """DuckDB replication of the HyperLogLog sketch
+    (sketches.approx_distinct_hll over functions/hll.py): the exact
+    wordgrams.token_hashes chain (Horner polynomial over token bytes with
+    FNV base via list_reduce, + len * golden-gamma length salt,
+    splitmix64), register = per-(lang, top-p-bits cell) max rank with
+    rank derived from the INTEGER bit length of the suffix (no float
+    log2), and the estimate in the same order-independent integer
+    arithmetic as hll.estimate: S = Σ 2^(R-reg) summed as HUGEINT, ONE
+    float division, floor(x+0.5) rounding, scalar ln for the
+    linear-counting branch. ASCII fixture assumption (ord == byte), as
+    with the simhash/KMV oracles."""
+    from hg_dedup_ray.functions.hll import _alpha
+
+    m = 1 << p
+    w = 64 - p
+    r_max = w + 1
+    c_lit = repr(_alpha(m) * m * m * float(1 << r_max))
+    q = 0x9E3779B97F4A7C15
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        " list_transform(range(1, length(token) + 1),"
+        " i -> CAST(ord(substr(token, CAST(i AS INT), 1)) AS HUGEINT))),"
+        f" (acc, b) -> (acc * {_FNV_C} + b) % {_M64})"
+    )
+    salted = f"(({fold}) + length(token) * {q}) % {_M64}"
+    return rf"""
+        WITH toks AS (
+          SELECT DISTINCT lang,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) <> ''
+        ),
+        raw AS (SELECT lang, ({salted}) AS x FROM toks),
+        h1 AS (SELECT lang, {_xorshift('x', 30)} AS x FROM raw),
+        h2 AS (SELECT lang, {_mulmod64('x', _SM1)} AS x FROM h1),
+        h3 AS (SELECT lang, {_xorshift('x', 27)} AS x FROM h2),
+        h4 AS (SELECT lang, {_mulmod64('x', _SM2)} AS x FROM h3),
+        h5 AS (SELECT DISTINCT lang, {_xorshift('x', 31)} AS x FROM h4),
+        ranks AS (
+          SELECT lang, x // {1 << w} AS cell,
+                 CASE WHEN x % {1 << w} = 0 THEN {r_max}
+                      ELSE {r_max} - length(
+                          format('{{:b}}', CAST(x % {1 << w} AS BIGINT)))
+                 END AS rank
+          FROM h5
+        ),
+        regs AS (SELECT lang, cell, max(rank) AS reg FROM ranks GROUP BY 1, 2),
+        agg AS (
+          SELECT lang,
+                 {m} - count(*) AS zeros,
+                 sum(CAST(CAST(1 AS BIGINT) << ({r_max} - reg) AS HUGEINT))
+                   + CAST({m} - count(*) AS HUGEINT)
+                     * CAST(CAST(1 AS BIGINT) << {r_max} AS HUGEINT) AS s_int
+          FROM regs GROUP BY lang
+        )
+        SELECT lang,
+               CAST(CASE WHEN zeros > 0
+                          AND {c_lit} / CAST(s_int AS DOUBLE) <= {2.5 * m}
+                    THEN floor({m} * ln({m}.0 / zeros) + 0.5)
+                    ELSE floor({c_lit} / CAST(s_int AS DOUBLE) + 0.5)
+               END AS BIGINT) AS n_distinct_est
+        FROM agg
+    """
+
+
 def _splitmix_doc_id_sql() -> str:
     """CTE chain computing sm = splitmix64(doc_id) over documents —
     shares the mulmod/xorshift helpers with the simhash oracle."""
@@ -719,6 +784,7 @@ ORACLE_SQL = {
         SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
     """,
     "approx_distinct_kmv": _kmv_sql(),
+    "approx_distinct_hll": _hll_sql(),
     "normalize_texts": r"""
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(lower(text),

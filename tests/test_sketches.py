@@ -244,3 +244,52 @@ def test_kmv_exact_below_k(ray_session, tmp_path):
         .sort_values("lang", ignore_index=True)
     )
     assert got["n_distinct_est"].tolist() == [2, 3]
+
+
+def test_hll_oracle_parity_linear_branch(ray_session, con):
+    """Fixture vocab is tiny -> linear-counting branch; the SQL oracle
+    must land on the SAME integer as hll.estimate."""
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.sketches import approx_distinct_hll
+
+    _cmp(
+        _df(approx_distinct_hll(SF)),
+        con.sql(ORACLE_SQL["approx_distinct_hll"]).df(),
+    )
+
+
+def test_hll_oracle_parity_raw_branch(ray_session, tmp_path):
+    """~22k distinct tokens pushes raw > 2.5m (m=4096): the harmonic-sum
+    branch must also be bit-identical between numpy and DuckDB — this is
+    what the order-independent integer S in hll.estimate buys."""
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.sketches import approx_distinct_hll
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i:05d}" for i in range(30_000)]
+    texts = [
+        " ".join(vocab[j] for j in rng.integers(0, len(vocab), size=100))
+        for _ in range(400)
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "lang": pa.array(["en"] * len(texts)),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got = _df(approx_distinct_hll(str(tmp_path)))
+    want = c.sql(ORACLE_SQL["approx_distinct_hll"]).df()
+    n_true = len({w for t in texts for w in t.split()})
+    est = int(got["n_distinct_est"][0])
+    assert est > 2.5 * 4096, "test must exercise the raw branch"
+    assert abs(est - n_true) / n_true < 0.05, (est, n_true)
+    _cmp(got, want)
