@@ -632,3 +632,69 @@ def minhash_jaccard_estimate_pairs(
             }
         )
     )
+
+
+# ----------------------------------------------------- substring counting
+
+# Fixed probe phrases drawn from the fixture vocabulary (TESTDATA.md word
+# salad) plus two that never occur — zero rows must still appear.
+SUBSTRING_QUERIES = (
+    "hash scan",
+    "window",
+    "batch batch",
+    "merge part",
+    "order sort",
+    "spark",
+    "stream",
+    "join order",
+    "dup",
+    "no such phrase",
+    "zzqx",
+)
+
+
+def substring_counts(sf_dir: str, queries: tuple[str, ...] = SUBSTRING_QUERIES):
+    """Corpus occurrence counts for a fixed set of probe substrings —
+    the count(q) primitive the reference's suffix-array index answers
+    per-query (infini-gram-style corpus search; reference
+    cpp_engine_dedup.h builds exactly the structure that serves this).
+
+    Ray-first shape: no index needed for a STREAMING count — each batch
+    answers all queries with Arrow's vectorized non-overlapping
+    ``count_substring`` kernel (same left-to-right non-overlapping
+    semantics as the oracle's replace()-based count), emitting
+    len(queries) partial rows per batch; a native Sum over ~10 groups
+    merges them. At 100 TB this is one read-only pass, no shuffle of
+    anything text-sized, and the broadcastable query list rides in the
+    task closure."""
+    from ray.data.aggregate import Sum
+
+    qs = list(queries)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        occ = np.empty(len(qs), np.int64)
+        nd = np.empty(len(qs), np.int64)
+        for i, q in enumerate(qs):
+            c = pc.count_substring(batch["text"], q).to_numpy(
+                zero_copy_only=False
+            )
+            occ[i] = int(c.sum())
+            nd[i] = int((c > 0).sum())
+        return pa.table(
+            {
+                "query": pa.array(qs, pa.string()),
+                "occ": pa.array(occ, pa.int64()),
+                "nd": pa.array(nd, pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("query")
+        .aggregate(
+            Sum("occ", alias_name="n_occurrences"),
+            Sum("nd", alias_name="n_docs"),
+        )
+    )
+    return agg

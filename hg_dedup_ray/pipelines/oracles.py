@@ -296,6 +296,26 @@ def _hll_sql(p: int = 12) -> str:
     """
 
 
+def _substring_counts_sql() -> str:
+    """Oracle for corpus_ops.substring_counts: the replace()-based
+    non-overlapping occurrence count (same left-to-right non-overlap
+    semantics as Arrow's count_substring). CROSS JOIN keeps zero-hit
+    probes in the result."""
+    from hg_dedup_ray.pipelines.corpus_ops import SUBSTRING_QUERIES
+
+    vals = ", ".join(f"('{q}')" for q in SUBSTRING_QUERIES)
+    return f"""
+        WITH q(query) AS (VALUES {vals})
+        SELECT q.query,
+               CAST(coalesce(sum((length(d.text) - length(replace(d.text,
+                    q.query, ''))) // length(q.query)), 0) AS BIGINT)
+                   AS n_occurrences,
+               CAST(coalesce(sum(CASE WHEN contains(d.text, q.query)
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs
+        FROM q CROSS JOIN documents d GROUP BY q.query
+    """
+
+
 def _splitmix_doc_id_sql() -> str:
     """CTE chain computing sm = splitmix64(doc_id) over documents —
     shares the mulmod/xorshift helpers with the simhash oracle."""
@@ -785,6 +805,7 @@ ORACLE_SQL = {
     """,
     "approx_distinct_kmv": _kmv_sql(),
     "approx_distinct_hll": _hll_sql(),
+    "substring_counts": _substring_counts_sql(),
     "normalize_texts": r"""
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(lower(text),

@@ -2617,6 +2617,7 @@ from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
     near_dedup_keep_first,
     normalize_texts,
     prefix_dup_docs,
+    substring_counts,
     tfidf_top_terms,
 )
 from hg_dedup_ray.pipelines.relational import (  # noqa: E402
@@ -2703,4 +2704,5 @@ QUERIES = {
     "minhash_jaccard_estimate_pairs": minhash_jaccard_estimate_pairs,
     "near_dedup_keep_first": near_dedup_keep_first,
     "normalize_texts": normalize_texts,
+    "substring_counts": substring_counts,
 }
