@@ -272,6 +272,87 @@ def _window_hashes(corpus: np.ndarray, minlen: int) -> np.ndarray:
     return h
 
 
+def _sentinel_free_starts(sent: np.ndarray, m: int, minlen: int) -> np.ndarray:
+    """Ascending window starts in [0, m) that do not overlap a sentinel —
+    built directly from the complement of the blocked intervals
+    [s-minlen+1, s] (sent is sorted, so blocked ends are strictly
+    increasing and gap extraction is exact). Replaces the old
+    full-length int32 coverage array + cumsum + flatnonzero: the only
+    full-size write left is the result itself."""
+    if sent.size == 0:
+        return np.arange(m, dtype=np.int64)
+    lo = np.clip(sent - minlen + 1, 0, m)
+    hi = np.clip(sent + 1, 0, m)
+    starts = np.concatenate(([0], hi)).astype(np.int64)
+    ends = np.concatenate((lo, [m])).astype(np.int64)
+    lens = np.maximum(ends - starts, 0)
+    nz = lens > 0
+    starts, lens = starts[nz], lens[nz]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    off = np.cumsum(lens) - lens
+    return np.repeat(starts - off, lens) + np.arange(total, dtype=np.int64)
+
+
+def _singleton_prefilter(
+    pos: np.ndarray, hp: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Drop windows whose hash bucket holds only them — EXACT for >=2-member
+    equality classes (equal u64 hashes share every bucket level), it can
+    only over-keep (bucket-collision noise), never drop a true duplicate.
+
+    Two-level scheme chosen for DRAM behavior under 32-way contention:
+    a single flat counter table sized ~8x the window count is tens of MB
+    per worker, and the random scatter/gather into it is latency-bound
+    (measured: HALF the whole kernel's time at 2 MB partitions). Instead:
+    one 1-byte-key counting argsort (numpy radix) splits the hashes into
+    256 ranges, then each range histograms the NEXT <=17 bits into a
+    <=1 MB cache-resident table — ~2^25 effective buckets (vs 2^22
+    before) at a fraction of the traffic, so survivors shrink to near
+    the true dup fraction and the downstream u64 argsort shrinks with
+    them (measured 510k -> 93k survivors, 124 ms -> ~45 ms prefilter,
+    61 ms -> 8 ms argsort on the 1.6 MB profile fixture)."""
+    top = (hp >> np.uint64(56)).astype(np.uint8)
+    order = np.argsort(top, kind="stable")
+    hs = hp[order]
+    cnt = np.bincount(top, minlength=256)
+    bounds = np.concatenate(([0], np.cumsum(cnt)))
+    keep_s = np.empty(hs.shape[0], bool)
+    for i in range(256):
+        a, b = int(bounds[i]), int(bounds[i + 1])
+        n = b - a
+        if n < 2:
+            keep_s[a:b] = False
+            continue
+        # table ~16x the range size (capped at 1 MB): collision noise
+        # ~e^-(1/16) while zeroing stays proportional to the range
+        bits = max(10, min(17, int(16 * n).bit_length()))
+        sb = ((hs[a:b] >> np.uint64(56 - bits)) & np.uint64((1 << bits) - 1)).astype(
+            np.int64
+        )
+        keep_s[a:b] = np.bincount(sb, minlength=1 << bits)[sb] >= 2
+    ko = np.sort(order[keep_s])  # restore ascending-position order
+    return pos[ko], hp[ko]
+
+
+def _dup_candidate_windows(
+    corpus: np.ndarray, minlen: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(pos, hp) of sentinel-free windows surviving the singleton
+    prefilter, ascending by position — the shared front half of both
+    hash-group kernels."""
+    N = corpus.shape[0]
+    m = N - minlen + 1
+    pos = _sentinel_free_starts(sentinel_positions(corpus), m, minlen)
+    if pos.size < 2:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    h = _window_hashes(corpus, minlen)
+    hp = h[pos]
+    del h
+    return _singleton_prefilter(pos, hp)
+
+
 def find_remove_ranges_hashed(corpus: np.ndarray, minlen: int) -> np.ndarray:
     """`find_remove_ranges` WITHOUT the suffix array — byte-identical
     output, ~3-4x faster (tests/test_scan.py asserts equality; the
@@ -285,7 +366,9 @@ def find_remove_ranges_hashed(corpus: np.ndarray, minlen: int) -> np.ndarray:
 
     1. canonical polynomial window hash, O(n) via prefix sums
        (h_i = (S[i+L]-S[i]) * p^-i mod 2^64 — p odd hence invertible);
-    2. drop windows overlapping a document sentinel (coverage sweep);
+    2. drop windows overlapping a document sentinel (blocked-interval
+       complement) and prefilter singleton hash buckets
+       (_singleton_prefilter — exact for >=2-member classes);
     3. ONE stable u64 radix argsort (ties keep ascending position, so an
        equality class is a contiguous ascending run);
     4. verify adjacent equal-hash windows element-wise (exactness does
@@ -299,30 +382,7 @@ def find_remove_ranges_hashed(corpus: np.ndarray, minlen: int) -> np.ndarray:
     N = corpus.shape[0]
     if N < minlen:
         return np.empty((0, 2), dtype=np.int64)
-    sent = sentinel_positions(corpus)
-    m = N - minlen + 1
-    h = _window_hashes(corpus, minlen)
-    # sentinel-free windows: sentinel at s blocks starts in [s-minlen+1, s]
-    cov = np.zeros(m + 1, np.int32)
-    if sent.size:
-        np.add.at(cov, np.clip(sent - minlen + 1, 0, m), 1)
-        np.add.at(cov, np.clip(sent + 1, 0, m), -1)
-    pos = np.flatnonzero(np.cumsum(cov[:-1]) == 0)
-    del cov
-    if pos.size < 2:
-        return np.empty((0, 2), dtype=np.int64)
-    hp = h[pos]
-    del h
-    # singleton prefilter: bucket the hashes into 2^22 counters and drop
-    # positions whose bucket holds only them — a true equality class
-    # (>=2 equal windows, equal hashes) always lands in a shared bucket,
-    # so this is EXACT, and it shrinks the (dominant) sort to roughly the
-    # duplicated fraction of the corpus plus ~m^2/2^23 bucket-collision
-    # noise
-    b = (hp >> np.uint64(42)).astype(np.int64)
-    keep = np.bincount(b, minlength=1 << 22)[b] >= 2
-    pos, hp = pos[keep], hp[keep]
-    del b, keep
+    pos, hp = _dup_candidate_windows(corpus, minlen)
     if pos.size < 2:
         return np.empty((0, 2), dtype=np.int64)
     order = np.argsort(hp, kind="stable")  # radix sort for ints; stable
@@ -360,29 +420,7 @@ def find_dup_ptrs_hashed(
     empty = (np.empty(0, np.int64), np.empty(0, bool))
     if N < minlen:
         return empty
-    sent = sentinel_positions(corpus)
-    m = N - minlen + 1
-    h = _window_hashes(corpus, minlen)
-    cov = np.zeros(m + 1, np.int32)
-    if sent.size:
-        np.add.at(cov, np.clip(sent - minlen + 1, 0, m), 1)
-        np.add.at(cov, np.clip(sent + 1, 0, m), -1)
-    pos = np.flatnonzero(np.cumsum(cov[:-1]) == 0)
-    del cov
-    if pos.size < 2:
-        return empty
-    hp = h[pos]
-    del h
-    # singleton prefilter: bucket the hashes into 2^22 counters and drop
-    # positions whose bucket holds only them — a true equality class
-    # (>=2 equal windows, equal hashes) always lands in a shared bucket,
-    # so this is EXACT, and it shrinks the (dominant) sort to roughly the
-    # duplicated fraction of the corpus plus ~m^2/2^23 bucket-collision
-    # noise
-    b = (hp >> np.uint64(42)).astype(np.int64)
-    keep = np.bincount(b, minlength=1 << 22)[b] >= 2
-    pos, hp = pos[keep], hp[keep]
-    del b, keep
+    pos, hp = _dup_candidate_windows(corpus, minlen)
     if pos.size < 2:
         return empty
     order = np.argsort(hp, kind="stable")
