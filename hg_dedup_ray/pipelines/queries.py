@@ -2631,6 +2631,12 @@ from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
     dup_ngram_stats,
     heavy_hitter_tokens,
 )
+from hg_dedup_ray.pipelines.curation import (  # noqa: E402
+    gopher_quality_filter,
+    kmeans_assign,
+    semantic_dedup,
+    token_entropy,
+)
 from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     decontaminate,
     incremental_dedup,
@@ -2705,4 +2711,8 @@ QUERIES = {
     "near_dedup_keep_first": near_dedup_keep_first,
     "normalize_texts": normalize_texts,
     "substring_counts": substring_counts,
+    "gopher_quality_filter": gopher_quality_filter,
+    "token_entropy": token_entropy,
+    "kmeans_assign": kmeans_assign,
+    "semantic_dedup": semantic_dedup,
 }

@@ -1,0 +1,99 @@
+"""Curation operators (pipelines/curation.py): Gopher gate semantics,
+entropy extremes, centroid assignment, and SemDeDup drop rules on crafted
+fixtures (the DuckDB parity run lives in test_queries.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, texts):
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df), str(sf / "documents.parquet"))
+    return str(sf)
+
+
+def _write_embeddings(tmp_path, mat):
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(mat.shape[0], dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in mat],
+            "label": np.zeros(mat.shape[0], np.int32),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df), str(sf / "embeddings.parquet"))
+    return str(sf)
+
+
+def test_gopher_rules_each_gate(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.curation import gopher_quality_filter
+
+    good = "the " + " ".join(f"word{i}" for i in range(60))  # passes all
+    too_short = "the quick brown fox"                         # < 50 words
+    long_words = "the " + " ".join("x" * 30 for _ in range(60))  # mean > 10
+    no_alpha = "the " + " ".join(str(i) * 4 for i in range(60))  # alpha < 80%
+    no_stops = " ".join(f"word{i}" for i in range(60))        # 0 stop types
+    sf = _write_docs(tmp_path, [good, too_short, long_words, no_alpha, no_stops])
+    out = gopher_quality_filter(sf).to_pandas().sort_values("doc_id")
+    assert out["keep"].tolist() == [True, False, False, False, False]
+    assert out["n_stop_types"].tolist() == [1, 1, 1, 1, 0]
+    assert out.loc[0, "n_words"] == 61
+
+
+def test_token_entropy_extremes(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.curation import token_entropy
+
+    sf = _write_docs(
+        tmp_path, ["spam " * 64, " ".join(f"t{i}" for i in range(32)), "   "]
+    )
+    out = token_entropy(sf).to_pandas().sort_values("doc_id")
+    assert out["entropy"].tolist()[0] == pytest.approx(0.0)      # constant doc
+    assert out["entropy"].tolist()[1] == pytest.approx(5.0)      # 32 distinct
+    assert out["n_words"].tolist()[2] == 0                        # whitespace
+    assert out["entropy"].tolist()[2] == pytest.approx(0.0)
+
+
+def test_semantic_dedup_drops_planted_dup(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.curation import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(24, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # vec 20 duplicates vec 9 exactly; vec 21 is a near-copy of vec 9
+    base[20] = base[9]
+    base[21] = base[9] + rng.normal(scale=0.01, size=16)
+    sf = _write_embeddings(tmp_path, base)
+    out = semantic_dedup(sf, k=4, cos=0.95).to_pandas().set_index("vec_id")
+    assert bool(out.loc[9, "kept"])          # first occurrence kept
+    assert not bool(out.loc[20, "kept"])     # exact dup dropped
+    assert not bool(out.loc[21, "kept"])     # near-dup dropped
+    # same cluster for all three (identical vectors share an argmax)
+    assert out.loc[20, "centroid_id"] == out.loc[9, "centroid_id"]
+
+
+def test_kmeans_assign_centroids_self(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.curation import kmeans_assign
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(40, 8))
+    sf = _write_embeddings(tmp_path, mat)
+    out = kmeans_assign(sf, k=8).to_pandas().set_index("vec_id")
+    # each centroid assigns to itself (cos(v, v) == 1 is the max)
+    for cid in range(8):
+        assert out.loc[cid, "centroid_id"] == cid
+    assert set(out["centroid_id"]) <= set(range(8))
+    assert len(out) == 40
