@@ -45,6 +45,7 @@ GOPHER_MIN_STOP_TYPES = 1
 
 KMEANS_K = 8                    # centroids = embeddings with vec_id < K
 SEMDEDUP_COS = 0.4              # same threshold as embedding_near_dup_pairs
+BALANCED_SAMPLE_M = 16          # per-cluster sample size
 
 
 def _docs(sf_dir: str, columns=None):
@@ -273,4 +274,122 @@ def semantic_dedup(sf_dir: str, k: int = KMEANS_K, cos: float = SEMDEDUP_COS):
         .map_batches(assign, batch_format="pyarrow", batch_size=4096)
         .groupby("centroid_id")
         .map_groups(cluster_dedup, batch_format="pyarrow")
+    )
+
+
+# ----------------------------------------------------- unigram_logprob
+
+
+def unigram_logprob(sf_dir: str):
+    """CCNet-style unigram cross-entropy scoring: score each doc by the
+    mean -log2 p(w) of its tokens under the CORPUS unigram distribution
+    (high = improbable/garbage text, the perplexity-filter signal).
+
+    Two streaming passes: (1) the standard word-count reduction
+    (per-batch dictionary counts, vocabulary-sized groupby) whose result
+    broadcasts once via ``ray.put`` — web-scale vocabularies are ~10^7
+    rows / ~100 MB, a broadcast-class table; (2) a per-batch lookup +
+    segment sum. Output: (doc_id, n_words, xent). Both engines compute
+    -log2(cnt / tot) with the same IEEE ops so 6-dp rounding agrees."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _doc_words(batch["text"])
+        enc = flat.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"token": enc.dictionary, "c": pa.array(cnt, pa.int64())})
+
+    vocab_rows = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", batch_size=8192)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="cnt"))
+        .take_all()
+    )
+    toks = np.array([r["token"] for r in vocab_rows])
+    cnts = np.array([r["cnt"] for r in vocab_rows], np.float64)
+    order = np.argsort(toks)
+    toks, cnts = toks[order], cnts[order]
+    tot = float(cnts.sum())
+    nlogp = -np.log2(cnts / tot)
+    vref = ray.put({"toks": toks, "nlogp": nlogp})
+
+    def score(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        v = get_broadcast(vref)
+        flat, parents, n = _doc_words(batch["text"])
+        fw = flat.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(v["toks"], fw)
+        w = v["nlogp"][pos]  # every token is in the corpus vocabulary
+        n_words = np.bincount(parents, minlength=n).astype(np.int64)
+        s = np.bincount(parents, weights=w, minlength=n)
+        xent = np.where(n_words > 0, s / np.maximum(n_words, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "xent": pa.array(xent, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", batch_size=8192
+    )
+
+
+# --------------------------------------------- cluster_balanced_sample
+
+
+def cluster_balanced_sample(sf_dir: str, k: int = KMEANS_K, m: int = BALANCED_SAMPLE_M):
+    """Cluster-balanced deterministic sampling: assign every embedding to
+    its nearest centroid, then keep the M members with the smallest
+    (splitmix64(vec_id), vec_id) rank per cluster — the diversity-
+    preserving subset selection used after SemDeDup-style clustering.
+
+    Scale shape: assignment is the broadcast matmul (no shuffle); each
+    batch reduces to at most K*M candidate rows BEFORE the groupby, so
+    the shuffle moves K*M*n_batches 24-byte rows, never the corpus.
+    Output: (vec_id, centroid_id) of kept members."""
+    from hg_dedup_ray.functions.bloom import _splitmix
+
+    cref = _centroid_ref(sf_dir, k)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        vids, cids = _assign_batch(batch, cref)
+        keys = _splitmix(vids.astype(np.uint64))
+        order = np.lexsort((vids, keys, cids))  # by cluster, then rank
+        cs, vs, ks = cids[order], vids[order], keys[order]
+        run_start = np.r_[True, cs[1:] != cs[:-1]]
+        rank = np.arange(cs.shape[0]) - np.maximum.accumulate(
+            np.where(run_start, np.arange(cs.shape[0]), 0)
+        )
+        keep = rank < m
+        return pa.table(
+            {
+                "centroid_id": pa.array(cs[keep], pa.int64()),
+                "vec_id": pa.array(vs[keep], pa.int64()),
+                "rk": pa.array(ks[keep], pa.uint64()),
+            }
+        )
+
+    def final_topm(group: pa.Table) -> pa.Table:
+        vids = group["vec_id"].to_numpy(zero_copy_only=False)
+        keys = group["rk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vids, keys))[:m]
+        return pa.table(
+            {
+                "vec_id": pa.array(vids[order], pa.int64()),
+                "centroid_id": group["centroid_id"].take(
+                    pa.array(order, pa.int64())
+                ),
+            }
+        )
+
+    return (
+        _emb(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(candidates, batch_format="pyarrow", batch_size=4096)
+        .groupby("centroid_id")
+        .map_groups(final_topm, batch_format="pyarrow")
     )

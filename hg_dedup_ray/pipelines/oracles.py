@@ -10,6 +10,7 @@ tests/ instead.
 from __future__ import annotations
 
 from hg_dedup_ray.pipelines.curation import (
+    BALANCED_SAMPLE_M,
     GOPHER_ALPHA_DEN,
     GOPHER_ALPHA_NUM,
     GOPHER_MAX_MEAN_WL,
@@ -1038,5 +1039,49 @@ ORACLE_SQL = {
         )
         SELECT a.vec_id, a.centroid_id, (dom.vec_id IS NULL) AS kept
         FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
+    """,
+    "unigram_logprob": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        uc AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY w),
+        tot AS (SELECT sum(cnt)::BIGINT AS t FROM uc),
+        per AS (
+          SELECT t.doc_id, count(*)::BIGINT AS n,
+                 sum(-log2(uc.cnt::DOUBLE / tot.t)) AS s
+          FROM toks t JOIN uc ON t.w = uc.w CROSS JOIN tot
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_words,
+               CASE WHEN n IS NULL THEN 0.0 ELSE s / n END AS xent
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+    "cluster_balanced_sample": f"""
+        WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id < {KMEANS_K}),
+        a AS (
+          SELECT vec_id, cid AS centroid_id FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC,
+                                c.cid) AS rn
+            FROM embeddings e, c)
+          WHERE rn = 1
+        ),
+        r0 AS (SELECT vec_id, centroid_id, CAST(vec_id AS HUGEINT) AS x FROM a),
+        r1 AS (SELECT vec_id, centroid_id, {_xorshift('x', 30)} AS x FROM r0),
+        r2 AS (SELECT vec_id, centroid_id, {_mulmod64('x', _SM1)} AS x FROM r1),
+        r3 AS (SELECT vec_id, centroid_id, {_xorshift('x', 27)} AS x FROM r2),
+        r4 AS (SELECT vec_id, centroid_id, {_mulmod64('x', _SM2)} AS x FROM r3),
+        smx AS (SELECT vec_id, centroid_id,
+                       CAST({_xorshift('x', 31)} AS UBIGINT) AS sm FROM r4)
+        SELECT vec_id, centroid_id FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY centroid_id
+                                    ORDER BY sm, vec_id) AS rn
+          FROM smx)
+        WHERE rn <= {BALANCED_SAMPLE_M}
     """,
 }

@@ -2632,10 +2632,12 @@ from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
     heavy_hitter_tokens,
 )
 from hg_dedup_ray.pipelines.curation import (  # noqa: E402
+    cluster_balanced_sample,
     gopher_quality_filter,
     kmeans_assign,
     semantic_dedup,
     token_entropy,
+    unigram_logprob,
 )
 from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     decontaminate,
@@ -2715,4 +2717,6 @@ QUERIES = {
     "token_entropy": token_entropy,
     "kmeans_assign": kmeans_assign,
     "semantic_dedup": semantic_dedup,
+    "unigram_logprob": unigram_logprob,
+    "cluster_balanced_sample": cluster_balanced_sample,
 }

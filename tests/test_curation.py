@@ -85,6 +85,37 @@ def test_semantic_dedup_drops_planted_dup(ray_session, tmp_path):
     assert out.loc[20, "centroid_id"] == out.loc[9, "centroid_id"]
 
 
+def test_unigram_logprob_uniform_vs_rare(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.curation import unigram_logprob
+
+    # 'common' appears 40x, 'rare' once -> doc 1 scores higher xent
+    sf = _write_docs(tmp_path, ["common " * 40, "rare common", ""])
+    out = unigram_logprob(sf).to_pandas().sort_values("doc_id")
+    tot = 42
+    import math
+
+    assert out["xent"].tolist()[0] == pytest.approx(-math.log2(41 / tot))
+    assert out["xent"].tolist()[1] == pytest.approx(
+        (-math.log2(1 / tot) - math.log2(41 / tot)) / 2
+    )
+    assert out["xent"].tolist()[1] > out["xent"].tolist()[0]
+    assert out["n_words"].tolist()[2] == 0
+
+
+def test_cluster_balanced_sample_caps_per_cluster(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.curation import cluster_balanced_sample
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(200, 8))
+    sf = _write_embeddings(tmp_path, mat)
+    out = cluster_balanced_sample(sf, k=4, m=10).to_pandas()
+    per = out.groupby("centroid_id").size()
+    assert (per <= 10).all() and len(out) <= 40
+    # deterministic across runs
+    out2 = cluster_balanced_sample(sf, k=4, m=10).to_pandas()
+    assert sorted(out["vec_id"]) == sorted(out2["vec_id"])
+
+
 def test_kmeans_assign_centroids_self(ray_session, tmp_path):
     from hg_dedup_ray.pipelines.curation import kmeans_assign
 
