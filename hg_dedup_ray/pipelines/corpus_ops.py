@@ -698,3 +698,55 @@ def substring_counts(sf_dir: str, queries: tuple[str, ...] = SUBSTRING_QUERIES):
         )
     )
     return agg
+
+
+# ---------------------------------------------- next-token distribution
+
+# Prefixes for the ntd probe; alphabet = the fixture's byte vocabulary
+# (lowercase words + space). Rows with zero occurrences are kept so the
+# output shape is fixed at len(prefixes) * len(alphabet).
+NTD_PREFIXES = ("hash ", "window", "the ", "zzqx")
+NTD_ALPHABET = " abcdefghijklmnopqrstuvwxyz"
+
+
+def next_token_distribution(
+    sf_dir: str,
+    prefixes: tuple[str, ...] = NTD_PREFIXES,
+    alphabet: str = NTD_ALPHABET,
+):
+    """Corpus extension counts n(prefix+c) for each probe prefix and each
+    next character c — the next-token-distribution primitive infini-gram
+    serves from its suffix array (reference README: ntd / infgram_ntd).
+
+    Like substring_counts, the streaming formulation needs no index: each
+    batch answers every (prefix, c) probe with Arrow's vectorized
+    non-overlapping count_substring kernel (the same left-to-right
+    semantics as the oracle's replace()-based count — documented
+    deviation from the SA's overlapping counts), and a native Sum merges
+    the ~|prefixes|*|alphabet| partial rows. One read-only pass, nothing
+    text-sized shuffles."""
+    from ray.data.aggregate import Sum
+
+    probes = [(p, c) for p in prefixes for c in alphabet]
+    full = [p + c for p, c in probes]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        occ = np.empty(len(full), np.int64)
+        for i, f in enumerate(full):
+            occ[i] = int(
+                pc.sum(pc.count_substring(batch["text"], f)).as_py() or 0
+            )
+        return pa.table(
+            {
+                "prefix": pa.array([p for p, _ in probes], pa.string()),
+                "next_char": pa.array([c for _, c in probes], pa.string()),
+                "occ": pa.array(occ, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby(["prefix", "next_char"])
+        .aggregate(Sum("occ", alias_name="n_occurrences"))
+    )

@@ -330,6 +330,26 @@ def _substring_counts_sql() -> str:
     """
 
 
+def _next_token_distribution_sql() -> str:
+    """Oracle for corpus_ops.next_token_distribution — same replace()-
+    based non-overlapping count as the substring_counts oracle, one row
+    per (prefix, next_char) probe including zero-hit rows."""
+    from hg_dedup_ray.pipelines.corpus_ops import NTD_ALPHABET, NTD_PREFIXES
+
+    vals = ", ".join(
+        f"('{p}', '{c}')" for p in NTD_PREFIXES for c in NTD_ALPHABET
+    )
+    return f"""
+        WITH q(prefix, next_char) AS (VALUES {vals})
+        SELECT q.prefix, q.next_char,
+               CAST(coalesce(sum((length(d.text) - length(replace(d.text,
+                    q.prefix || q.next_char, '')))
+                    // length(q.prefix || q.next_char)), 0) AS BIGINT)
+                   AS n_occurrences
+        FROM q CROSS JOIN documents d GROUP BY q.prefix, q.next_char
+    """
+
+
 def _splitmix_doc_id_sql() -> str:
     """CTE chain computing sm = splitmix64(doc_id) over documents —
     shares the mulmod/xorshift helpers with the simhash oracle."""
@@ -820,6 +840,7 @@ ORACLE_SQL = {
     "approx_distinct_kmv": _kmv_sql(),
     "approx_distinct_hll": _hll_sql(),
     "substring_counts": _substring_counts_sql(),
+    "next_token_distribution": _next_token_distribution_sql(),
     "normalize_texts": r"""
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(lower(text),

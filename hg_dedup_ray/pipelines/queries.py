@@ -2615,6 +2615,7 @@ from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
     dup_rate_by_source,
     minhash_jaccard_estimate_pairs,
     near_dedup_keep_first,
+    next_token_distribution,
     normalize_texts,
     prefix_dup_docs,
     substring_counts,
@@ -2719,4 +2720,5 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "unigram_logprob": unigram_logprob,
     "cluster_balanced_sample": cluster_balanced_sample,
+    "next_token_distribution": next_token_distribution,
 }
