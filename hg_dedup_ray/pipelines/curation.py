@@ -178,12 +178,12 @@ def _centroid_ref(sf_dir: str, k: int):
     ct = (
         _emb(sf_dir, columns=["vec_id", "embedding"])
         .filter(expr=f"vec_id < {k}")
-        .sort("vec_id")
         .take_all()
     )
     mat = np.array([r["embedding"] for r in ct], np.float64)
     cids = np.array([r["vec_id"] for r in ct], np.int64)
-    return ray.put({"cids": cids, "cmat": _normalize(mat)})
+    order = np.argsort(cids)  # K rows: sort on the driver, never a shuffle
+    return ray.put({"cids": cids[order], "cmat": _normalize(mat[order])})
 
 
 def _assign_batch(batch: pa.Table, cref) -> tuple[np.ndarray, np.ndarray]:
