@@ -393,3 +393,100 @@ def cluster_balanced_sample(sf_dir: str, k: int = KMEANS_K, m: int = BALANCED_SA
         .groupby("centroid_id")
         .map_groups(final_topm, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------- cluster_source_mix
+
+MIX_NUM_BUCKETS = 64
+
+
+def cluster_source_mix(sf_dir: str, k: int = KMEANS_K, num_buckets: int = MIX_NUM_BUCKETS):
+    """Per-semantic-cluster source composition: join every embedding's
+    centroid assignment to its document row (doc_id == vec_id) and count
+    docs per (centroid_id, source) — the curation report that tells you
+    which crawl sources dominate each semantic cluster.
+
+    Ray Data has no join operator; this is the repo's bucketed hash-join
+    composition: both sides emit key-only rows (id, centroid | id,
+    source dict-code) tagged with ``id % num_buckets``, ONE groupby
+    co-locates matching ids, each bucket matches via searchsorted and
+    pre-aggregates to (centroid_id, source, n) partials, and a tiny
+    final Sum merges across buckets. Nothing text-sized ever shuffles;
+    both sides scale linearly with no broadcast requirement."""
+    from ray.data.aggregate import Sum
+
+    cref = _centroid_ref(sf_dir, k)
+
+    def emb_rows(batch: pa.Table) -> pa.Table:
+        vids, cids = _assign_batch(batch, cref)
+        return pa.table(
+            {
+                "bucket": pa.array(vids % num_buckets, pa.int64()),
+                "side": pa.array(np.zeros(vids.shape[0], np.int8), pa.int8()),
+                "id": pa.array(vids, pa.int64()),
+                "centroid_id": pa.array(cids, pa.int64()),
+                "source": pa.array([""] * vids.shape[0], pa.string()),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ids % num_buckets, pa.int64()),
+                "side": pa.array(np.ones(ids.shape[0], np.int8), pa.int8()),
+                "id": pa.array(ids, pa.int64()),
+                "centroid_id": pa.array(np.full(ids.shape[0], -1), pa.int64()),
+                "source": batch["source"],
+            }
+        )
+
+    left = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        emb_rows, batch_format="pyarrow", batch_size=4096
+    )
+    right = _docs(sf_dir, columns=["doc_id", "source"]).map_batches(
+        doc_rows, batch_format="pyarrow", batch_size=8192
+    )
+
+    def bucket_join(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        e = side == 0
+        evids, ecids = ids[e], group["centroid_id"].to_numpy(zero_copy_only=False)[e]
+        dids = ids[~e]
+        dsrc = group["source"].filter(pa.array(~e))
+        order = np.argsort(dids)
+        dids_s = dids[order]
+        pos = np.searchsorted(dids_s, evids)
+        hit = (pos < dids_s.shape[0]) & (dids_s[np.minimum(pos, dids_s.shape[0] - 1)] == evids)
+        if not hit.any():
+            return pa.table(
+                {
+                    "centroid_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        enc = dsrc.take(pa.array(order[pos[hit]], pa.int64())).dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        scode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = ecids[hit]
+        key = cid * (scode.max() + 1) + scode
+        uk, cnt = np.unique(key, return_counts=True)
+        base = scode.max() + 1
+        return pa.table(
+            {
+                "centroid_id": pa.array(uk // base, pa.int64()),
+                "source": enc.dictionary.take(pa.array(uk % base, pa.int64())),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return (
+        left.union(right)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pyarrow")
+        .groupby(["centroid_id", "source"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )

@@ -1061,6 +1061,23 @@ ORACLE_SQL = {
         SELECT a.vec_id, a.centroid_id, (dom.vec_id IS NULL) AS kept
         FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
     """,
+    "cluster_source_mix": f"""
+        WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id < {KMEANS_K}),
+        a AS (
+          SELECT vec_id, cid AS centroid_id FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC,
+                                c.cid) AS rn
+            FROM embeddings e, c)
+          WHERE rn = 1
+        )
+        SELECT a.centroid_id, d.source, count(*)::BIGINT AS n_docs
+        FROM a JOIN documents d ON d.doc_id = a.vec_id
+        GROUP BY a.centroid_id, d.source
+    """,
     "unigram_logprob": r"""
         WITH toks AS (
           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w

@@ -2634,6 +2634,7 @@ from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
 )
 from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     cluster_balanced_sample,
+    cluster_source_mix,
     gopher_quality_filter,
     kmeans_assign,
     semantic_dedup,
@@ -2721,4 +2722,5 @@ QUERIES = {
     "unigram_logprob": unigram_logprob,
     "cluster_balanced_sample": cluster_balanced_sample,
     "next_token_distribution": next_token_distribution,
+    "cluster_source_mix": cluster_source_mix,
 }

@@ -116,6 +116,29 @@ def test_cluster_balanced_sample_caps_per_cluster(ray_session, tmp_path):
     assert sorted(out["vec_id"]) == sorted(out2["vec_id"])
 
 
+def test_cluster_source_mix_counts(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.curation import cluster_source_mix
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(30, 8))
+    sf = _write_embeddings(tmp_path, mat)
+    # documents 0..39: ids 0..29 match the embeddings, 30..39 dangle
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": "t",
+            "lang": "en",
+            "source": ["s" + str(i % 3) for i in range(40)],
+            "n_chars": 1,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "sf" / "documents.parquet"))
+    out = cluster_source_mix(sf, k=4).to_pandas()
+    assert out["n_docs"].sum() == 30          # only matched ids count
+    assert set(out["source"]) <= {"s0", "s1", "s2"}
+    assert out.groupby(["centroid_id", "source"]).size().max() == 1
+
+
 def test_kmeans_assign_centroids_self(ray_session, tmp_path):
     from hg_dedup_ray.pipelines.curation import kmeans_assign
 
