@@ -1061,6 +1061,28 @@ ORACLE_SQL = {
         SELECT a.vec_id, a.centroid_id, (dom.vec_id IS NULL) AS kept
         FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
     """,
+    "supplier_balance_by_region": """
+        SELECT r_name, count(*)::BIGINT AS n_suppliers,
+               CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "promo_revenue_share": """
+        WITH j AS (
+          SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS units,
+                 (p_type = 'PROMO') AS promo
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
+        SELECT CAST(sum(CASE WHEN promo THEN units ELSE 0 END) AS DOUBLE)
+                   / 10000.0 AS promo_revenue,
+               CAST(sum(units) AS DOUBLE) / 10000.0 AS total_revenue,
+               CAST(sum(CASE WHEN promo THEN units ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(units) AS DOUBLE) AS promo_share
+        FROM j
+    """,
     "cluster_source_mix": f"""
         WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
                    WHERE vec_id < {KMEANS_K}),

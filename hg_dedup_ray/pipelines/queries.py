@@ -2623,7 +2623,9 @@ from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
 )
 from hg_dedup_ray.pipelines.relational import (  # noqa: E402
     customers_no_urgent_orders,
+    promo_revenue_share,
     revenue_by_segment,
+    supplier_balance_by_region,
 )
 from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
     approx_distinct_hll,
@@ -2723,4 +2725,6 @@ QUERIES = {
     "cluster_balanced_sample": cluster_balanced_sample,
     "next_token_distribution": next_token_distribution,
     "cluster_source_mix": cluster_source_mix,
+    "supplier_balance_by_region": supplier_balance_by_region,
+    "promo_revenue_share": promo_revenue_share,
 }

@@ -239,3 +239,148 @@ def customers_no_urgent_orders(sf_dir: str, num_buckets: int = 64):
         .groupby("abucket")
         .map_groups(anti, batch_format="pyarrow")
     )
+
+
+def supplier_balance_by_region(sf_dir: str):
+    """supplier |x| nation |x| region rollup: supplier count and total
+    account balance per region. The two dims are tiny by definition
+    (25 nations / 5 regions) — collapse them on the driver into ONE
+    nationkey -> region-code array, broadcast it, and stream supplier
+    with per-batch partial sums; only n_regions-row partials shuffle.
+    Balances accumulate in exact integer cents so the distributed
+    reduction order cannot perturb the float vs the oracle."""
+    from ray.data.aggregate import Sum
+
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    reg = reg.sort_values("r_regionkey")
+    rnames = reg["r_name"].to_numpy()
+    rcode_of_key = {k: i for i, k in enumerate(reg["r_regionkey"].to_numpy())}
+    nk = nat["n_nationkey"].to_numpy(np.int64)
+    order = np.argsort(nk)
+    dim_ref = ray.put(
+        {
+            "nkeys": nk[order],
+            "rcode": nat["n_regionkey"].map(rcode_of_key).to_numpy(np.int64)[order],
+        }
+    )
+    n_reg = rnames.shape[0]
+
+    def partial(b: pa.Table) -> pa.Table:
+        dim = get_broadcast(dim_ref)
+        snk = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            b["s_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pos = np.searchsorted(dim["nkeys"], snk)
+        rc = dim["rcode"][np.minimum(pos, dim["nkeys"].shape[0] - 1)]
+        n_sup = np.bincount(rc, minlength=n_reg).astype(np.int64)
+        bal = np.zeros(n_reg, np.int64)
+        np.add.at(bal, rc, cents)
+        return pa.table(
+            {
+                "rc": pa.array(np.arange(n_reg, dtype=np.int64), pa.int64()),
+                "p_n": pa.array(n_sup, pa.int64()),
+                "p_bal": pa.array(bal, pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("rc")
+        .aggregate(Sum("p_n", alias_name="n_suppliers"),
+                   Sum("p_bal", alias_name="bal_cents"))
+    )
+    name_arr = pa.array([str(s) for s in rnames], pa.string())
+
+    def finish(b: pa.Table) -> pa.Table:
+        rc = b["rc"].to_numpy(zero_copy_only=False)
+        keep = b["n_suppliers"].to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "r_name": pc.take(name_arr, pa.array(rc[keep], pa.int64())),
+                "n_suppliers": b["n_suppliers"].filter(pa.array(keep)),
+                "sum_acctbal": pa.array(
+                    b["bal_cents"].to_numpy(zero_copy_only=False)[keep] / 100.0,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def promo_revenue_share(sf_dir: str, broadcast_limit: int = 50_000_000):
+    """TPC-H-Q14-flavor: share of lineitem revenue from PROMO-type parts.
+    The part side collapses to ONE sorted partkey array + promo bitmask
+    (9 bytes/part — broadcast-class up to ~10^9 parts; a bucketed join
+    like cluster_source_mix's is the documented path beyond
+    ``broadcast_limit``). Lineitem streams once; each batch emits TWO
+    int64 partial sums in 1e-4-dollar units, so the final division is
+    the only float op on either side."""
+    from ray.data.aggregate import Sum
+
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    if len(part) > broadcast_limit:  # pragma: no cover - fixture is small
+        raise NotImplementedError(
+            "part table above broadcast limit: route through the bucketed "
+            "hash join (relational.revenue_by_segment shape)"
+        )
+    pk = part["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk)
+    dim_ref = ray.put(
+        {
+            "keys": pk[order],
+            "promo": (part["p_type"].to_numpy() == "PROMO")[order],
+        }
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        dim = get_broadcast(dim_ref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.round(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        units = cents * (100 - disc)
+        pos = np.searchsorted(dim["keys"], lpk)
+        promo = dim["promo"][np.minimum(pos, dim["keys"].shape[0] - 1)]
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "p_promo": pa.array([int(units[promo].sum())], pa.int64()),
+                "p_total": pa.array([int(units.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("p_promo", alias_name="promo_units"),
+                   Sum("p_total", alias_name="total_units"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        p = b["promo_units"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = b["total_units"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "promo_revenue": pa.array(p / 10000.0, pa.float64()),
+                "total_revenue": pa.array(t / 10000.0, pa.float64()),
+                "promo_share": pa.array(p / t, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
