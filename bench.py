@@ -87,7 +87,10 @@ def _headline(sf_dir: str, n_docs: int | None = None, n_reps: int | None = None)
     # sandbox shows intermittent multi-second host-interference bursts;
     # the MINIMUM is the robust steady-state throughput estimate
     if n_reps is None:
-        n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+        # 5 reps: the interference bursts last whole minutes here, so
+        # three back-to-back samples can ALL land inside one burst;
+        # five spreads ~30 s and reliably straddles a burst boundary
+        n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "5"))
     elapsed = None
     for _ in range(n_reps):
         t0 = time.time()
