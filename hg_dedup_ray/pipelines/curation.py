@@ -490,3 +490,80 @@ def cluster_source_mix(sf_dir: str, k: int = KMEANS_K, num_buckets: int = MIX_NU
         .groupby(["centroid_id", "source"])
         .aggregate(Sum("n", alias_name="n_docs"))
     )
+
+
+# -------------------------------------------------------- kmeans_lloyd
+
+LLOYD_ITERS = 3
+
+
+def kmeans_lloyd(sf_dir: str, k: int = KMEANS_K, iters: int = LLOYD_ITERS):
+    """Real Lloyd k-means over the embeddings (cosine / spherical):
+    ``iters`` rounds of [broadcast centroids -> per-batch partial sums ->
+    driver update], then a final assignment pass. The iterative-
+    refinement shape Ray Data lacks as a builtin: per round only
+    K*(d+1) float64 partials per batch reach the driver (via take_all of
+    batch-level partials), the corpus streams, and the update is a tiny
+    driver-side normalize. Deterministic: seed = the K lowest-vec_id
+    vectors, ties in argmax resolve to the lowest centroid index.
+
+    Output: (vec_id, centroid_id, n_iters). Rows-only (no SQL oracle —
+    iterative; pinned against a naive numpy reference in
+    tests/test_curation.py)."""
+    ref = _centroid_ref(sf_dir, k)
+    cmat = None
+
+    for _ in range(iters):
+        cref = ray.put(ray.get(ref)) if cmat is None else ray.put(
+            {"cids": np.arange(k, dtype=np.int64), "cmat": cmat}
+        )
+
+        def partial(batch: pa.Table, cref=cref) -> pa.Table:
+            from hg_dedup_ray.stages.broadcast import get_broadcast
+
+            c = get_broadcast(cref)
+            m = _normalize(embedding_matrix(batch))
+            best = np.argmax(m @ c["cmat"].T, axis=1)
+            d = m.shape[1]
+            sums = np.zeros((c["cmat"].shape[0], d))
+            np.add.at(sums, best, m)
+            cnt = np.bincount(best, minlength=c["cmat"].shape[0])
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(cnt), dtype=np.int64)),
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        rows = (
+            _emb(sf_dir, columns=["vec_id", "embedding"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+            .take_all()
+        )
+        base = ray.get(ref)["cmat"] if cmat is None else cmat
+        d = base.shape[1]
+        sums = np.zeros((k, d))
+        cnt = np.zeros(k, np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            cnt[r["cid"]] += r["n"]
+        # empty cluster keeps its previous centroid (deterministic)
+        new = np.where(cnt[:, None] > 0, sums / np.maximum(cnt[:, None], 1), base)
+        cmat = _normalize(new)
+
+    cref = ray.put({"cids": np.arange(k, dtype=np.int64), "cmat": cmat})
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vids, cids = _assign_batch(batch, cref)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "centroid_id": pa.array(cids, pa.int64()),
+                "n_iters": pa.array(np.full(vids.shape[0], iters), pa.int64()),
+            }
+        )
+
+    return _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow", batch_size=4096
+    )

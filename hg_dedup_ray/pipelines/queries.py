@@ -2639,6 +2639,7 @@ from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     cluster_source_mix,
     gopher_quality_filter,
     kmeans_assign,
+    kmeans_lloyd,
     semantic_dedup,
     token_entropy,
     unigram_logprob,
@@ -2727,4 +2728,5 @@ QUERIES = {
     "cluster_source_mix": cluster_source_mix,
     "supplier_balance_by_region": supplier_balance_by_region,
     "promo_revenue_share": promo_revenue_share,
+    "kmeans_lloyd": kmeans_lloyd,
 }

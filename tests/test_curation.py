@@ -139,6 +139,34 @@ def test_cluster_source_mix_counts(ray_session, tmp_path):
     assert out.groupby(["centroid_id", "source"]).size().max() == 1
 
 
+def test_kmeans_lloyd_matches_naive(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.curation import kmeans_lloyd
+
+    rng = np.random.default_rng(21)
+    mat = rng.normal(size=(60, 8))
+    sf = _write_embeddings(tmp_path, mat)
+    k, iters = 4, 3
+    out = kmeans_lloyd(sf, k=k, iters=iters).to_pandas().sort_values("vec_id")
+
+    # naive reference: spherical Lloyd, seed = first K rows, ties -> low idx
+    m = mat.astype(np.float32).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    c = m[:k].copy()
+    for _ in range(iters):
+        best = np.argmax(m @ c.T, axis=1)
+        new = np.zeros_like(c)
+        for j in range(k):
+            sel = m[best == j]
+            new[j] = sel.mean(axis=0) if len(sel) else c[j]
+        c = new / np.linalg.norm(new, axis=1, keepdims=True)
+    want = np.argmax(m @ c.T, axis=1)
+    assert out["centroid_id"].to_numpy().tolist() == want.tolist()
+    assert (out["n_iters"] == iters).all()
+    # iterations actually move the assignment off the seed-only answer
+    seed_only = np.argmax(m @ (m[:k]).T, axis=1)
+    assert want.tolist() != seed_only.tolist()
+
+
 def test_kmeans_assign_centroids_self(ray_session, tmp_path):
     from hg_dedup_ray.pipelines.curation import kmeans_assign
 
