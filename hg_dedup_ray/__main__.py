@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resumable", action="store_true",
                    help="Checkpointed parquet run (skips finished "
                    "partitions on rerun).")
+    p.add_argument("--run_query", default=None, metavar="NAME",
+                   help="Run a registered operator instead of the dedup "
+                   "journey: --data_dir is the table directory, the "
+                   "result writes to save_dir as partitioned parquet. "
+                   "'list' prints all registered names.")
     return p
 
 
@@ -95,6 +100,25 @@ def main(argv=None) -> int:
                 kw["num_cpus"] = args.cpus
         ray.init(address=addr, **kw)
     try:
+        if args.run_query:
+            from hg_dedup_ray.pipelines.queries import QUERIES
+
+            if args.run_query == "list":
+                print(json.dumps(sorted(QUERIES)))
+                return 0
+            if args.run_query not in QUERIES:
+                print(f"unknown query {args.run_query!r}; see --run_query list",
+                      file=sys.stderr)
+                return 2
+            res = QUERIES[args.run_query](args.data_dir)
+            if not isinstance(res, ray.data.Dataset):
+                res = ray.data.from_arrow(res) if hasattr(res, "schema") else (
+                    ray.data.from_pandas(res))
+            res.write_parquet(args.save_dir)
+            print(json.dumps({"query": args.run_query, "out": args.save_dir,
+                              "rows": res.count()}))
+            return 0
+
         from hg_dedup_ray.config import DedupConfig
 
         cfg_kw = dict(

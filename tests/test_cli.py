@@ -52,3 +52,44 @@ def test_cli_parser_surface():
          "--cpus", "2", "--mode", "annotate", "--scan_kernel", "sa"]
     )
     assert args.token_dtype == "u16" and args.reverse and args.scan_kernel == "sa"
+
+
+def test_cli_run_query(tmp_path):
+    """--run_query executes a registered operator and writes parquet."""
+    out = str(tmp_path / "qout")
+    res = subprocess.run(
+        [sys.executable, "-m", "hg_dedup_ray",
+         "--data_dir", "/root/testdata/sf0.001", "--save_dir", out,
+         "--run_query", "token_counts", "--cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["rows"] == 500
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert sum(len(pq.read_table(f)) for f in files) == 500
+
+
+def test_cli_run_query_list_and_unknown(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "hg_dedup_ray", "--data_dir", "x",
+         "--save_dir", "y", "--run_query", "list", "--cpus", "2"],
+        capture_output=True, text=True, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0
+    names = json.loads(res.stdout.strip().splitlines()[-1])
+    assert "exact_dedup" in names and len(names) >= 75
+    res = subprocess.run(
+        [sys.executable, "-m", "hg_dedup_ray", "--data_dir", "x",
+         "--save_dir", "y", "--run_query", "nope", "--cpus", "2"],
+        capture_output=True, text=True, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 2
