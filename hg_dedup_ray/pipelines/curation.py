@@ -46,6 +46,8 @@ GOPHER_MIN_STOP_TYPES = 1
 KMEANS_K = 8                    # centroids = embeddings with vec_id < K
 SEMDEDUP_COS = 0.4              # same threshold as embedding_near_dup_pairs
 BALANCED_SAMPLE_M = 16          # per-cluster sample size
+DSIR_TARGET_MOD = 19            # target domain = doc_id % MOD == 0 (same
+                                # deterministic stand-in as decontaminate)
 
 
 def _docs(sf_dir: str, columns=None):
@@ -331,6 +333,92 @@ def unigram_logprob(sf_dir: str):
                 "doc_id": batch["doc_id"],
                 "n_words": pa.array(n_words, pa.int64()),
                 "xent": pa.array(xent, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", batch_size=8192
+    )
+
+
+# ------------------------------------------ dsir_importance_weights
+
+
+def dsir_importance_weights(sf_dir: str, target_mod: int = DSIR_TARGET_MOD):
+    """DSIR-style data-selection weights (Xie et al., NeurIPS 2023):
+    score every document by the MEAN per-token log-likelihood ratio
+    between a TARGET unigram LM (docs with ``doc_id % target_mod == 0``
+    — the same deterministic stand-in for a curated target domain that
+    ``decontaminate`` uses for its benchmark set) and the RAW-corpus
+    unigram LM, both Laplace-smoothed over the raw vocabulary. Positive
+    weight = target-like; DSIR's selection step is a rank/threshold on
+    this column.
+
+    The published method hashes n-gram features into ~2^20 buckets so
+    the two LMs stay broadcast-sized at 10^12 docs; at fixture scale
+    exact word tokens keep the DuckDB oracle byte-exact. The scale shape
+    is identical either way and mirrors unigram_logprob: (1) one
+    vocabulary-sized count reduction (per-batch dictionary-encode +
+    bincount partials, groupby-Sum combine) carrying BOTH the raw and
+    target counts in the same rows, broadcast once via ``ray.put``;
+    (2) a per-batch sorted lookup + segment mean. Nothing doc-sized
+    shuffles; both engines compute log2((c+1)/(N+V)) with identical
+    IEEE ops so 6-dp rounding agrees (sum ORDER differs, absorbed by
+    the harness normalization)."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat, parents, _ = _doc_words(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tok_is_tgt = (ids % target_mod == 0)[parents]
+        enc = flat.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        nvocab = len(enc.dictionary)
+        cr = np.bincount(idx, minlength=nvocab).astype(np.int64)
+        ct = np.bincount(idx[tok_is_tgt], minlength=nvocab).astype(np.int64)
+        return pa.table(
+            {
+                "token": enc.dictionary,
+                "cr": pa.array(cr, pa.int64()),
+                "ct": pa.array(ct, pa.int64()),
+            }
+        )
+
+    vocab_rows = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial_counts, batch_format="pyarrow", batch_size=8192)
+        .groupby("token")
+        .aggregate(Sum("cr", alias_name="crs"), Sum("ct", alias_name="cts"))
+        .take_all()
+    )
+    toks = np.array([r["token"] for r in vocab_rows])
+    cr = np.array([r["crs"] for r in vocab_rows], np.int64)
+    ct = np.array([r["cts"] for r in vocab_rows], np.int64)
+    order = np.argsort(toks)
+    toks, cr, ct = toks[order], cr[order], ct[order]
+    nvocab = toks.shape[0]
+    nr, nt = int(cr.sum()), int(ct.sum())
+    lr = np.log2((ct + 1.0) / float(nt + nvocab)) - np.log2(
+        (cr + 1.0) / float(nr + nvocab)
+    )
+    vref = ray.put({"toks": toks, "lr": lr})
+
+    def score(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        v = get_broadcast(vref)
+        flat, parents, n = _doc_words(batch["text"])
+        fw = flat.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(v["toks"], fw)
+        w = v["lr"][pos]  # every token is in the raw vocabulary
+        n_words = np.bincount(parents, minlength=n).astype(np.int64)
+        s = np.bincount(parents, weights=w, minlength=n)
+        weight = np.where(n_words > 0, s / np.maximum(n_words, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "dsir_weight": pa.array(weight, pa.float64()),
             }
         )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from hg_dedup_ray.pipelines.curation import (
     BALANCED_SAMPLE_M,
+    DSIR_TARGET_MOD,
     GOPHER_ALPHA_DEN,
     GOPHER_ALPHA_NUM,
     GOPHER_MAX_MEAN_WL,
@@ -370,6 +371,27 @@ _SAMPLE_RATE_CASE = """
               WHEN 'fr' THEN 5000 WHEN 'zh' THEN 5000 ELSE 1000 END
 """
 
+_EXACT_JACCARD_PAIRS_SQL = """
+    WITH shingles AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+          range(1, greatest(length(text) - 7, 0) + 1),
+          i -> substr(text, i, 8)))) AS sh
+      FROM documents
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_id_a
+    JOIN counts cb ON cb.doc_id = doc_id_b
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+"""
+
 ORACLE_SQL = {
     "simhash_sigs": _simhash_sql(),
     "simhash_near_dup_pairs": _simhash_pairs_sql(),
@@ -448,26 +470,13 @@ ORACLE_SQL = {
                (cum_before % 256)::BIGINT AS pack_off
         FROM cum
     """,
-    "ngram_jaccard_exact_pairs": """
-        WITH shingles AS (
-          SELECT doc_id, UNNEST(list_distinct(list_transform(
-              range(1, greatest(length(text) - 7, 0) + 1),
-              i -> substr(text, i, 8)))) AS sh
-          FROM documents
-        ),
-        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
-          FROM shingles a JOIN shingles b
-            ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT doc_id_a, doc_id_b
-        FROM inter
-        JOIN counts ca ON ca.doc_id = doc_id_a
-        JOIN counts cb ON cb.doc_id = doc_id_b
-        WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
-    """,
+    "ngram_jaccard_exact_pairs": _EXACT_JACCARD_PAIRS_SQL,
+    # The LSH-candidate variant verifies candidates EXACTLY, so its output
+    # equals the exact answer whenever LSH recall is 1.0 — which holds
+    # deterministically on the driver fixture (lsh_recall_report measures
+    # it; verified pair-set-equal to ngram_jaccard_exact_pairs at sf0.01).
+    # The oracle therefore checks recall AND precision of the LSH cascade.
+    "ngram_jaccard_pairs": _EXACT_JACCARD_PAIRS_SQL,
     "segment_dedup_stats": """
         WITH w AS (
           SELECT doc_id,
@@ -1115,6 +1124,28 @@ ORACLE_SQL = {
         )
         SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_words,
                CASE WHEN n IS NULL THEN 0.0 ELSE s / n END AS xent
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+    # DSIR weights: both engines compute log2((c+1)/(N+V)) per token with
+    # identical IEEE ops; only the per-doc sum order differs (6-dp safe).
+    "dsir_importance_weights": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        uc AS (SELECT w, count(*)::BIGINT AS cr,
+                      (count(*) FILTER (
+                          WHERE doc_id % {DSIR_TARGET_MOD} = 0))::BIGINT AS ct
+               FROM toks GROUP BY w),
+        tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt,
+                       count(*)::BIGINT AS v FROM uc),
+        lr AS (SELECT w, log2((ct + 1.0) / (nt + v))
+                         - log2((cr + 1.0) / (nr + v)) AS lr
+               FROM uc CROSS JOIN tot),
+        per AS (SELECT t.doc_id, count(*)::BIGINT AS n, sum(lr.lr) AS s
+                FROM toks t JOIN lr ON t.w = lr.w GROUP BY t.doc_id)
+        SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_words,
+               CASE WHEN n IS NULL THEN 0.0 ELSE s / n END AS dsir_weight
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
     "cluster_balanced_sample": f"""

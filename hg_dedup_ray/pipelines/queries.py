@@ -451,7 +451,10 @@ def simhash_sigs(sf_dir: str):
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: int = 32):
     """Doc pairs with exact k-shingle Jaccard >= threshold, candidates via
-    MinHash bands (rows-only; O(n^2) SQL is not a reasonable oracle).
+    MinHash bands. Oracle-checked against the exact all-pairs SQL: the
+    verify stage is exact, so the output equals the exact answer exactly
+    when LSH recall is 1.0 — the oracle is therefore a recall+precision
+    check of the whole cascade (pair-set-equal verified at sf0.01).
 
     Fully distributed — nothing text-sized touches the driver: candidate
     pairs (compact int rows) explode into two member rows each, texts
@@ -2637,6 +2640,7 @@ from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
 from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     cluster_balanced_sample,
     cluster_source_mix,
+    dsir_importance_weights,
     gopher_quality_filter,
     kmeans_assign,
     kmeans_lloyd,
@@ -2723,6 +2727,7 @@ QUERIES = {
     "kmeans_assign": kmeans_assign,
     "semantic_dedup": semantic_dedup,
     "unigram_logprob": unigram_logprob,
+    "dsir_importance_weights": dsir_importance_weights,
     "cluster_balanced_sample": cluster_balanced_sample,
     "next_token_distribution": next_token_distribution,
     "cluster_source_mix": cluster_source_mix,

@@ -179,3 +179,35 @@ def test_kmeans_assign_centroids_self(ray_session, tmp_path):
         assert out.loc[cid, "centroid_id"] == cid
     assert set(out["centroid_id"]) <= set(range(8))
     assert len(out) == 40
+
+
+def test_dsir_weights_rank_target_like_docs_higher(ray_session, tmp_path):
+    """Docs made of target-LM-favored tokens outrank raw-only docs, and
+    the exact Laplace log-ratio matches a naive recomputation."""
+    from hg_dedup_ray.pipelines.curation import dsir_importance_weights
+
+    # target set = doc_id % 19 == 0 -> only doc 0 here
+    texts = ["aaa aaa bbb", "aaa zzz", "zzz zzz", "   "]
+    sf = _write_docs(tmp_path, texts)
+    out = (
+        dsir_importance_weights(sf).to_pandas().set_index("doc_id").sort_index()
+    )
+    # naive model: cr over all docs, ct over doc 0 only
+    cr = {"aaa": 3, "bbb": 1, "zzz": 3}
+    ct = {"aaa": 2, "bbb": 1, "zzz": 0}
+    nr, nt, v = sum(cr.values()), sum(ct.values()), len(cr)
+    lr = {
+        w: np.log2((ct[w] + 1.0) / (nt + v)) - np.log2((cr[w] + 1.0) / (nr + v))
+        for w in cr
+    }
+    want = [
+        (2 * lr["aaa"] + lr["bbb"]) / 3,
+        (lr["aaa"] + lr["zzz"]) / 2,
+        (2 * lr["zzz"]) / 2,
+        0.0,
+    ]
+    assert out["dsir_weight"].to_numpy() == pytest.approx(want)
+    assert out["n_words"].tolist() == [3, 2, 2, 0]
+    # ordering: the target doc itself > mixed > raw-only
+    w = out["dsir_weight"]
+    assert w[0] > w[1] > w[2]
