@@ -846,6 +846,47 @@ ORACLE_SQL = {
         )
         SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
     """,
+    # Flagship near-dup clusters: candidates (winnow/MinHash routing) are
+    # verified with EXACT Jaccard at 0.5 before the min-label closure, so
+    # the output equals the exact-pairs closure whenever candidate recall
+    # is 1.0 — deterministic on the fixture (partition-set-equal verified
+    # at sf0.01). The oracle checks recall AND precision of the routing +
+    # verify + union-find cascade. url == CAST(doc_id AS VARCHAR)
+    # (stages/extract.py:51); singleton docs keep their own id.
+    "minhash_clusters": """
+        WITH RECURSIVE shingles AS (
+          SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, greatest(length(text) - 7, 0) + 1),
+              i -> substr(text, i, 8)))) AS sh
+          FROM documents
+        ),
+        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ua, b.doc_id AS ub, count(*) AS i
+          FROM shingles a JOIN shingles b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT ua, ub FROM inter
+          JOIN counts ca ON ca.doc_id = ua JOIN counts cb ON cb.doc_id = ub
+          WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        ),
+        edges AS (SELECT ua AS u, ub AS v FROM pairs
+                  UNION SELECT ub, ua FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.u, w.lab FROM walk w JOIN edges e ON e.v = w.n
+          WHERE w.lab < e.u
+        ),
+        lab AS (SELECT n AS doc_id, min(lab) AS cid FROM walk GROUP BY n)
+        SELECT CAST(d.doc_id AS VARCHAR) AS url,
+               d.doc_id AS doc_seq,
+               coalesce(l.cid, d.doc_id)::BIGINT AS cluster_id
+        FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+    """,
     "approx_distinct_kmv": _kmv_sql(),
     "approx_distinct_hll": _hll_sql(),
     "substring_counts": _substring_counts_sql(),

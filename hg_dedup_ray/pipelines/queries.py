@@ -131,7 +131,13 @@ def exact_dedup(sf_dir: str):
 
 
 def minhash_clusters(sf_dir: str, threshold: float = 0.5):
-    """Near-dup cluster ids over documents via the flagship machinery."""
+    """Near-dup cluster ids over documents via the flagship machinery.
+
+    Oracle-checked: candidates are verified with EXACT Jaccard before the
+    min-label closure, so the output equals the SQL exact-pairs closure
+    whenever candidate recall is 1.0 (deterministic on the fixture;
+    partition-set equality verified at sf0.01) — the oracle checks recall
+    and precision of the routing + verify + union-find cascade."""
     from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
 
     cfg = DedupConfig(
