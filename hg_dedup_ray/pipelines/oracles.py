@@ -1167,6 +1167,47 @@ ORACLE_SQL = {
                CASE WHEN n IS NULL THEN 0.0 ELSE s / n END AS xent
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
+    # URL canonical dedup: the SQL runs the IDENTICAL RE2 chain as
+    # canonicalize_urls (DuckDB's regex engine is also RE2), so the
+    # oracle value-checks every canonicalization rule byte-for-byte.
+    "url_dedup_latest": r"""
+        WITH caps AS (
+          SELECT 'HTTPS://www.Site' || (doc_id % 97) || '.EXAMPLE:443/page/'
+                 || doc_id || '/?utm_source=feed&id=' || doc_id || '#frag'
+                     AS url,
+                 1577836800 + doc_id AS ts
+          FROM documents
+          UNION ALL
+          SELECT 'https://site' || (doc_id % 97) || '.example/page/'
+                 || doc_id || '?id=' || doc_id,
+                 1587836800 + doc_id
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        split AS (
+          SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*')
+                     AS pre,
+                 regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*',
+                                '') AS rest,
+                 ts
+          FROM caps
+        ),
+        canon AS (
+          SELECT regexp_replace(replace(lower(pre), '://www.', '://'),
+                                ':(443|80)$', '')
+                 || regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(regexp_replace(rest,
+                            '#.*$', ''),
+                            '(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?', '', 'g'),
+                            '[?&]$', ''),
+                            '/\?', '?', 'g'),
+                            '/$', '') AS url_canon,
+                 ts
+          FROM split
+        )
+        SELECT url_canon, max(ts)::BIGINT AS warc_ts,
+               count(*)::BIGINT AS n_captures
+        FROM canon GROUP BY url_canon
+    """,
     # DSIR weights: both engines compute log2((c+1)/(N+V)) per token with
     # identical IEEE ops; only the per-doc sum order differs (6-dp safe).
     "dsir_importance_weights": f"""

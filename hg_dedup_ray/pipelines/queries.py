@@ -2661,6 +2661,7 @@ from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     pack_sequences,
     redact_pii,
     stratified_sample,
+    url_dedup_latest,
 )
 
 QUERIES = {
@@ -2734,6 +2735,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "unigram_logprob": unigram_logprob,
     "dsir_importance_weights": dsir_importance_weights,
+    "url_dedup_latest": url_dedup_latest,
     "cluster_balanced_sample": cluster_balanced_sample,
     "next_token_distribution": next_token_distribution,
     "cluster_source_mix": cluster_source_mix,

@@ -442,3 +442,130 @@ def incremental_dedup(sf_dir: str, exact_limit: int = INCR_EXACT_LIMIT):
         .groupby("bucket")
         .map_groups(bucket_anti, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------ url canonical dedup
+
+URL_PREFIX_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+URL_TRACKING_RE = r"(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?"
+URL_DEDUP_RECRAWL_MOD = 7       # docs with a second (later) capture
+URL_TS_BASE = 1_577_836_800     # 2020-01-01 epoch seconds
+URL_TS_RECRAWL = 10_000_000     # recrawl offset
+
+
+def canonicalize_urls(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Common-Crawl-style URL canonicalization, pure Arrow RE2 kernels
+    (byte-identical to DuckDB's RE2 ``regexp_replace`` chain): lowercase
+    scheme+host only, strip ``www.``, default ports, fragments, tracking
+    params (utm_*/fbclid/gclid), dangling ``?``/``&``, and trailing
+    slashes. Path/query case is preserved (paths are case-sensitive)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    ext = pc.extract_regex(urls, r"^(?P<p>[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)")
+    pre = pc.fill_null(pc.struct_field(ext, "p"), "")
+    rest = pc.replace_substring_regex(urls, URL_PREFIX_RE, "")
+    pre = pc.utf8_lower(pre)
+    pre = pc.replace_substring(pre, "://www.", "://")
+    pre = pc.replace_substring_regex(pre, r":(443|80)$", "")
+    rest = pc.replace_substring_regex(rest, r"#.*$", "")
+    rest = pc.replace_substring_regex(rest, URL_TRACKING_RE, "")
+    rest = pc.replace_substring_regex(rest, r"[?&]$", "")
+    rest = pc.replace_substring_regex(rest, r"/\?", "?")
+    rest = pc.replace_substring_regex(rest, r"/$", "")
+    return pc.binary_join_element_wise(pre, rest, "")
+
+
+def _url_bucket(canon: pa.Array, num_buckets: int) -> np.ndarray:
+    """Coarse deterministic bucket of a url string: FNV over the first 16
+    bytes, vectorized across rows (collisions only affect load balance —
+    the combine is keyed on the full string within each bucket)."""
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+
+    buf, off = string_column_bytes(canon)
+    n = off.shape[0] - 1
+    h = np.full(n, 0xCBF29CE484222325, np.uint64)
+    prime = np.uint64(0x100001B3)
+    starts = off[:-1]
+    lens = off[1:] - starts
+    for j in range(16):
+        live = lens > j
+        idx = starts[live] + j
+        h[live] = h[live] * prime + buf[idx].astype(np.uint64)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def url_dedup_latest(sf_dir: str, num_buckets: int = 64):
+    """Common-Crawl-style URL-level dedup, latest-capture-wins: derive a
+    deterministic capture log from the documents table (every doc one
+    messy capture — uppercase scheme/host, ``www.``, ``:443``, tracking
+    params, fragment; every ``doc_id % 7 == 0`` doc a second, LATER,
+    already-clean recrawl), canonicalize both with
+    :func:`canonicalize_urls`, and keep max(warc_ts) + the capture count
+    per canonical URL. DuckDB-green — both engines run the identical RE2
+    chain, so the oracle value-checks every canonicalization rule.
+
+    Scale shape (the CC index dedup pattern): captures reduce PER BATCH
+    to one (url_canon, max_ts, count) row per distinct url via np.unique
+    + segment max — all captures of one url typically sit in the same
+    crawl-file batch, so the following shuffle carries ~one short row per
+    url; the ``num_buckets``-way combine is vectorized (no per-url
+    Python). Nothing doc-sized is broadcast or collected."""
+
+    def caps_reduced(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        id_s = pc.cast(pa.array(ids), pa.string())
+        site = pc.cast(pa.array(ids % 97), pa.string())
+        messy = pc.binary_join_element_wise(
+            "HTTPS://www.Site", site, ".EXAMPLE:443/page/", id_s,
+            "/?utm_source=feed&id=", id_s, "#frag", "",
+        )
+        re_mask = ids % URL_DEDUP_RECRAWL_MOD == 0
+        rid = ids[re_mask]
+        rid_s = pc.cast(pa.array(rid), pa.string())
+        rsite = pc.cast(pa.array(rid % 97), pa.string())
+        clean = pc.binary_join_element_wise(
+            "https://site", rsite, ".example/page/", rid_s, "?id=", rid_s, "",
+        )
+        urls = pa.concat_arrays([messy, clean])
+        ts = np.concatenate(
+            [URL_TS_BASE + ids, URL_TS_BASE + URL_TS_RECRAWL + rid]
+        ).astype(np.int64)
+        canon = canonicalize_urls(urls)
+        cn = canon.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cn, return_inverse=True)
+        mx = np.full(uniq.shape[0], np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        cnt = np.bincount(inv, minlength=uniq.shape[0]).astype(np.int64)
+        ua = pa.array(uniq)
+        return pa.table(
+            {
+                "b": pa.array(_url_bucket(ua, num_buckets), pa.int64()),
+                "url_canon": ua,
+                "warc_ts": pa.array(mx, pa.int64()),
+                "n_captures": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        cn = group["url_canon"].to_numpy(zero_copy_only=False)
+        ts = group["warc_ts"].to_numpy(zero_copy_only=False)
+        ct = group["n_captures"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cn, return_inverse=True)
+        mx = np.full(uniq.shape[0], np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        cnt = np.zeros(uniq.shape[0], np.int64)
+        np.add.at(cnt, inv, ct)
+        return pa.table(
+            {
+                "url_canon": pa.array(uniq),
+                "warc_ts": pa.array(mx, pa.int64()),
+                "n_captures": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(caps_reduced, batch_format="pyarrow", batch_size=8192)
+        .groupby("b")
+        .map_groups(combine, batch_format="pyarrow")
+    )

@@ -196,3 +196,58 @@ def test_incremental_dedup_drops_history_dups(ray_session, tmp_path):
             .to_numpy()
         )
         assert got.tolist() == [3, 5]
+
+
+def test_canonicalize_urls_rules():
+    from hg_dedup_ray.pipelines.webclean import canonicalize_urls
+
+    cases = {
+        # scheme+host lowered, www/port/fragment/tracking stripped
+        "HTTPS://www.Site3.EXAMPLE:443/page/21/?utm_source=f&id=21#x":
+            "https://site3.example/page/21?id=21",
+        # path case PRESERVED (paths are case-sensitive)
+        "http://A.example:80/CaseSensitive/Path":
+            "http://a.example/CaseSensitive/Path",
+        # tracking param last; dangling & removed
+        "https://a.example/p?id=1&fbclid=abc": "https://a.example/p?id=1",
+        # all params tracking -> dangling ? removed; trailing slash gone
+        "https://a.example/p/?gclid=1": "https://a.example/p",
+        # no scheme: left structurally intact
+        "a.example/p?id=2": "a.example/p?id=2",
+        # root trailing slash
+        "https://a.example/": "https://a.example",
+    }
+    got = canonicalize_urls(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_url_dedup_latest_keeps_latest_capture(ray_session, tmp_path):
+    from hg_dedup_ray.pipelines.webclean import (
+        URL_TS_BASE,
+        URL_TS_RECRAWL,
+        url_dedup_latest,
+    )
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 7, 13], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    out = (
+        url_dedup_latest(str(tmp_path))
+        .to_pandas()
+        .set_index("url_canon")
+        .sort_index()
+    )
+    assert len(out) == 4  # one row per canonical url
+    # docs 0 and 7 have a later recrawl capture: 2 captures, recrawl ts wins
+    for d in (0, 7):
+        row = out.loc[f"https://site{d % 97}.example/page/{d}?id={d}"]
+        assert row["n_captures"] == 2
+        assert row["warc_ts"] == URL_TS_BASE + URL_TS_RECRAWL + d
+    for d in (1, 13):
+        row = out.loc[f"https://site{d % 97}.example/page/{d}?id={d}"]
+        assert row["n_captures"] == 1
+        assert row["warc_ts"] == URL_TS_BASE + d
