@@ -595,9 +595,11 @@ def kmeans_lloyd(sf_dir: str, k: int = KMEANS_K, iters: int = LLOYD_ITERS):
     driver-side normalize. Deterministic: seed = the K lowest-vec_id
     vectors, ties in argmax resolve to the lowest centroid index.
 
-    Output: (vec_id, centroid_id, n_iters). Rows-only (no SQL oracle —
-    iterative; pinned against a naive numpy reference in
-    tests/test_curation.py)."""
+    Output: (vec_id, centroid_id, n_iters). Oracle-checked: the DuckDB
+    SQL unrolls the same iterations (oracles._lloyd_sql — one CTE block
+    per round over long-form vectors, all DOUBLE), value-checking the
+    iterative refinement end-to-end; also pinned against a naive numpy
+    reference in tests/test_curation.py."""
     ref = _centroid_ref(sf_dir, k)
     cmat = None
 

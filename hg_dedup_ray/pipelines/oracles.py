@@ -21,6 +21,7 @@ from hg_dedup_ray.pipelines.curation import (
     GOPHER_MIN_WORDS,
     GOPHER_STOPS,
     KMEANS_K,
+    LLOYD_ITERS,
     SEMDEDUP_COS,
 )
 from hg_dedup_ray.pipelines.queries import ANN_K, ANN_NUM_QUERIES, NEAR_DUP_COS
@@ -244,6 +245,67 @@ def _kmv_sql(k: int = 16) -> str:
                     END AS BIGINT) AS n_distinct_est
         FROM agg
     """
+
+
+def _lloyd_sql(k: int = KMEANS_K, iters: int = LLOYD_ITERS) -> str:
+    """Unrolled spherical Lloyd k-means in SQL: one CTE block per
+    iteration (assign -> per-cluster per-dim mean -> keep-previous for
+    empty clusters -> renormalize), vectors in long (id, dim, v) form,
+    everything cast to DOUBLE so both engines run the same IEEE ops.
+    Assignment tie-break = lowest centroid id (row_number ORDER BY sum
+    DESC, cid == np.argmax first-max). Per-dim sums differ from numpy's
+    only in summation ORDER; the pipeline's assignments are pinned equal
+    to the SQL at sf0.001 AND sf0.01 (well-separated fixture — no
+    near-tie flips), making the iterative refinement value-checked
+    end-to-end."""
+    parts = [
+        f"""
+        e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                 unnest(embedding)::DOUBLE AS v
+          FROM embeddings
+        ),
+        nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nv FROM e GROUP BY vec_id),
+        en AS (SELECT e.vec_id, dim,
+                      CASE WHEN nv = 0 THEN v ELSE v / nv END AS v
+               FROM e JOIN nrm USING (vec_id)),
+        c0 AS (SELECT vec_id AS cid, dim, v FROM en WHERE vec_id < {k})"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"c{i-1}"
+        parts.append(
+            f"""
+        a{i} AS (
+          SELECT vec_id, cid FROM (
+            SELECT en.vec_id, {p}.cid,
+                   row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY sum(en.v * {p}.v) DESC, {p}.cid) AS rn
+            FROM en JOIN {p} USING (dim)
+            GROUP BY en.vec_id, {p}.cid)
+          WHERE rn = 1
+        ),
+        s{i} AS (
+          SELECT a{i}.cid, en.dim, sum(en.v) AS sv, count(*) AS n
+          FROM a{i} JOIN en USING (vec_id) GROUP BY 1, 2
+        ),
+        u{i} AS (
+          SELECT p.cid, p.dim, coalesce(s{i}.sv / s{i}.n, p.v) AS v
+          FROM {p} p LEFT JOIN s{i} ON s{i}.cid = p.cid AND s{i}.dim = p.dim
+        ),
+        un{i} AS (SELECT cid, sqrt(sum(v*v)) AS nv FROM u{i} GROUP BY cid),
+        c{i} AS (SELECT u{i}.cid, dim,
+                        CASE WHEN nv = 0 THEN v ELSE v / nv END AS v
+                 FROM u{i} JOIN un{i} USING (cid))"""
+        )
+    final = f"""
+        SELECT vec_id, cid AS centroid_id, {iters}::BIGINT AS n_iters FROM (
+          SELECT en.vec_id, c{iters}.cid,
+                 row_number() OVER (PARTITION BY en.vec_id
+                     ORDER BY sum(en.v * c{iters}.v) DESC, c{iters}.cid) AS rn
+          FROM en JOIN c{iters} USING (dim)
+          GROUP BY en.vec_id, c{iters}.cid)
+        WHERE rn = 1"""
+    return "WITH " + ",".join(parts) + final
 
 
 def _hll_sql(p: int = 12) -> str:
@@ -889,6 +951,7 @@ ORACLE_SQL = {
     """,
     "approx_distinct_kmv": _kmv_sql(),
     "approx_distinct_hll": _hll_sql(),
+    "kmeans_lloyd": _lloyd_sql(),
     "substring_counts": _substring_counts_sql(),
     "next_token_distribution": _next_token_distribution_sql(),
     "normalize_texts": r"""
