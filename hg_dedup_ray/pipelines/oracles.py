@@ -561,6 +561,31 @@ ORACLE_SQL = {
                sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segments
         FROM marked GROUP BY doc_id
     """,
+    "segment_dedup_apply": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 unnest(range(len(string_split(text, ' ')))) AS wi
+          FROM documents
+        ),
+        segs AS (
+          SELECT doc_id, wi // 16 AS seg_no,
+                 string_agg(word, ' ' ORDER BY wi) AS seg
+          FROM w GROUP BY doc_id, wi // 16
+        ),
+        marked AS (
+          SELECT doc_id, seg_no, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+          FROM segs
+        ),
+        kept AS (SELECT doc_id, seg_no, seg FROM marked WHERE rn = 1)
+        SELECT d.doc_id,
+               coalesce(string_agg(k.seg, ' ' ORDER BY k.seg_no), '')
+                   AS text_deduped,
+               count(k.seg)::BIGINT AS n_kept_segments
+        FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+        GROUP BY d.doc_id
+    """,
     "exact_dedup": """
         SELECT doc_id, lang, source, n_chars
         FROM documents

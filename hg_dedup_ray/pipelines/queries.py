@@ -1233,6 +1233,33 @@ def ngram_jaccard_exact_pairs(
     )
 
 
+def _segment_slices(data: np.ndarray, offsets: np.ndarray, W: int):
+    """(seg_start, seg_end, seg_doc, seg_no) byte slices of consecutive
+    ``W``-word segments over a concatenated single-space-separated text
+    buffer — the shared kernel of segment_dedup_stats / _apply. Fully
+    vectorized: word starts = doc starts + bytes after spaces; a segment
+    ends one byte before the next segment's separating space (or at the
+    doc end)."""
+    doc_start = offsets[:-1].astype(np.int64)
+    doc_end = offsets[1:].astype(np.int64)
+    spaces = np.flatnonzero(data == 32)
+    ws = np.sort(np.concatenate([doc_start, spaces + 1]))
+    wdoc = np.searchsorted(offsets, ws, side="right") - 1
+    first = np.concatenate(([True], wdoc[1:] != wdoc[:-1]))
+    wstart_ix = np.flatnonzero(first)
+    widx = np.arange(ws.shape[0]) - wstart_ix[np.cumsum(first) - 1]
+    is_seg = (widx % W) == 0
+    seg_start = ws[is_seg]
+    seg_doc = wdoc[is_seg]
+    seg_no = (widx[is_seg] // W).astype(np.int64)
+    if len(seg_no) and seg_no.max() >= 1 << 16:
+        raise ValueError("segment dedup packs seg_no into 16 bits")
+    nxt = np.concatenate([seg_start[1:], [np.int64(0)]])
+    same = np.concatenate([seg_doc[1:] == seg_doc[:-1], [False]])
+    seg_end = np.where(same, nxt - 1, doc_end[seg_doc])
+    return seg_start, seg_end, seg_doc, seg_no
+
+
 def segment_dedup_stats(sf_dir: str, words_per_seg: int = 16, num_buckets: int = 64):
     """Sub-document keep-first dedup at SEGMENT granularity (CCNet /
     RefinedWeb-style line dedup, generalized): split every doc into
@@ -1264,28 +1291,7 @@ def segment_dedup_stats(sf_dir: str, words_per_seg: int = 16, num_buckets: int =
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 47):
             raise ValueError("segment_dedup_stats packs doc_id into 48 bits")
-        nb = len(batch)
-        doc_start = offsets[:-1].astype(np.int64)
-        doc_end = offsets[1:].astype(np.int64)
-        # word starts: each doc's start byte + every byte after a space
-        spaces = np.flatnonzero(data == 32)
-        ws = np.sort(np.concatenate([doc_start, spaces + 1]))
-        wdoc = np.searchsorted(offsets, ws, side="right") - 1
-        first = np.concatenate(([True], wdoc[1:] != wdoc[:-1]))
-        wstart_ix = np.flatnonzero(first)
-        widx = np.arange(ws.shape[0]) - wstart_ix[np.cumsum(first) - 1]
-        # segment starts every W words
-        is_seg = (widx % W) == 0
-        seg_start = ws[is_seg]
-        seg_doc = wdoc[is_seg]
-        seg_no = (widx[is_seg] // W).astype(np.int64)
-        if len(seg_no) and seg_no.max() >= 1 << 16:
-            raise ValueError("segment_dedup_stats packs seg_no into 16 bits")
-        # segment end: byte before the next segment's separating space,
-        # or the doc end for each doc's last segment
-        nxt = np.concatenate([seg_start[1:], [np.int64(0)]])
-        same = np.concatenate([seg_doc[1:] == seg_doc[:-1], [False]])
-        seg_end = np.where(same, nxt - 1, doc_end[seg_doc])
+        seg_start, seg_end, seg_doc, seg_no = _segment_slices(data, offsets, W)
         lens = seg_end - seg_start
         # vectorized FNV-1a over the variable-length slices
         h = np.full(seg_start.shape[0], FNV_OFF, np.uint64)
@@ -1357,6 +1363,148 @@ def segment_dedup_stats(sf_dir: str, words_per_seg: int = 16, num_buckets: int =
         .map_groups(mark_dups, batch_format="pyarrow")
         .groupby("dbucket")
         .map_groups(combine_docs, batch_format="pyarrow")
+    )
+
+
+def segment_dedup_apply(sf_dir: str, words_per_seg: int = 16, num_buckets: int = 64):
+    """The REMOVAL step of sub-document segment dedup (CCNet /
+    RefinedWeb-style line dedup, generalized): drop every non-first
+    duplicate ``words_per_seg``-word segment (global keep-first order =
+    (doc_id, seg_no)) and re-emit each doc's remaining segments joined by
+    single spaces. ``segment_dedup_stats`` is the report; this applies
+    it. DuckDB-green: the oracle rebuilds texts with window functions +
+    ordered string_agg.
+
+    Scale shape: pass 1 reuses the stats kernel (u64 FNV segment rows,
+    per-batch, nothing text-sized); the hash-bucket combine emits ONLY
+    dropped (doc_id, seg_no) rows — dup-fraction-sized; pass 2 is a
+    bucketed hash join on doc_id%num_buckets (drop rows union the doc
+    texts — the dupset_join pattern, no driver state, no broadcast of
+    the drop set), re-derives segment offsets with the shared vectorized
+    kernel and joins each doc's kept slices. The only per-doc Python is
+    the final bytes-join — the same discipline as the flagship's
+    Writeback excision stage."""
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+
+    W = words_per_seg
+    FNV_OFF = np.uint64(0xCBF29CE484222325)
+    FNV_PRIME = np.uint64(0x100000001B3)
+
+    def seg_rows(batch: pa.Table) -> pa.Table:
+        data, offsets = string_column_bytes(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 47):
+            raise ValueError("segment_dedup_apply packs doc_id into 48 bits")
+        seg_start, seg_end, seg_doc, seg_no = _segment_slices(data, offsets, W)
+        lens = seg_end - seg_start
+        h = np.full(seg_start.shape[0], FNV_OFF, np.uint64)
+        max_len = int(lens.max()) if lens.shape[0] else 0
+        for j in range(max_len):
+            act = lens > j
+            h[act] = (h[act] ^ data[seg_start[act] + j].astype(np.uint64)) * FNV_PRIME
+        packed = (ids[seg_doc].astype(np.uint64) << np.uint64(16)) | seg_no.astype(
+            np.uint64
+        )
+        return pa.table(
+            {
+                "hbucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+                "h": pa.array(h, pa.uint64()),
+                "packed": pa.array(packed, pa.uint64()),
+            }
+        )
+
+    def drop_rows(group: pa.Table) -> pa.Table:
+        """One hash bucket -> ONLY the dropped (doc bucket, doc_id,
+        seg_no) rows (every occurrence after each hash's min origin)."""
+        h = group["h"].to_numpy(zero_copy_only=False)
+        packed = group["packed"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((packed, h))
+        h, packed = h[order], packed[order]
+        dup = np.concatenate(([False], h[1:] == h[:-1]))
+        packed = packed[dup]
+        doc = (packed >> np.uint64(16)).astype(np.int64)
+        return pa.table(
+            {
+                "dbucket": pa.array(doc % num_buckets, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "seg_no": pa.array(
+                    (packed & np.uint64(0xFFFF)).astype(np.int64), pa.int64()
+                ),
+                "text": pa.nulls(packed.shape[0], pa.string()),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dbucket": pa.array(ids % num_buckets, pa.int64()),
+                "doc_id": batch["doc_id"],
+                "seg_no": pa.array(np.full(ids.shape[0], -1), pa.int64()),
+                "text": batch["text"],
+            }
+        )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        seg = group["seg_no"].to_numpy(zero_copy_only=False)
+        docs = group.filter(pa.array(seg == -1))
+        drops = group.filter(pa.array(seg != -1))
+        if len(docs) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text_deduped": pa.array([], pa.string()),
+                    "n_kept_segments": pa.array([], pa.int64()),
+                }
+            )
+        data, offsets = string_column_bytes(docs["text"])
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        seg_start, seg_end, seg_doc, seg_no = _segment_slices(data, offsets, W)
+        seg_key = (ids[seg_doc].astype(np.uint64) << np.uint64(16)) | seg_no.astype(
+            np.uint64
+        )
+        dk = np.sort(
+            (drops["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             << np.uint64(16))
+            | drops["seg_no"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        if dk.shape[0]:
+            pos = np.searchsorted(dk, seg_key)
+            dropped = (pos < dk.shape[0]) & (
+                dk[np.minimum(pos, dk.shape[0] - 1)] == seg_key
+            )
+        else:
+            dropped = np.zeros(seg_key.shape[0], bool)
+        keep = ~dropped
+        n_kept = np.bincount(seg_doc[keep], minlength=len(docs)).astype(np.int64)
+        mv = data.tobytes()
+        texts = []
+        bounds = np.searchsorted(seg_doc[keep], np.arange(len(docs) + 1))
+        ks, ke = seg_start[keep], seg_end[keep]
+        for d in range(len(docs)):
+            sl = slice(bounds[d], bounds[d + 1])
+            texts.append(
+                b" ".join(mv[s:e] for s, e in zip(ks[sl], ke[sl])).decode("utf-8")
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text_deduped": pa.array(texts, pa.string()),
+                "n_kept_segments": pa.array(n_kept, pa.int64()),
+            }
+        )
+
+    docs = _docs_sized(sf_dir, columns=["doc_id", "text"])
+    drops = (
+        docs.map_batches(seg_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("hbucket")
+        .map_groups(drop_rows, batch_format="pyarrow")
+    )
+    return (
+        docs.map_batches(doc_rows, batch_format="pyarrow", batch_size=4096)
+        .union(drops)
+        .groupby("dbucket")
+        .map_groups(rebuild, batch_format="pyarrow")
     )
 
 
@@ -2667,6 +2815,7 @@ from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
 QUERIES = {
     "exact_dedup": exact_dedup,
     "segment_dedup_stats": segment_dedup_stats,
+    "segment_dedup_apply": segment_dedup_apply,
     "pricing_summary": pricing_summary,
     "annotate_documents": annotate_documents,
     "kept_middle_lengths": kept_middle_lengths,

@@ -211,3 +211,30 @@ def test_dsir_weights_rank_target_like_docs_higher(ray_session, tmp_path):
     # ordering: the target doc itself > mixed > raw-only
     w = out["dsir_weight"]
     assert w[0] > w[1] > w[2]
+
+
+def test_segment_dedup_apply_keep_first(ray_session, tmp_path):
+    """Planted duplicate 4-word segments: first occurrence (doc, seg) order
+    survives, later copies are excised, remaining segments re-join with
+    single spaces."""
+    from hg_dedup_ray.pipelines.queries import segment_dedup_apply
+
+    blk = "dup1 dup2 dup3 dup4"          # one full 4-word segment
+    texts = [
+        blk + " a1 a2 a3 a4",            # doc 0: owns blk (seg 0) + unique
+        blk + " b1 b2 b3 b4",            # doc 1: seg 0 == blk -> dropped
+        "c1 c2 c3 c4 " + blk,            # doc 2: seg 1 == blk -> dropped
+        blk,                             # doc 3: only blk -> empty output
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = (
+        segment_dedup_apply(sf, words_per_seg=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "text_deduped"] == blk + " a1 a2 a3 a4"
+    assert out.loc[1, "text_deduped"] == "b1 b2 b3 b4"
+    assert out.loc[2, "text_deduped"] == "c1 c2 c3 c4"
+    assert out.loc[3, "text_deduped"] == ""
+    assert out["n_kept_segments"].tolist() == [2, 1, 1, 0]
