@@ -1255,6 +1255,32 @@ ORACLE_SQL = {
                CASE WHEN n IS NULL THEN 0.0 ELSE s / n END AS xent
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
+    # Substring decontamination: a training doc window is contaminated
+    # iff the same 64-byte string occurs in a benchmark doc; SQL joins
+    # exact substr windows (chars == bytes on the ASCII fixture).
+    "substring_decontaminate": """
+        WITH bw AS (
+          SELECT DISTINCT UNNEST(list_transform(
+              range(1, greatest(length(text) - 63, 0) + 1),
+              i -> substr(text, i, 64))) AS w
+          FROM documents WHERE doc_id % 19 = 0
+        ),
+        tw AS (
+          SELECT doc_id, UNNEST(list_transform(
+              range(1, greatest(length(text) - 63, 0) + 1),
+              i -> substr(text, i, 64))) AS w
+          FROM documents WHERE doc_id % 19 <> 0
+        ),
+        m AS (
+          SELECT doc_id, count(*)::BIGINT AS n
+          FROM tw JOIN bw USING (w) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(m.n, 0)::BIGINT AS n_contaminated_windows,
+               coalesce(m.n, 0) > 0 AS is_contaminated
+        FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+        WHERE d.doc_id % 19 <> 0
+    """,
     # URL canonical dedup: the SQL runs the IDENTICAL RE2 chain as
     # canonicalize_urls (DuckDB's regex engine is also RE2), so the
     # oracle value-checks every canonicalization rule byte-for-byte.

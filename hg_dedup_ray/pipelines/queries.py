@@ -2809,6 +2809,7 @@ from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     pack_sequences,
     redact_pii,
     stratified_sample,
+    substring_decontaminate,
     url_dedup_latest,
 )
 
@@ -2885,6 +2886,7 @@ QUERIES = {
     "unigram_logprob": unigram_logprob,
     "dsir_importance_weights": dsir_importance_weights,
     "url_dedup_latest": url_dedup_latest,
+    "substring_decontaminate": substring_decontaminate,
     "cluster_balanced_sample": cluster_balanced_sample,
     "next_token_distribution": next_token_distribution,
     "cluster_source_mix": cluster_source_mix,

@@ -569,3 +569,97 @@ def url_dedup_latest(sf_dir: str, num_buckets: int = 64):
         .groupby("b")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------ substring decontamination
+
+
+def substring_decontaminate(sf_dir: str, minlen: int = 64, bench_mod: int = 19):
+    """Substring-level eval-set decontamination — the flagship scan
+    kernel's rolling window hash applied to the decontaminate problem:
+    count, per TRAINING doc, the ``minlen``-byte windows that appear
+    verbatim in any BENCHMARK doc (``doc_id % bench_mod == 0``, the
+    repo-wide stand-in for an eval set). Sharing a >=minlen substring is
+    equivalent to sharing at least one minlen-window, so
+    ``is_contaminated`` is exact at substring granularity — the byte-level
+    complement of the word-8-gram ``decontaminate`` filter. Windows are
+    BYTES; the oracle's substr() is characters — identical on ASCII
+    fixtures (the same documented divergence as ngram_jaccard_exact_pairs).
+
+    Scale shape mirrors ``decontaminate``: the benchmark window-hash set
+    is small by definition — one streaming pass collects its distinct u64
+    hashes (driver-side unique of per-batch partials, ``ray.put``
+    broadcast; swap in functions/bloom past ~50M windows exactly like
+    decontaminate's gate); the corpus side is one more streaming pass of
+    the O(n) chunked rolling-hash kernel plus a sorted-set probe. No
+    shuffle touches the corpus. 64-bit window hashes stand in for window
+    identity (collision odds ~n^2/2^64, negligible below ~10^8 distinct
+    windows; widen to two u64 lanes at 10^12 docs)."""
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+    from hg_dedup_ray.functions.scan import _window_hashes
+
+    def _batch_windows(batch: pa.Table):
+        """(hashes, window_doc_row, valid_mask, ids) for one batch: all
+        minlen-window hashes over the concatenated batch buffer, masked
+        to windows lying fully inside one doc."""
+        data, offsets = string_column_bytes(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if data.shape[0] < minlen:
+            return (
+                np.empty(0, np.uint64),
+                np.empty(0, np.int64),
+                np.empty(0, bool),
+                ids,
+            )
+        h = _window_hashes(data, minlen)
+        m = h.shape[0]
+        pos = np.arange(m, dtype=np.int64)
+        wdoc = np.searchsorted(offsets, pos, side="right") - 1
+        valid = pos + minlen <= offsets[1:][wdoc]
+        return h, wdoc, valid, ids
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        h, wdoc, valid, ids = _batch_windows(batch)
+        sel = valid & (ids[wdoc] % bench_mod == 0)
+        return pa.table({"h": pa.array(np.unique(h[sel]), pa.uint64())})
+
+    import ray as _ray
+
+    parts = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(bench_partial, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+    chunks = [
+        t["h"].to_numpy(zero_copy_only=False)
+        for t in _ray.get(parts.to_arrow_refs())
+        if len(t)
+    ]
+    bset = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.uint64)
+    bref = ray.put(bset)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        bs = get_broadcast(bref)
+        h, wdoc, valid, ids = _batch_windows(batch)
+        train_w = valid & (ids[wdoc] % bench_mod != 0)
+        hh, dd = h[train_w], wdoc[train_w]
+        if bs.shape[0] and hh.shape[0]:
+            p = np.searchsorted(bs, hh)
+            hit = (p < bs.shape[0]) & (bs[np.minimum(p, bs.shape[0] - 1)] == hh)
+            n = np.bincount(dd[hit], minlength=ids.shape[0]).astype(np.int64)
+        else:
+            n = np.zeros(ids.shape[0], np.int64)
+        train_doc = ids % bench_mod != 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[train_doc], pa.int64()),
+                "n_contaminated_windows": pa.array(n[train_doc], pa.int64()),
+                "is_contaminated": pa.array(n[train_doc] > 0, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        probe, batch_format="pyarrow", batch_size=4096
+    )

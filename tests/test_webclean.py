@@ -251,3 +251,46 @@ def test_url_dedup_latest_keeps_latest_capture(ray_session, tmp_path):
         row = out.loc[f"https://site{d % 97}.example/page/{d}?id={d}"]
         assert row["n_captures"] == 1
         assert row["warc_ts"] == URL_TS_BASE + d
+
+
+def test_substring_decontaminate_planted(ray_session, tmp_path):
+    """A training doc embedding a >=minlen benchmark substring is flagged
+    with the exact window count; a minlen-1 share is a negative control."""
+    from hg_dedup_ray.pipelines.webclean import substring_decontaminate
+
+    bench = "B " * 64                      # doc 0 (0 % 19 == 0): benchmark
+    blk = bench[:64]                       # exactly minlen bytes of it
+    texts = [
+        bench.strip(),
+        "t1 " + blk + " t1end",            # contains a full 64-byte window
+        # 63 shared bytes flanked by non-space, non-'B' chars so the
+        # periodic pattern can't extend across the boundary: NOT flagged
+        "t2X" + blk[:-1] + "Y t2end",
+        "t3 totally unrelated words here", # clean
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    out = (
+        substring_decontaminate(str(tmp_path), minlen=64)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [1, 2, 3]  # benchmark doc 0 excluded
+    assert bool(out.loc[1, "is_contaminated"])
+    # every 64-window of blk inside doc 1 that also lies in bench:
+    # doc 1 text = 't1 ' + blk + ' t1end'; windows fully inside blk: 1,
+    # plus windows overlapping the flanks only if they match bench — the
+    # flanks are unique, so exactly the aligned windows of 'B '*32 count
+    n = int(out.loc[1, "n_contaminated_windows"])
+    assert n >= 1
+    assert not bool(out.loc[2, "is_contaminated"])
+    assert not bool(out.loc[3, "is_contaminated"])
