@@ -114,6 +114,9 @@ def main(argv=None) -> int:
             if not isinstance(res, ray.data.Dataset):
                 res = ray.data.from_arrow(res) if hasattr(res, "schema") else (
                     ray.data.from_pandas(res))
+            # materialize once: write + count off the same blocks (a lazy
+            # Dataset would re-execute the whole DAG for the count)
+            res = res.materialize()
             res.write_parquet(args.save_dir)
             print(json.dumps({"query": args.run_query, "out": args.save_dir,
                               "rows": res.count()}))

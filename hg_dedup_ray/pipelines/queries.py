@@ -598,15 +598,23 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: int = 
             else np.empty(0, np.uint64)
             for f in first
         ]
+        # one argsort + run segmentation over pid (not a rescan per pair)
+        order = np.argsort(pid, kind="stable")
+        pid_s, inv_s = pid[order], inv[order]
+        new = np.concatenate(([True], pid_s[1:] != pid_s[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [pid_s.shape[0]]))
         a_out, b_out = [], []
-        for p in np.unique(pid):
-            ix = inv[pid == p]
-            if ix.shape[0] < 2:
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue  # defensive: missing doc row
-            sa_, sb_ = sets[ix[0]], sets[ix[1]]
+            sa_, sb_ = sets[inv_s[s]], sets[inv_s[s + 1]]
             inter = np.intersect1d(sa_, sb_, assume_unique=True).shape[0]
             union = sa_.shape[0] + sb_.shape[0] - inter
-            if (inter / union if union else 1.0) >= threshold:
+            # union == 0 (both docs shorter than k) emits nothing: the
+            # exact oracle has no shingles for either doc, hence no pair.
+            if union and inter / union >= threshold:
+                p = pid_s[s]
                 a_out.append(int(p >> np.uint64(32)))
                 b_out.append(int(p & np.uint64(0xFFFFFFFF)))
         return pa.table(
@@ -1594,10 +1602,15 @@ def _seg_max(vals: np.ndarray, seg_sorted: np.ndarray, nseg: int) -> np.ndarray:
     sorted ascending; empty segments get 0. One reduceat, no Python loop."""
     out = np.zeros(nseg, np.int64)
     if vals.shape[0]:
-        starts = np.searchsorted(seg_sorted, np.arange(nseg))
-        red = np.maximum.reduceat(vals, np.minimum(starts, vals.shape[0] - 1))
-        nonempty = np.bincount(seg_sorted, minlength=nseg) > 0
-        out[nonempty] = red[nonempty]
+        counts = np.bincount(seg_sorted, minlength=nseg)
+        nonempty = counts > 0
+        # reduceat over nonempty segments only: their starts (cumsum of
+        # nonempty counts) are strictly increasing and in-bounds, so no
+        # clamp is needed — a clamp would split the segment preceding a
+        # trailing empty one.
+        ne_counts = counts[nonempty]
+        starts = np.concatenate(([0], np.cumsum(ne_counts)[:-1]))
+        out[nonempty] = np.maximum.reduceat(vals, starts)
     return out
 
 

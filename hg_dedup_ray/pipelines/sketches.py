@@ -66,10 +66,18 @@ def heavy_hitter_tokens(sf_dir: str, k: int = HH_K, capacity: int = 4096):
         counts = vc.field("counts").to_numpy(zero_copy_only=False)
         total = int(counts.sum())
         keep = counts > total / capacity
+        surv = vc.field("values").filter(pa.array(keep)).cast(pa.string())
+        # One sentinel row ("" is excluded from cand_tokens downstream)
+        # carries this batch's token total, so the driver's N sums each
+        # batch EXACTLY once — batches with zero surviving candidates
+        # must still count toward N or the certification check is not a
+        # bound, and counting once per surviving token overstates it.
+        nb = np.zeros(len(surv) + 1, np.int64)
+        nb[-1] = total
         return pa.table(
             {
-                "token": vc.field("values").filter(pa.array(keep)),
-                "n_batch": pa.array(np.full(int(keep.sum()), total, np.int64)),
+                "token": pa.concat_arrays([surv, pa.array([""], pa.string())]),
+                "n_batch": pa.array(nb),
             }
         )
 
@@ -115,8 +123,8 @@ def heavy_hitter_tokens(sf_dir: str, k: int = HH_K, capacity: int = 4096):
     # non-candidate could belong in the top-k -> exact fallback
     n_tokens_total = int(
         sum(r["n_batch"] for r in cand) if cand else 0
-    )  # upper bound is enough: each batch contributes its total once per
-    # surviving token; recompute exactly when the cheap bound fails
+    )  # exact N: each batch contributes its total exactly once via the
+    # "" sentinel row emitted by partial_candidates
     kth = int(cnts[top[-1]]) if top.shape[0] == k else 0
     if top.shape[0] < k or kth * capacity <= n_tokens_total:
         # a non-candidate could still belong in the top-k -> exact path

@@ -312,71 +312,70 @@ def make_assemble(cfg: DedupConfig):
 def _assemble_one(group: pa.Table, cfg: DedupConfig) -> pa.Table:
     k = cfg.shingle_k
     thr = cfg.jaccard_threshold
-    if True:  # keep original body indentation
-        copies = group["copy"].to_numpy(zero_copy_only=False)
-        group = group.filter(pa.array(copies == copies.min()))
-        seq = group["doc_seq"].to_numpy(zero_copy_only=False)
-        order = np.argsort(seq, kind="stable")
-        urls = np.asarray(group["url"].to_pylist(), dtype=object)[order]
-        seq = seq[order]
-        parts = group["part"].to_numpy(zero_copy_only=False)[order]
-        texts = [
-            t.encode("utf-8")
-            for t in pc.take(group["text"], pa.array(order, pa.int64())).to_pylist()
-        ]
-        kind = int(group["kind"][0].as_py())
-        if kind == 1:
-            from hg_dedup_ray.stages.group_scan import mini_corpus_scan
+    copies = group["copy"].to_numpy(zero_copy_only=False)
+    group = group.filter(pa.array(copies == copies.min()))
+    seq = group["doc_seq"].to_numpy(zero_copy_only=False)
+    order = np.argsort(seq, kind="stable")
+    urls = np.asarray(group["url"].to_pylist(), dtype=object)[order]
+    seq = seq[order]
+    parts = group["part"].to_numpy(zero_copy_only=False)[order]
+    texts = [
+        t.encode("utf-8")
+        for t in pc.take(group["text"], pa.array(order, pa.int64())).to_pylist()
+    ]
+    kind = int(group["kind"][0].as_py())
+    if kind == 1:
+        from hg_dedup_ray.stages.group_scan import mini_corpus_scan
 
-            spans = mini_corpus_scan(texts, cfg)
-            if not spans:
-                return _empty_out()
-            doc_ix = np.array([d for d, _, _ in spans], np.int64)
-            n = len(spans)
-            return pa.table(
-                {
-                    "otype": pa.array(np.zeros(n, np.uint8), pa.uint8()),
-                    "url": pa.array([str(urls[d]) for d in doc_ix], pa.string()),
-                    "part": pa.array(parts[doc_ix], pa.int32()),
-                    "start": pa.array([s for _, s, _ in spans], pa.int64()),
-                    "end": pa.array([e for _, _, e in spans], pa.int64()),
-                    "url_b": pa.nulls(n, pa.string()),
-                    "seq_a": pa.nulls(n, pa.int64()),
-                    "seq_b": pa.nulls(n, pa.int64()),
-                }
-            )
-        # kind 0: chain + rep pairs (candidates.expand_band_pairs order)
-        m = len(urls)
-        sh = [
-            np.unique(shingle_hashes(np.frombuffer(t, np.uint8), k))
-            if len(t)
-            else np.empty(0, np.uint64)
-            for t in texts
-        ]
-        pairs = [(i - 1, i) for i in range(1, m)] + [(0, i) for i in range(2, m)]
-        ea, eb, sa_l, sb_l = [], [], [], []
-        for i, j in pairs:
-            inter = np.intersect1d(sh[i], sh[j], assume_unique=True).shape[0]
-            union = sh[i].shape[0] + sh[j].shape[0] - inter
-            jac = inter / union if union else 1.0
-            if jac >= thr:
-                ea.append(str(urls[i]))
-                eb.append(str(urls[j]))
-                sa_l.append(int(seq[i]))
-                sb_l.append(int(seq[j]))
-        n = len(ea)
+        spans = mini_corpus_scan(texts, cfg)
+        if not spans:
+            return _empty_out()
+        doc_ix = np.array([d for d, _, _ in spans], np.int64)
+        n = len(spans)
         return pa.table(
             {
-                "otype": pa.array(np.ones(n, np.uint8), pa.uint8()),
-                "url": pa.array(ea, pa.string()),
-                "part": pa.nulls(n, pa.int32()),
-                "start": pa.nulls(n, pa.int64()),
-                "end": pa.nulls(n, pa.int64()),
-                "url_b": pa.array(eb, pa.string()),
-                "seq_a": pa.array(sa_l, pa.int64()),
-                "seq_b": pa.array(sb_l, pa.int64()),
+                "otype": pa.array(np.zeros(n, np.uint8), pa.uint8()),
+                "url": pa.array([str(urls[d]) for d in doc_ix], pa.string()),
+                "part": pa.array(parts[doc_ix], pa.int32()),
+                "start": pa.array([s for _, s, _ in spans], pa.int64()),
+                "end": pa.array([e for _, _, e in spans], pa.int64()),
+                "url_b": pa.nulls(n, pa.string()),
+                "seq_a": pa.nulls(n, pa.int64()),
+                "seq_b": pa.nulls(n, pa.int64()),
             }
         )
+    # kind 0: chain + rep pairs (candidates.expand_band_pairs order)
+    m = len(urls)
+    sh = [
+        np.unique(shingle_hashes(np.frombuffer(t, np.uint8), k))
+        if len(t)
+        else np.empty(0, np.uint64)
+        for t in texts
+    ]
+    pairs = [(i - 1, i) for i in range(1, m)] + [(0, i) for i in range(2, m)]
+    ea, eb, sa_l, sb_l = [], [], [], []
+    for i, j in pairs:
+        inter = np.intersect1d(sh[i], sh[j], assume_unique=True).shape[0]
+        union = sh[i].shape[0] + sh[j].shape[0] - inter
+        jac = inter / union if union else 1.0
+        if jac >= thr:
+            ea.append(str(urls[i]))
+            eb.append(str(urls[j]))
+            sa_l.append(int(seq[i]))
+            sb_l.append(int(seq[j]))
+    n = len(ea)
+    return pa.table(
+        {
+            "otype": pa.array(np.ones(n, np.uint8), pa.uint8()),
+            "url": pa.array(ea, pa.string()),
+            "part": pa.nulls(n, pa.int32()),
+            "start": pa.nulls(n, pa.int64()),
+            "end": pa.nulls(n, pa.int64()),
+            "url_b": pa.array(eb, pa.string()),
+            "seq_a": pa.array(sa_l, pa.int64()),
+            "seq_b": pa.array(sb_l, pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -75,9 +75,12 @@ def distributed_min_label(
 
     if not edges:
         return {}
+    # Nodes are urls (flagship dup-set path) or int doc_ids (band/Jaccard
+    # cluster queries); infer the Arrow type once so both work.
+    node_type = pa.string() if isinstance(edges[0][0], str) else pa.int64()
     ea = np.array([e[0] for e in edges], dtype=object)
     eb = np.array([e[1] for e in edges], dtype=object)
-    labels: dict[str, int] = {}
+    labels: dict = {}
     for ua, ub, sa_, sb_ in edges:
         labels[ua] = min(labels.get(ua, sa_), sa_)
         labels[ub] = min(labels.get(ub, sb_), sb_)
@@ -85,8 +88,8 @@ def distributed_min_label(
     edges_ds = ray.data.from_arrow(
         pa.table(
             {
-                "a": pa.array(list(ea), pa.string()),
-                "b": pa.array(list(eb), pa.string()),
+                "a": pa.array(list(ea), node_type),
+                "b": pa.array(list(eb), node_type),
             }
         )
     )
@@ -105,7 +108,7 @@ def distributed_min_label(
             own = [lab[x] for x in nodes]
             return pa.table(
                 {
-                    "node": pa.array(nodes + nodes, pa.string()),
+                    "node": pa.array(nodes + nodes, node_type),
                     "label": pa.array(cand + own, pa.int64()),
                 }
             )

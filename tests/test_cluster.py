@@ -36,3 +36,14 @@ def test_distributed_chain_needs_multiple_rounds(ray_session):
 def test_empty_edges(ray_session):
     assert distributed_min_label([]) == {}
     assert union_find_clusters([]) == {}
+
+
+def test_distributed_int_nodes(ray_session):
+    # minhash_band_clusters / jaccard_dup_clusters pass INT doc_ids as
+    # nodes (node == its own seq); the >1M-edge scale branch must accept
+    # them, not assume string urls.
+    edges = [(i, i + 1, i, i + 1) for i in range(5)] + [(10, 12, 10, 12)]
+    got = distributed_min_label(edges)
+    want = union_find_clusters(edges)
+    assert {int(k): int(v) for k, v in got.items()} == want
+    assert want[5] == 0 and want[12] == 10

@@ -4,6 +4,7 @@ regex word-boundary matches ('the,' and 'state-of-the-art' contain no
 stopword token)."""
 
 import duckdb
+import numpy as np
 import pyarrow as pa
 
 from hg_dedup_ray.stages.textstats import (
@@ -110,3 +111,43 @@ def test_repetition_stats_brute_force(ray_session, tmp_path):
         assert row["top_bigram_count"] == (max(bg.values()) if bg else 0)
         assert row["dup_word_chars"] == sum((c - 1) * len(w) for w, c in wc.items())
         assert row["total_word_chars"] == sum(len(w) for w in words)
+
+
+def test_repetition_stats_trailing_empty_docs(ray_session, tmp_path):
+    """Regression: a trailing zero-token (or zero-bigram) doc must not
+    truncate the PRECEDING doc's segment max (_seg_max used to clamp the
+    empty segment's start inside the previous segment)."""
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import repetition_stats
+
+    texts = ["b a a", "x", "", "   "]  # nonempty, 1-word, empty, blank
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        repetition_stats(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # doc 0: word run lengths are [1 ('b'), 2 ('a')] -> top_word_count 2,
+    # bigram counts all 1; the old clamp reported 1 here.
+    assert got.iloc[0]["top_word_count"] == 2
+    assert got.iloc[0]["top_bigram_count"] == 1
+    assert got.iloc[1]["top_word_count"] == 1
+    assert got.iloc[1]["top_bigram_count"] == 0
+    assert list(got["n_words"]) == [3, 1, 0, 0]
+
+
+def test_seg_max_trailing_empty_segments():
+    from hg_dedup_ray.pipelines.queries import _seg_max
+
+    assert list(_seg_max(np.array([1, 2]), np.array([0, 0]), 2)) == [2, 0]
+    assert list(_seg_max(np.array([3, 1, 5, 4]), np.array([0, 0, 2, 2]), 4)) == [
+        3, 0, 5, 0,
+    ]
+    assert list(_seg_max(np.array([], np.int64), np.array([], np.int64), 2)) == [0, 0]
