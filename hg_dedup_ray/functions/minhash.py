@@ -121,7 +121,12 @@ def batch_signatures(
     for d in range(n_docs):  # cheap slice-assign per doc
         invalid_mask[doc_offsets[d] : doc_offsets[d] + valid_counts[d]] = False
     invalid_idx = np.flatnonzero(invalid_mask)
-    starts = np.minimum(doc_offsets[:-1], max(total - 1, 0)).astype(np.int64)
+    # reduceat over NONEMPTY docs only (their starts are strictly
+    # increasing and < total); a clamp of trailing empty-doc starts would
+    # split the preceding doc's segment. Empty docs stay U64_MAX here and
+    # are overwritten by the valid_counts==0 loop below.
+    nz = np.flatnonzero(lens > 0)
+    starts = doc_offsets[:-1][nz].astype(np.int64)
     rng = np.random.default_rng(seed)
     # odd multipliers: multiplication mod 2^64 by an odd constant is a
     # bijection of the (already splitmix-mixed) stream — one pass per perm
@@ -129,8 +134,8 @@ def batch_signatures(
     for p in range(num_perm):
         permuted = stream * salts[p]
         permuted[invalid_idx] = U64_MAX
-        if total:
-            sig[:, p] = np.minimum.reduceat(permuted, starts)
+        if nz.size:
+            sig[nz, p] = np.minimum.reduceat(permuted, starts)
     # docs with no valid shingle (len < k, incl. empty): hash the whole doc
     for d in np.flatnonzero(valid_counts == 0):
         piece = texts_buf[doc_offsets[d] : doc_offsets[d + 1]]
