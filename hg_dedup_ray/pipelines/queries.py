@@ -2084,6 +2084,152 @@ def html_features(sf_dir: str):
     )
 
 
+def image_phash_near_dup(sf_dir: str, max_hamming: int = 3):
+    """Perceptual-hash image near-dup pairs: real PNG/PPM payloads are
+    decoded (stages/multimodal.StdCodec), aHashed from the PIXELS
+    (stages/mediadedup.ahash64 — resolution-independent 8x8 area mean),
+    then the SimHash banded-Hamming pair search runs over the 64-bit
+    signatures. EXACT for the <=3-bit radius: <=3 differing bits cannot
+    touch all four 16-bit bands, so every qualifying pair shares a band
+    bucket (the same pigeonhole simhash_near_dup_pairs is oracle-checked
+    on). Only (doc_id, 8-byte sig) rows shuffle; payloads never leave
+    the decode stage. Rows-only (pixel decode has no SQL oracle);
+    exactness vs a brute-force all-pairs scan is pinned in
+    tests/test_multimodal.py."""
+    from hg_dedup_ray.functions.pair_distinct import distinct_pairs, hot_u64_keys
+    from hg_dedup_ray.stages.mediadedup import ImagePHashBands
+    from hg_dedup_ray.stages.multimodal import attach_payloads
+    from hg_dedup_ray.stages.simhash import simhash_bucket_pairs
+
+    from hg_dedup_ray.pipelines.sa_dedup import _task_stage
+
+    bands = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(
+            lambda b: attach_payloads(b, "image"),
+            batch_format="pyarrow",
+            batch_size=256,  # payload-heavy rows: small batches
+        )
+        .map_batches(
+            _task_stage(ImagePHashBands), batch_format="pyarrow", batch_size=256
+        )
+        .materialize()
+    )
+    hot = hot_u64_keys(bands, "band_key")
+    if hot.shape[0] == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id_a": pa.array([], pa.int64()),
+                    "doc_id_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        )
+    hot_ref = ray.put(pa.array(hot, pa.uint64()))
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        return b.filter(pc.is_in(b["band_key"], value_set=get_broadcast(hot_ref)))
+
+    pairs = (
+        bands.map_batches(keep_hot, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(
+            simhash_bucket_pairs(max_hamming, sig_col="phash"),
+            batch_format="pyarrow",
+        )
+    )
+    return distinct_pairs(
+        pairs,
+        key_cols=["doc_id_a", "doc_id_b"],
+        int_key_cols=("doc_id_a", "doc_id_b"),
+        carry_cols=["hamming"],
+    )
+
+
+def audio_fingerprint_dedup(sf_dir: str):
+    """Exact audio dedup on decoded CONTENT: WAV payloads -> mono PCM
+    (stages/multimodal.StdCodec) -> 64-bit energy-profile fingerprint
+    (stages/mediadedup.audio_fp64) -> keep-first over identical
+    fingerprints. Same coarse-bucket combine as exact_dedup: each batch
+    pre-reduces to its per-fp min doc_id (one lexsort), the shuffle
+    groups by fp%64 (fixed group count at any corpus size), keeper ids
+    broadcast back for the keep flag. Output (doc_id, audio_fp, keep);
+    rows-only (PCM decode has no SQL oracle) — keep-flag equality vs a
+    brute-force fingerprint scan is pinned in tests/test_multimodal.py."""
+    from hg_dedup_ray.stages.mediadedup import AudioFingerprint
+    from hg_dedup_ray.stages.multimodal import attach_payloads
+
+    from hg_dedup_ray.pipelines.sa_dedup import _task_stage
+
+    num_buckets = 64
+    fps = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(
+            lambda b: attach_payloads(b, "audio"),
+            batch_format="pyarrow",
+            batch_size=256,
+        )
+        .map_batches(
+            _task_stage(AudioFingerprint), batch_format="pyarrow", batch_size=256
+        )
+        .materialize()
+    )
+
+    def fp_min_partial(batch: pa.Table) -> pa.Table:
+        fp = batch["audio_fp"].to_numpy(zero_copy_only=False)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, fp))
+        fp, d = fp[order], d[order]
+        bnd = np.flatnonzero(np.concatenate(([True], fp[1:] != fp[:-1])))
+        fp, d = fp[bnd], d[bnd]
+        return pa.table(
+            {
+                "cbucket": pa.array((fp % num_buckets).astype(np.int64), pa.int64()),
+                "fp": pa.array(fp, pa.uint64()),
+                "keep_id": pa.array(d, pa.int64()),
+            }
+        )
+
+    def fp_min_combine(group: pa.Table) -> pa.Table:
+        fp = group["fp"].to_numpy(zero_copy_only=False)
+        d = group["keep_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, fp))
+        fp, d = fp[order], d[order]
+        bnd = np.flatnonzero(np.concatenate(([True], fp[1:] != fp[:-1])))
+        return pa.table({"keep_id": pa.array(d[bnd], pa.int64())})
+
+    keepers = (
+        fps.map_batches(fp_min_partial, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(fp_min_combine, batch_format="pyarrow")
+    )
+    keep_ids = np.sort(
+        np.concatenate(
+            [
+                b["keep_id"].to_numpy(zero_copy_only=False)
+                for r in keepers.to_arrow_refs()
+                if len(b := ray.get(r))
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    keep_ref = ray.put(keep_ids)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        ks = get_broadcast(keep_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, d)
+        keep = (pos < ks.shape[0]) & (ks[np.minimum(pos, ks.shape[0] - 1)] == d)
+        return batch.append_column("keep", pa.array(keep, pa.bool_()))
+
+    return fps.map_batches(flag, batch_format="pyarrow")
+
+
 def dup_doc_report(sf_dir: str, minlen: int = 64):
     """Diagnostic D5/D6 (reference find_dup_ptrs/find_dup_docs,
     cpp_engine_dedup.h:801-867): per doc containing duplicate-run
@@ -2852,6 +2998,8 @@ QUERIES = {
     "audio_features": audio_features,
     "video_frame_sample": video_frame_sample,
     "html_features": html_features,
+    "image_phash_near_dup": image_phash_near_dup,
+    "audio_fingerprint_dedup": audio_fingerprint_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_exact_pairs": ngram_jaccard_exact_pairs,
     "token_counts": token_counts,

@@ -107,14 +107,15 @@ class SimHashBandEmitter:
         )
 
 
-def simhash_bucket_pairs(max_hamming: int):
+def simhash_bucket_pairs(max_hamming: int, sig_col: str = "simhash"):
     """map_groups fn over one band bucket: all distinct doc pairs with
-    Hamming(simhash) <= max_hamming. Buckets are 16-bit-collision sets —
-    small; pairwise compare within bucket is bounded."""
+    Hamming(sig_col) <= max_hamming. Buckets are 16-bit-collision sets —
+    small; pairwise compare within bucket is bounded. Works for any u64
+    signature column (simhash, image phash, ...)."""
 
     def fn(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        sigs = group["simhash"].to_numpy(zero_copy_only=False)
+        sigs = group[sig_col].to_numpy(zero_copy_only=False)
         ids, uniq = np.unique(ids, return_index=True)
         sigs = sigs[uniq]
         empty = pa.table(

@@ -325,3 +325,150 @@ def test_image_payload_mixes_png_and_ppm():
     codec = StdCodec()
     assert codec.decode_image(even).ndim == 3
     assert codec.decode_image(odd).ndim == 3
+
+
+# ---------------------------------------------------------- media dedup
+
+
+def test_ahash_resolution_independent_and_sensitive():
+    from hg_dedup_ray.stages.mediadedup import ahash64
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    h0 = ahash64(base)
+    # exact 4x nearest-neighbor upscale preserves every 8x8 block mean
+    up = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+    assert ahash64(up) == h0
+    # identical content -> identical hash
+    assert ahash64(base.copy()) == h0
+    # inversion flips (almost) every brighter-than-mean bit
+    assert hamming64(np.uint64(h0), ahash64(255 - base)) > 32
+    # grayscale path (2-D input) works
+    assert isinstance(ahash64(base.mean(axis=2).astype(np.uint8)), np.uint64)
+
+
+def test_ahash_small_perturbation_small_hamming():
+    """Flipping one block between two far-from-threshold levels flips
+    exactly that block's bit (every block stays far from the global
+    mean, so no borderline bit elsewhere can move)."""
+    from hg_dedup_ray.stages.mediadedup import ahash64
+
+    blocks = np.where(
+        (np.arange(8)[:, None] + np.arange(8)[None, :]) % 2 == 0, 200, 50
+    ).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 4, axis=0), 4, axis=1)
+    h0 = ahash64(img)
+    pert_blocks = blocks.copy()
+    pert_blocks[0, 1] = 200  # one dark block -> bright
+    pert = np.repeat(np.repeat(pert_blocks, 4, axis=0), 4, axis=1)
+    assert hamming64(np.uint64(h0), ahash64(pert)) == 1
+
+
+def test_audio_fp_deterministic():
+    from hg_dedup_ray.stages.mediadedup import audio_fp64
+
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-30000, 30000, size=1777, dtype=np.int16)
+    assert audio_fp64(pcm) == audio_fp64(pcm.copy())
+    assert audio_fp64(np.zeros(100, np.int16)) == np.uint64(0)
+    assert audio_fp64(np.array([], np.int16)) == np.uint64(0)
+    other = rng.integers(-30000, 30000, size=1777, dtype=np.int16)
+    assert audio_fp64(pcm) != audio_fp64(other)
+
+
+def _drv_image_hashes(sf_dir):
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.stages.mediadedup import ahash64
+    from hg_dedup_ray.stages.multimodal import StdCodec, image_payload
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    codec = StdCodec()
+    ids = t["doc_id"].to_numpy()
+    sigs = np.array(
+        [
+            ahash64(codec.decode_image(image_payload(s.encode("utf-8"))))
+            for s in t["text"].to_pylist()
+        ],
+        np.uint64,
+    )
+    return ids, sigs
+
+
+def test_image_phash_near_dup_matches_bruteforce(ray_session):
+    """The banded pair search is EXACT at radius 3 (pigeonhole): its
+    output must equal the all-pairs Hamming<=3 scan."""
+    from hg_dedup_ray.pipelines.queries import image_phash_near_dup
+
+    sf = "/root/testdata/sf0.001"
+    got = image_phash_near_dup(sf).to_pandas()
+    got_set = {
+        (min(a, b), max(a, b), h)
+        for a, b, h in zip(got["doc_id_a"], got["doc_id_b"], got["hamming"])
+    }
+    ids, sigs = _drv_image_hashes(sf)
+    ham = hamming64(sigs[:, None], sigs[None, :])
+    ai, bi = np.nonzero(np.triu(ham <= 3, k=1))
+    want = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]), ham[i, j])
+        for i, j in zip(ai, bi)
+    }
+    assert got_set == want
+    assert len(want) > 0  # fixture has exact text dups -> hamming-0 pairs
+
+
+def test_audio_fingerprint_dedup_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import audio_fingerprint_dedup
+    from hg_dedup_ray.stages.mediadedup import audio_fp64
+    from hg_dedup_ray.stages.multimodal import StdCodec, audio_payload
+
+    sf = "/root/testdata/sf0.001"
+    got = audio_fingerprint_dedup(sf).to_pandas().sort_values("doc_id")
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    codec = StdCodec()
+    fps = {}
+    for d, s in zip(t["doc_id"].to_numpy(), t["text"].to_pylist()):
+        _r, pcm = codec.decode_audio(audio_payload(s.encode("utf-8")))
+        fps[int(d)] = int(audio_fp64(pcm))
+    first = {}
+    for d in sorted(fps):
+        first.setdefault(fps[d], d)
+    assert len(got) == len(fps)
+    for d, fp, keep in zip(got["doc_id"], got["audio_fp"], got["keep"]):
+        assert int(fp) == fps[int(d)]
+        assert bool(keep) == (first[int(fp)] == int(d))
+
+
+def test_audio_fingerprint_dedup_drops_planted_dups(ray_session, tmp_path):
+    """With planted duplicate texts the keep-first actually fires: the
+    min-doc_id copy keeps, every other copy drops."""
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import audio_fingerprint_dedup
+
+    # random content per doc: distinct ENERGY PROFILES (near-identical
+    # texts would rightly collapse to one perceptual fingerprint)
+    rng = np.random.default_rng(5)
+    texts = [
+        bytes(rng.integers(32, 127, size=600, dtype=np.uint8)).decode("ascii")
+        for _ in range(20)
+    ]
+    texts += [texts[3], texts[3], texts[7]]  # dup copies at ids 20,21,22
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        audio_fingerprint_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["keep"][:20].all()
+    assert not got["keep"][20:].any()
+    assert got["audio_fp"][20] == got["audio_fp"][3]
