@@ -2230,6 +2230,133 @@ def audio_fingerprint_dedup(sf_dir: str):
     return fps.map_batches(flag, batch_format="pyarrow")
 
 
+def video_framehash_near_dup(sf_dir: str, threshold: float = 0.5, num_buckets: int = 64):
+    """Video near-dup pairs by SHARED-FRAME Jaccard — the standard video
+    dedup formulation (frame-fingerprint matching): decode each Y4M
+    payload (stages/multimodal.StdCodec), aHash every frame, and report
+    doc pairs whose DISTINCT-frame-hash sets have Jaccard >= threshold.
+
+    Exact for threshold > 0 without any PPJoin cascade because frame
+    sets are tiny (<= a dozen per video): any qualifying pair shares >= 1
+    frame hash, every shared hash has df >= 2 and so survives the hot-key
+    prefilter, and within a pair-hash bucket the ROW COUNT per pair is
+    exactly the intersection size (each shared posting emits the pair
+    once). Shuffles carry only (u64 fhash / pid, three ints); frames and
+    payloads never leave the decode stage. Per-group Python runs only on
+    hot fhash keys (dup-content-bounded), per the repo groupby rule.
+    Rows-only (frame decode has no SQL oracle); equality with a
+    brute-force all-pairs set scan is pinned in tests/test_multimodal.py."""
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+    from hg_dedup_ray.stages.mediadedup import VideoFrameHashes
+    from hg_dedup_ray.stages.multimodal import attach_payloads
+
+    from hg_dedup_ray.pipelines.sa_dedup import _task_stage
+
+    rows = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(
+            lambda b: attach_payloads(b, "video"),
+            batch_format="pyarrow",
+            batch_size=256,  # payload-heavy rows: small batches
+        )
+        .map_batches(
+            _task_stage(VideoFrameHashes), batch_format="pyarrow", batch_size=256
+        )
+        .materialize()
+    )
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    )
+    hot = hot_u64_keys(rows, "fhash")
+    if hot.shape[0] == 0:
+        return empty
+    hot_ref = ray.put(pa.array(hot, pa.uint64()))
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        return b.filter(pc.is_in(b["fhash"], value_set=get_broadcast(hot_ref)))
+
+    _empty_pairs = pa.table(
+        {
+            "pbucket": pa.array([], pa.int64()),
+            "pid": pa.array([], pa.uint64()),
+            "na": pa.array([], pa.int64()),
+            "nb": pa.array([], pa.int64()),
+        }
+    )
+
+    def posting_pairs(group: pa.Table) -> pa.Table:
+        # one posting list (all docs containing one hot frame hash);
+        # each doc appears at most once (rows are per-doc-DISTINCT)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.shape[0] and (ids.min() < 0 or ids.max() >= 1 << 32):
+            raise ValueError("video_framehash_near_dup requires 0 <= doc_id < 2^32")
+        nf = group["nframes"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, nf = ids[order], nf[order]
+        m = ids.shape[0]
+        if m < 2:
+            return _empty_pairs
+        ai, bi = np.triu_indices(m, k=1)
+        na, nb = nf[ai], nf[bi]
+        # length filter (J >= t implies min >= t*max); eps only ENLARGES
+        ok = np.minimum(na, nb) >= threshold * np.maximum(na, nb) - 1e-9
+        ai, bi, na, nb = ai[ok], bi[ok], na[ok], nb[ok]
+        pid = (ids[ai].astype(np.uint64) << np.uint64(32)) | ids[bi].astype(
+            np.uint64
+        )
+        return pa.table(
+            {
+                "pbucket": pa.array(
+                    (pid % np.uint64(num_buckets)).astype(np.int64), pa.int64()
+                ),
+                "pid": pa.array(pid, pa.uint64()),
+                "na": pa.array(na, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+            }
+        )
+
+    def jaccard_bucket(group: pa.Table) -> pa.Table:
+        pid = group["pid"].to_numpy(zero_copy_only=False)
+        na = group["na"].to_numpy(zero_copy_only=False)
+        nb = group["nb"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pid, kind="stable")
+        pid, na, nb = pid[order], na[order], nb[order]
+        starts = np.flatnonzero(np.concatenate(([True], pid[1:] != pid[:-1])))
+        inter = np.diff(np.concatenate((starts, [pid.shape[0]])))
+        pid, na, nb = pid[starts], na[starts], nb[starts]
+        union = na + nb - inter
+        j = inter / union  # union >= 1 (inter >= 1 by construction)
+        keep = j >= threshold
+        pid, j = pid[keep], j[keep]
+        return pa.table(
+            {
+                "doc_id_a": pa.array(
+                    (pid >> np.uint64(32)).astype(np.int64), pa.int64()
+                ),
+                "doc_id_b": pa.array(
+                    (pid & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
+                ),
+                "jaccard": pa.array(j, pa.float64()),
+            }
+        )
+
+    return (
+        rows.map_batches(keep_hot, batch_format="pyarrow")
+        .groupby("fhash")
+        .map_groups(posting_pairs, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(jaccard_bucket, batch_format="pyarrow")
+    )
+
+
 def dup_doc_report(sf_dir: str, minlen: int = 64):
     """Diagnostic D5/D6 (reference find_dup_ptrs/find_dup_docs,
     cpp_engine_dedup.h:801-867): per doc containing duplicate-run
@@ -3000,6 +3127,7 @@ QUERIES = {
     "html_features": html_features,
     "image_phash_near_dup": image_phash_near_dup,
     "audio_fingerprint_dedup": audio_fingerprint_dedup,
+    "video_framehash_near_dup": video_framehash_near_dup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_exact_pairs": ngram_jaccard_exact_pairs,
     "token_counts": token_counts,

@@ -124,6 +124,50 @@ class ImagePHashBands:
         return sig_band_rows(ids, sigs, "phash")
 
 
+class VideoFrameHashes:
+    """Stage: (doc_id, payload) -> one row per DISTINCT frame hash:
+    (doc_id, fhash, nframes) where fhash = aHash64 of the decoded frame
+    and nframes = the doc's distinct-frame-hash count (carried on every
+    row so the downstream Jaccard never needs a second sizes shuffle).
+
+    Y4M decode + per-frame hashing happen here; a video leaves the stage
+    as <= a dozen 24-byte rows regardless of payload size."""
+
+    def __init__(self):
+        self.codec = _make_codec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pay = batch["payload"]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_ids: list[np.ndarray] = []
+        out_fh: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        for i in range(len(batch)):  # per-row: payloads are opaque blobs
+            frames = self.codec.decode_video(pay[i].as_py())
+            fh = np.unique(
+                np.array([ahash64(f) for f in frames], np.uint64)
+            )
+            out_ids.append(np.full(fh.shape[0], ids[i], np.int64))
+            out_fh.append(fh)
+            out_n.append(np.full(fh.shape[0], fh.shape[0], np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(out_ids) if out_ids else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "fhash": pa.array(
+                    np.concatenate(out_fh) if out_fh else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "nframes": pa.array(
+                    np.concatenate(out_n) if out_n else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+
 class AudioFingerprint:
     """Stage: (doc_id, payload) -> (doc_id, audio_fp) — WAV decode +
     energy-profile fingerprint; 8 bytes per asset leave the stage."""

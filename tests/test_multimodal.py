@@ -472,3 +472,46 @@ def test_audio_fingerprint_dedup_drops_planted_dups(ray_session, tmp_path):
     assert got["keep"][:20].all()
     assert not got["keep"][20:].any()
     assert got["audio_fp"][20] == got["audio_fp"][3]
+
+
+def _drv_video_sets(sf_dir):
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.stages.mediadedup import ahash64
+    from hg_dedup_ray.stages.multimodal import StdCodec, video_payload
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    codec = StdCodec()
+    sets = {}
+    for d, s in zip(t["doc_id"].to_numpy(), t["text"].to_pylist()):
+        frames = codec.decode_video(video_payload(s.encode("utf-8")))
+        sets[int(d)] = set(int(ahash64(f)) for f in frames)
+    return sets
+
+
+def test_video_framehash_near_dup_matches_bruteforce(ray_session):
+    """The inverted-index frame-Jaccard is EXACT for threshold > 0 (any
+    qualifying pair shares a frame hash, and shared hashes are hot by
+    definition): output must equal the all-pairs set scan."""
+    from hg_dedup_ray.pipelines.queries import video_framehash_near_dup
+
+    sf = "/root/testdata/sf0.001"
+    threshold = 0.5
+    got = video_framehash_near_dup(sf, threshold=threshold).to_pandas()
+    got_set = {
+        (a, b, round(j, 9))
+        for a, b, j in zip(got["doc_id_a"], got["doc_id_b"], got["jaccard"])
+    }
+    assert len(got) == len(got_set)  # no duplicate pair rows
+    sets = _drv_video_sets(sf)
+    ids = sorted(sets)
+    want = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                want.add((a, b, round(inter / union, 9)))
+    assert got_set == want
+    assert len(want) > 0  # fixture has exact text dups -> jaccard-1 pairs
