@@ -1258,6 +1258,60 @@ ORACLE_SQL = {
     # Substring decontamination: a training doc window is contaminated
     # iff the same 64-byte string occurs in a benchmark doc; SQL joins
     # exact substr windows (chars == bytes on the ASCII fixture).
+    # Flagship keep-first window dedup, doc-internal windows: explode
+    # every 64-char window with its position, keep the min (doc_id, pos)
+    # occurrence per distinct window value, coalesce the rest into
+    # per-doc islands with the reference gap rule (break at diff > 64).
+    # Chars == bytes on the ASCII fixture (documented divergence).
+    "window_dedup_report": """
+        WITH w AS (
+          SELECT doc_id,
+                 UNNEST(range(1, greatest(length(text) - 63, 0) + 1)) - 1
+                     AS pos,
+                 UNNEST(list_transform(
+                     range(1, greatest(length(text) - 63, 0) + 1),
+                     i -> substr(text, i::INT, 64))) AS win
+          FROM documents
+        ),
+        firsts AS (
+          SELECT win, min(doc_id * 4294967296 + pos) AS k0, count(*) AS n
+          FROM w GROUP BY win
+        ),
+        rp AS (
+          SELECT w.doc_id, w.pos
+          FROM w JOIN firsts USING (win)
+          WHERE firsts.n >= 2
+            AND w.doc_id * 4294967296 + w.pos <> firsts.k0
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          IS NULL
+                      OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > 64
+                      THEN 1 ELSE 0 END AS brk
+          FROM rp
+        ),
+        isl2 AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        ),
+        agg AS (
+          SELECT doc_id,
+                 sum(e - s)::BIGINT AS removed_bytes,
+                 sum(nw)::BIGINT AS n_dup_windows
+          FROM (SELECT doc_id, island, min(pos) AS s, max(pos) + 64 AS e,
+                       count(*) AS nw
+                FROM isl2 GROUP BY doc_id, island)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+               coalesce(a.removed_bytes, 0)::BIGINT AS removed_bytes
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
     "substring_decontaminate": """
         WITH bw AS (
           SELECT DISTINCT UNNEST(list_transform(

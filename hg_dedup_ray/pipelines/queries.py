@@ -2357,6 +2357,172 @@ def video_framehash_near_dup(sf_dir: str, threshold: float = 0.5, num_buckets: i
     )
 
 
+def window_dedup_report(sf_dir: str, minlen: int = 64):
+    """The flagship's keep-first substring-dedup semantics as an
+    ORACLE-CHECKED per-doc report: for every ``minlen``-byte window lying
+    fully inside a doc, the occurrence with the smallest (doc_id, pos)
+    is kept and every other occurrence becomes a remove pointer
+    (reference keep-min rule, cpp_engine_dedup.h:239-247); per doc the
+    sorted pointers coalesce into ranges with the reference's gap rule
+    (break at diff > minlen, cpp_engine_dedup.h:285-292) and the report
+    row is (doc_id, n_dup_windows, removed_bytes). This is the
+    north-star operation restricted to doc-internal windows so DuckDB
+    can replicate it exactly (window explode + keep-first + islands).
+
+    Scale shape: three streaming passes over the corpus, none of which
+    shuffles text. Pass 1 streams window hashes and emits each batch-
+    distinct hash once (twice when it repeats in-batch), so the global
+    count >= 2 test = the hot-window set; pass 2 ships (hash, key) rows
+    for HOT windows only (dup-bounded) through a 64-way coarse-bucket
+    segment-min to get each hot window's global first key; pass 3
+    re-streams, probes the broadcast (hot, first-key) map, and folds
+    remove pointers into per-doc islands vectorized. u64 rolling hashes
+    stand in for window identity with the same documented collision
+    odds as substring_decontaminate (~n^2/2^64). Windows are BYTES; the
+    oracle's substr() is characters — identical on the ASCII fixtures."""
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+    from hg_dedup_ray.functions.scan import _window_hashes
+
+    def _batch_windows(batch: pa.Table):
+        """(hashes, window_doc_row, in_doc_pos, valid_mask, ids)."""
+        data, offsets = string_column_bytes(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 32):
+            # the keep-first key packs (doc_id, pos) into one u64
+            raise ValueError("window_dedup_report requires 0 <= doc_id < 2^32")
+        if data.shape[0] < minlen:
+            z = np.empty(0, np.int64)
+            return np.empty(0, np.uint64), z, z, np.empty(0, bool), ids
+        h = _window_hashes(data, minlen)
+        m = h.shape[0]
+        pos = np.arange(m, dtype=np.int64)
+        wdoc = np.searchsorted(offsets, pos, side="right") - 1
+        valid = pos + minlen <= offsets[1:][wdoc]
+        return h, wdoc, pos - offsets[:-1][wdoc], valid, ids
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        # distinct hash once + once more when it repeats IN-batch, so a
+        # global occurrence count >= 2 is exactly "row count >= 2" here
+        h, _wdoc, _ip, valid, _ids = _batch_windows(batch)
+        hv = np.sort(h[valid])
+        if hv.shape[0]:
+            starts = np.flatnonzero(
+                np.concatenate(([True], hv[1:] != hv[:-1]))
+            )
+            cnt = np.diff(np.concatenate((starts, [hv.shape[0]])))
+            u = hv[starts]
+            hv = np.concatenate([u, u[cnt >= 2]])
+        return pa.table({"h": pa.array(hv, pa.uint64())})
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    mat = docs.map_batches(
+        hash_partial, batch_format="pyarrow", batch_size=4096
+    ).materialize()
+    hot = hot_u64_keys(mat, "h")
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_dup_windows": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "removed_bytes": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    if hot.shape[0] == 0:
+        return docs.map_batches(zeros, batch_format="pyarrow")
+    hot_ref = ray.put(hot)
+
+    def hot_keys(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        H = get_broadcast(hot_ref)
+        h, wdoc, ip, valid, ids = _batch_windows(batch)
+        p = np.searchsorted(H, h)
+        pc_ = np.minimum(p, H.shape[0] - 1)
+        hit = valid & (p < H.shape[0]) & (H[pc_] == h)
+        hh = h[hit]
+        key = (ids[wdoc[hit]].astype(np.uint64) << np.uint64(32)) | ip[
+            hit
+        ].astype(np.uint64)
+        return pa.table(
+            {
+                "hbucket": pa.array(
+                    (hh % np.uint64(64)).astype(np.int64), pa.int64()
+                ),
+                "h": pa.array(hh, pa.uint64()),
+                "k": pa.array(key, pa.uint64()),
+            }
+        )
+
+    def first_key_combine(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, h))
+        h, k = h[order], k[order]
+        keep = np.concatenate(([True], h[1:] != h[:-1]))
+        return pa.table(
+            {"h": pa.array(h[keep], pa.uint64()), "k": pa.array(k[keep], pa.uint64())}
+        )
+
+    firsts = (
+        docs.map_batches(hot_keys, batch_format="pyarrow", batch_size=4096)
+        .groupby("hbucket")
+        .map_groups(first_key_combine, batch_format="pyarrow")
+    )
+    # hot-window first-key map: dup-distinct-bounded (16 B per distinct
+    # duplicated window), the same broadcast budget as the keeper sets
+    tabs = [t for t in ray.get(firsts.to_arrow_refs()) if len(t)]
+    fh = np.concatenate(
+        [t["h"].to_numpy(zero_copy_only=False) for t in tabs]
+        or [np.empty(0, np.uint64)]
+    )
+    fk = np.concatenate(
+        [t["k"].to_numpy(zero_copy_only=False) for t in tabs]
+        or [np.empty(0, np.uint64)]
+    )
+    order = np.argsort(fh)
+    map_ref = ray.put((fh[order], fk[order]))
+
+    def report(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        HS, KMIN = get_broadcast(map_ref)
+        h, wdoc, ip, valid, ids = _batch_windows(batch)
+        nb = len(batch)
+        p = np.searchsorted(HS, h)
+        pc_ = np.minimum(p, HS.shape[0] - 1)
+        hit = valid & (p < HS.shape[0]) & (HS[pc_] == h)
+        key = (ids[wdoc].astype(np.uint64) << np.uint64(32)) | ip.astype(
+            np.uint64
+        )
+        rm = hit & (key != KMIN[pc_])
+        d, rp = wdoc[rm], ip[rm]  # pos-ascending => sorted per doc
+        nw = np.bincount(d, minlength=nb).astype(np.int64)
+        if rp.shape[0]:
+            st = np.flatnonzero(
+                np.concatenate(
+                    ([True], (d[1:] != d[:-1]) | (rp[1:] - rp[:-1] > minlen))
+                )
+            )
+            en = np.concatenate((st[1:], [rp.shape[0]]))
+            seg = rp[en - 1] - rp[st] + minlen
+            rb = np.bincount(d[st], weights=seg, minlength=nb).astype(np.int64)
+        else:
+            rb = np.zeros(nb, np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_dup_windows": pa.array(nw, pa.int64()),
+                "removed_bytes": pa.array(rb, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(report, batch_format="pyarrow", batch_size=4096)
+
+
 def dup_doc_report(sf_dir: str, minlen: int = 64):
     """Diagnostic D5/D6 (reference find_dup_ptrs/find_dup_docs,
     cpp_engine_dedup.h:801-867): per doc containing duplicate-run
@@ -3115,6 +3281,7 @@ QUERIES = {
     "event_type_stats": event_type_stats,
     "top_docs_by_chars": top_docs_by_chars,
     "dup_doc_report": dup_doc_report,
+    "window_dedup_report": window_dedup_report,
     "jsonl_roundtrip_dedup": jsonl_roundtrip_dedup,
     "sa_dedup_documents": sa_dedup_documents,
     "minhash_clusters": minhash_clusters,
