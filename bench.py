@@ -141,6 +141,7 @@ def run_bench() -> dict:
             "unigram_counts",
             "ann_topk",
             "embedding_near_dup_pairs",
+            "window_dedup_report",
         ]
     for name in bench_queries:
         t0 = time.time()

@@ -2417,7 +2417,7 @@ def window_dedup_report(sf_dir: str, minlen: int = 64):
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     mat = docs.map_batches(
-        hash_partial, batch_format="pyarrow", batch_size=4096
+        hash_partial, batch_format="pyarrow", batch_size=1024
     ).materialize()
     hot = hot_u64_keys(mat, "h")
 
@@ -2468,7 +2468,7 @@ def window_dedup_report(sf_dir: str, minlen: int = 64):
         )
 
     firsts = (
-        docs.map_batches(hot_keys, batch_format="pyarrow", batch_size=4096)
+        docs.map_batches(hot_keys, batch_format="pyarrow", batch_size=1024)
         .groupby("hbucket")
         .map_groups(first_key_combine, batch_format="pyarrow")
     )
@@ -2520,7 +2520,7 @@ def window_dedup_report(sf_dir: str, minlen: int = 64):
             }
         )
 
-    return docs.map_batches(report, batch_format="pyarrow", batch_size=4096)
+    return docs.map_batches(report, batch_format="pyarrow", batch_size=1024)
 
 
 def dup_doc_report(sf_dir: str, minlen: int = 64):
