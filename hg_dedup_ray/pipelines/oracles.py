@@ -463,6 +463,26 @@ ORACLE_SQL = {
         SELECT doc_id, lang FROM sm
         WHERE sm % 10000 < {_SAMPLE_RATE_CASE}
     """,
+    # Global deterministic shuffle rank: splitmix64(doc_id) is a u64
+    # bijection, so ORDER BY sm is a total order with no ties.
+    "deterministic_shuffle": f"""
+        WITH {_splitmix_doc_id_sql()}
+        SELECT doc_id,
+               (row_number() OVER (ORDER BY sm) - 1)::BIGINT AS shuffle_rank
+        FROM sm
+    """,
+    # Per-source quota: rank docs within source by the same splitmix64
+    # priority, keep rank < 15 (webclean.CAP_PER_SOURCE).
+    "cap_per_source": f"""
+        WITH {_splitmix_doc_id_sql()},
+        r AS (
+          SELECT d.doc_id, d.source,
+                 (row_number() OVER (PARTITION BY d.source ORDER BY s.sm)
+                  - 1)::BIGINT AS src_rank
+          FROM documents d JOIN sm s ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, source, src_rank FROM r WHERE src_rank < 15
+    """,
     "decontaminate": r"""
         WITH words AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -3255,7 +3255,9 @@ from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     unigram_logprob,
 )
 from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
+    cap_per_source,
     decontaminate,
+    deterministic_shuffle,
     incremental_dedup,
     json_props_stats,
     pack_sequences,
@@ -3319,6 +3321,8 @@ QUERIES = {
     "minhash_sig_rows": minhash_sig_rows,
     "decontaminate": decontaminate,
     "stratified_sample": stratified_sample,
+    "deterministic_shuffle": deterministic_shuffle,
+    "cap_per_source": cap_per_source,
     "redact_pii": redact_pii,
     "json_props_stats": json_props_stats,
     "pack_sequences": pack_sequences,

@@ -663,3 +663,182 @@ def substring_decontaminate(sf_dir: str, minlen: int = 64, bench_mod: int = 19):
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         probe, batch_format="pyarrow", batch_size=4096
     )
+
+
+# ------------------------------------------------- deterministic_shuffle
+
+
+SHUFFLE_BUCKET_BITS = 12  # 4096 fixed rank buckets at any corpus size
+
+
+def deterministic_shuffle(sf_dir: str):
+    """Global training-order shuffle WITHOUT a sort shuffle: rank every
+    doc by splitmix64(doc_id) (a u64 bijection — no ties) using a
+    two-pass histogram. Pass 1 streams per-batch counts of the hash's
+    top 12 bits (4096 buckets; only (bucket, count) int rows leave the
+    workers); the driver prefix-sums them into bucket base offsets.
+    Pass 2 groups rows by bucket — the group count is FIXED at 4096
+    regardless of corpus size, per the repo groupby rule — and each
+    group sorts locally: global_rank = base[bucket] + local_rank.
+
+    This is the deterministic, cluster-size-independent alternative to
+    ``Dataset.random_shuffle`` a reproducible training pipeline needs:
+    same permutation on 1 node or 256. Output (doc_id, shuffle_rank).
+    Only (bucket:int64, sm:u64, doc_id) rows enter the one shuffle —
+    inherent to emitting a global permutation."""
+    from hg_dedup_ray.functions.bloom import _splitmix
+
+    shift = np.uint64(64 - SHUFFLE_BUCKET_BITS)
+    n_buckets = 1 << SHUFFLE_BUCKET_BITS
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = (_splitmix(ids.astype(np.uint64)) >> shift).astype(np.int64)
+        cnt = np.bincount(b, minlength=n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "cnt": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    parts = docs.map_batches(
+        count_partial, batch_format="pyarrow", batch_size=65536
+    ).materialize()
+    total = np.zeros(n_buckets, np.int64)
+    for t in ray.get(parts.to_arrow_refs()):
+        if len(t):
+            total[t["bucket"].to_numpy(zero_copy_only=False)] += t[
+                "cnt"
+            ].to_numpy(zero_copy_only=False)
+    base = np.concatenate(([0], np.cumsum(total)[:-1]))
+    base_ref = ray.put(base)
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sm = _splitmix(ids.astype(np.uint64))
+        return pa.table(
+            {
+                "bucket": pa.array((sm >> shift).astype(np.int64), pa.int64()),
+                "sm": pa.array(sm, pa.uint64()),
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        b = get_broadcast(base_ref)
+        sm = group["sm"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sm)
+        bucket = int(group["bucket"][0].as_py())
+        rank = int(b[bucket]) + np.arange(sm.shape[0], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "shuffle_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(key_rows, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
+# -------------------------------------------------------- cap_per_source
+
+
+CAP_PER_SOURCE = 15
+
+
+def cap_per_source(sf_dir: str, cap: int = CAP_PER_SOURCE):
+    """Per-source quota sampling — the curation op that stops one domain
+    from dominating the mix: keep at most ``cap`` docs per source,
+    chosen by deterministic random priority splitmix64(doc_id) (ties
+    impossible — the hash is a bijection). Output (doc_id, source,
+    src_rank) of kept docs.
+
+    Scale shape: sources hash into 64 coarse buckets (fixed group
+    count); within a bucket the rows are dictionary-encoded (EXACT
+    source identity, no hash-collision caveat), lexsorted by
+    (source_code, sm), and ranked with one searchsorted subtraction —
+    no per-source Python. Only (bucket, sm, doc_id, source) rows
+    shuffle; at web scale source cardinality is huge but each group is
+    a fixed 1/64 slice, and skewed mega-sources cost one extra lexsort
+    term, not a hot task."""
+    from hg_dedup_ray.functions.bloom import _splitmix
+
+    n_buckets = 64
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sm = _splitmix(ids.astype(np.uint64))
+        src = batch["source"]
+        enc = (
+            src.combine_chunks().dictionary_encode()
+            if isinstance(src, pa.ChunkedArray)
+            else src.dictionary_encode()
+        )
+        # bucket by a DETERMINISTIC hash of the source STRING so one
+        # source's rows co-locate regardless of which worker hashes them
+        # (Python's hash() is per-process salted); the in-bucket
+        # grouping below is exact
+        import hashlib
+
+        dhash = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(),
+                    "little",
+                )
+                & 0x7FFFFFFF
+                for v in enc.dictionary.to_pylist()
+            ],
+            np.int64,
+        )
+        bucket = dhash[enc.indices.to_numpy(zero_copy_only=False)] % n_buckets
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "sm": pa.array(sm, pa.uint64()),
+                "doc_id": batch["doc_id"],
+                "source": src,
+            }
+        )
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        sm = group["sm"].to_numpy(zero_copy_only=False)
+        src = group["source"]
+        enc = (
+            src.combine_chunks().dictionary_encode()
+            if isinstance(src, pa.ChunkedArray)
+            else src.dictionary_encode()
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sm, codes))
+        codes_s = codes[order]
+        starts = np.searchsorted(codes_s, np.arange(len(enc.dictionary)))
+        src_rank = np.arange(codes_s.shape[0], dtype=np.int64) - starts[codes_s]
+        keep = src_rank < cap
+        kept = order[keep]
+        return pa.table(
+            {
+                "doc_id": group["doc_id"].take(pa.array(kept, pa.int64())),
+                "source": src.take(pa.array(kept, pa.int64()))
+                if not isinstance(src, pa.ChunkedArray)
+                else src.combine_chunks().take(pa.array(kept, pa.int64())),
+                "src_rank": pa.array(src_rank[keep], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "source"])
+        .map_batches(key_rows, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
