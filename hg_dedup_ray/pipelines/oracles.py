@@ -247,6 +247,58 @@ def _kmv_sql(k: int = 16) -> str:
     """
 
 
+def _cms_sql(depth: int = 4, width: int = 1024, topk: int = 20) -> str:
+    """DuckDB replication of sketches.approx_counts_cms: the same
+    token-hash chain as the KMV oracle, cells = depth 10-bit lanes of
+    the splitmix output, counters = per-cell occurrence sums, estimate
+    per distinct token = least over rows — the full Count-Min Sketch in
+    SQL, then ORDER BY estimate DESC, token LIMIT topk."""
+    fold = (
+        "CAST(CASE WHEN length(token) >= 1"
+        " THEN ord(substr(token, 1, 1)) ELSE 0 END AS HUGEINT)"
+    )
+    for j in range(2, 9):
+        fold = (
+            f"(({fold}) * {_FNV_C} + CASE WHEN length(token) >= {j}"
+            f" THEN ord(substr(token, {j}, 1)) ELSE 0 END) % {_M64}"
+        )
+    fold = f"(({fold}) * {_FNV_C} + length(token)) % {_M64}"
+    cell_exprs = ", ".join(
+        f"(sm // {1 << (10 * r)}) % {width} AS c{r}" for r in range(depth)
+    )
+    ctr_ctes = ", ".join(
+        f"ctr{r} AS (SELECT c{r} AS cell, sum(cnt) AS v"
+        f" FROM cells GROUP BY c{r})"
+        for r in range(depth)
+    )
+    joins = " ".join(
+        f"JOIN ctr{r} j{r} ON j{r}.cell = cells.c{r}" for r in range(depth)
+    )
+    least = ", ".join(f"j{r}.v" for r in range(depth))
+    return rf"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) <> ''
+        ),
+        tokcnt AS (SELECT token, count(*)::BIGINT AS cnt
+                   FROM toks GROUP BY token),
+        raw AS (SELECT token, cnt, ({fold}) AS x FROM tokcnt),
+        c1 AS (SELECT token, cnt, {_xorshift('x', 30)} AS x FROM raw),
+        c2 AS (SELECT token, cnt, {_mulmod64('x', _SM1)} AS x FROM c1),
+        c3 AS (SELECT token, cnt, {_xorshift('x', 27)} AS x FROM c2),
+        c4 AS (SELECT token, cnt, {_mulmod64('x', _SM2)} AS x FROM c3),
+        smt AS (SELECT token, cnt,
+                       CAST({_xorshift('x', 31)} AS HUGEINT) AS sm FROM c4),
+        cells AS (SELECT token, cnt, {cell_exprs} FROM smt),
+        {ctr_ctes}
+        SELECT cells.token AS token,
+               least({least})::BIGINT AS est_count
+        FROM cells {joins}
+        ORDER BY est_count DESC, token
+        LIMIT {topk}
+    """
+
+
 def _lloyd_sql(k: int = KMEANS_K, iters: int = LLOYD_ITERS) -> str:
     """Unrolled spherical Lloyd k-means in SQL: one CTE block per
     iteration (assign -> per-cluster per-dim mean -> keep-previous for
@@ -995,6 +1047,7 @@ ORACLE_SQL = {
         FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
     """,
     "approx_distinct_kmv": _kmv_sql(),
+    "approx_counts_cms": _cms_sql(),
     "approx_distinct_hll": _hll_sql(),
     "kmeans_lloyd": _lloyd_sql(),
     "substring_counts": _substring_counts_sql(),

@@ -2156,7 +2156,9 @@ def audio_fingerprint_dedup(sf_dir: str):
     fingerprints. Same coarse-bucket combine as exact_dedup: each batch
     pre-reduces to its per-fp min doc_id (one lexsort), the shuffle
     groups by fp%64 (fixed group count at any corpus size), keeper ids
-    broadcast back for the keep flag. Output (doc_id, audio_fp, keep);
+    broadcast back for the keep flag (at a scale where keepers outgrow
+    the driver, swap in the hash(doc_id)%B bucketed semi-join exactly as
+    exact_dedup documents). Output (doc_id, audio_fp, keep);
     rows-only (PCM decode has no SQL oracle) — keep-flag equality vs a
     brute-force fingerprint scan is pinned in tests/test_multimodal.py."""
     from hg_dedup_ray.stages.mediadedup import AudioFingerprint
@@ -3237,6 +3239,7 @@ from hg_dedup_ray.pipelines.relational import (  # noqa: E402
     supplier_balance_by_region,
 )
 from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
+    approx_counts_cms,
     approx_distinct_hll,
     approx_distinct_kmv,
     distinct_token_counts,
@@ -3318,6 +3321,7 @@ QUERIES = {
     "dup_ngram_stats": dup_ngram_stats,
     "approx_distinct_hll": approx_distinct_hll,
     "approx_distinct_kmv": approx_distinct_kmv,
+    "approx_counts_cms": approx_counts_cms,
     "minhash_sig_rows": minhash_sig_rows,
     "decontaminate": decontaminate,
     "stratified_sample": stratified_sample,

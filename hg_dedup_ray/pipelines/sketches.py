@@ -443,3 +443,121 @@ def approx_distinct_hll(sf_dir: str, p: int = hll.DEFAULT_P):
         .groupby("lang")
         .map_groups(merge_lang, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------- count-min sketch
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024       # 2^10 cells per row; row r reads hash bits [10r,10r+10)
+CMS_TOPK = 20
+
+
+def approx_counts_cms(sf_dir: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH, topk: int = CMS_TOPK):
+    """Count-Min-Sketch token counts (Cormode-Muthukrishnan), DuckDB
+    value-checked: the sketch itself — not just its output shape — is
+    replicated in SQL, like the KMV/HLL oracles. Each token's cells are
+    ``depth`` 10-bit lanes of its splitmix64 hash (the same
+    ``kmv_token_hashes`` chain the KMV oracle replicates); the counter
+    table is a FIXED depth x width int64 vector, so pass A ships only
+    nonzero (cell, count) int rows per batch — never tokens — and the
+    driver sums them (4096 counters; the sketch is mergeable, so a
+    multi-node run tree-reduces identically). Pass B probes the
+    broadcast counters for each batch-DISTINCT token string and keeps
+    the batch-local top-k by (estimate DESC, token ASC); any global
+    top-k token is inside its own batch's local top-k (estimates come
+    from the GLOBAL counters, and a batch sees a subset of competitors),
+    so the driver union + re-sort is exact. Output (token, est_count) —
+    the top-``topk`` estimated counts, over-estimates by construction."""
+    shifts = [np.uint64(10 * r) for r in range(depth)]
+    mask = np.uint64(width - 1)
+
+    def _flat_tokens(batch: pa.Table):
+        toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+        flat = pc.list_flatten(toks)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        return flat.filter(pa.array(lens > 0))
+
+    def counter_partial(batch: pa.Table) -> pa.Table:
+        flat = _flat_tokens(batch)
+        h = kmv_token_hashes(flat)
+        idx = np.concatenate(
+            [
+                (((h >> s) & mask).astype(np.int64) + r * width)
+                for r, s in enumerate(shifts)
+            ]
+            or [np.empty(0, np.int64)]
+        )
+        cnt = np.bincount(idx, minlength=depth * width)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "cell": pa.array(nz, pa.int64()),
+                "cnt": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(counter_partial, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+    counters = np.zeros(depth * width, np.int64)
+    for t in ray.get(parts.to_arrow_refs()):
+        if len(t):
+            counters[t["cell"].to_numpy(zero_copy_only=False)] += t[
+                "cnt"
+            ].to_numpy(zero_copy_only=False)
+    ctr_ref = ray.put(counters)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        C = get_broadcast(ctr_ref)
+        flat = _flat_tokens(batch)
+        uniq = pc.unique(flat)  # distinct by STRING (hash collisions by
+        # design in the 8-byte-prefix chain must list both tokens,
+        # matching the SQL side)
+        if len(uniq) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "est_count": pa.array([], pa.int64()),
+                }
+            )
+        h = kmv_token_hashes(uniq)
+        est = np.min(
+            np.stack(
+                [
+                    C[(((h >> s) & mask).astype(np.int64) + r * width)]
+                    for r, s in enumerate(shifts)
+                ]
+            ),
+            axis=0,
+        )
+        toks = np.asarray(uniq.to_pylist(), dtype=object)
+        order = np.argsort(toks, kind="stable")  # token ASC
+        order = order[np.argsort(-est[order], kind="stable")]  # est DESC
+        take = order[:topk]
+        return pa.table(
+            {
+                "token": pa.array(toks[take].tolist(), pa.string()),
+                "est_count": pa.array(est[take], pa.int64()),
+            }
+        )
+
+    cand = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    )  # <= topk rows per batch: answer-sized driver collection
+    best: dict[str, int] = {}
+    for r in cand:
+        best[r["token"]] = int(r["est_count"])
+    rows = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return pa.table(
+        {
+            "token": pa.array([t for t, _ in rows], pa.string()),
+            "est_count": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
