@@ -294,3 +294,62 @@ def test_substring_decontaminate_planted(ray_session, tmp_path):
     assert n >= 1
     assert not bool(out.loc[2, "is_contaminated"])
     assert not bool(out.loc[3, "is_contaminated"])
+
+
+def test_deterministic_shuffle_partition_independent(ray_session, tmp_path):
+    """The histogram-ranked shuffle must yield the SAME permutation no
+    matter how the input is partitioned (the cluster-size-independence
+    claim): one file vs four files, identical (doc_id -> rank) map, and
+    the ranks are a permutation of 0..n-1."""
+    from hg_dedup_ray.pipelines.webclean import deterministic_shuffle
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(400).astype(np.int64)
+    texts = [f"doc {i}" for i in ids]
+
+    one = tmp_path / "one"
+    four = tmp_path / "four"
+    one.mkdir()
+    four.mkdir()
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, one / "documents.parquet")
+    (four / "documents.parquet").mkdir()
+    for j in range(4):
+        pq.write_table(
+            t.slice(j * 100, 100),
+            four / "documents.parquet" / f"part-{j}.parquet",
+        )
+
+    a = deterministic_shuffle(str(one)).to_pandas()
+    b = deterministic_shuffle(str(four)).to_pandas()
+    ma = dict(zip(a["doc_id"], a["shuffle_rank"]))
+    mb = dict(zip(b["doc_id"], b["shuffle_rank"]))
+    assert ma == mb
+    assert sorted(ma.values()) == list(range(400))
+
+
+def test_cap_per_source_mega_source_skew(ray_session, tmp_path):
+    """One source holding 80% of all docs (the hot-domain case) must
+    still be capped exactly, with the kept set = the cap lowest
+    splitmix priorities of that source."""
+    from hg_dedup_ray.functions.bloom import _splitmix
+    from hg_dedup_ray.pipelines.webclean import cap_per_source
+
+    n = 500
+    src = np.where(np.arange(n) % 5 == 0, "small", "mega")
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": pa.array([f"d{i}" for i in range(n)], pa.string()),
+            "source": pa.array(src.tolist(), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = cap_per_source(str(tmp_path), cap=15).to_pandas()
+    assert (got.groupby("source").size() == 15).all()
+    sm = _splitmix(np.arange(n, dtype=np.int64).astype(np.uint64))
+    for name in ("small", "mega"):
+        members = np.flatnonzero(src == name)
+        want = set(members[np.argsort(sm[members])][:15].tolist())
+        assert set(got[got["source"] == name]["doc_id"]) == want
