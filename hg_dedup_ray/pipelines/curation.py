@@ -341,6 +341,102 @@ def unigram_logprob(sf_dir: str):
     )
 
 
+# ----------------------------------------------------- bigram_logprob
+
+
+def bigram_logprob(sf_dir: str):
+    """Bigram-LM cross-entropy scoring — the order-2 step up from
+    unigram_logprob (CCNet scores with a 5-gram KenLM; the pipeline
+    shape is this one): score each doc by the mean
+    -log2 P(w_i | w_{i-1}) under the CORPUS bigram model, where
+    P(w|v) = c2(v,w) / c1(v) and c1(v) = v's count as a bigram LEFT
+    element, so P sums to 1 per context and every scored bigram exists
+    in the model (self-trained — no smoothing term to disagree on).
+
+    Passes mirror unigram_logprob: (1) two count reductions — bigram
+    strings (left || ' ' || right, injective since tokens contain no
+    whitespace) and left-token counts — broadcast once via ``ray.put``
+    (at web scale, hash bigrams into ~2^20 feature buckets exactly as
+    dsir_importance_weights documents to keep the model
+    broadcast-sized); (2) one per-batch lookup + segment sum. Output
+    (doc_id, n_bigrams, xent2); docs with < 2 tokens score 0.0. Both
+    engines compute -log2(c2/c1) with the same IEEE ops."""
+    from ray.data.aggregate import Sum
+
+    def _batch_bigrams(batch: pa.Table):
+        """(bigram strings, left tokens, parent doc rows, n rows)."""
+        flat, parents, n = _doc_words(batch["text"])
+        m = len(flat)
+        if m < 2:
+            return (
+                pa.array([], pa.string()),
+                pa.array([], pa.string()),
+                np.empty(0, np.int64),
+                n,
+            )
+        left, right = flat.slice(0, m - 1), flat.slice(1)
+        valid = parents[1:] == parents[:-1]
+        bg = pc.binary_join_element_wise(left, right, " ")
+        vmask = pa.array(valid)
+        return bg.filter(vmask), left.filter(vmask), parents[:-1][valid], n
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        bg, _left, _par, _n = _batch_bigrams(batch)
+        enc = bg.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"bg": enc.dictionary, "c": pa.array(cnt, pa.int64())})
+
+    bigram_rows = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", batch_size=8192)
+        .groupby("bg")
+        .aggregate(Sum("c", alias_name="cnt"))
+        .take_all()
+    )
+    bgs = np.array([r["bg"] for r in bigram_rows])
+    c2 = np.array([r["cnt"] for r in bigram_rows], np.float64)
+    order = np.argsort(bgs)
+    bgs, c2 = bgs[order], c2[order]
+    # left-context counts derive from the bigram table itself (c1 = sum
+    # of c2 over bigrams sharing the left token) — no third pass
+    lefts = np.array([b.split(" ", 1)[0] for b in bgs.tolist()])
+    lorder = np.argsort(lefts, kind="stable")
+    ls, cs = lefts[lorder], c2[lorder]
+    starts = np.flatnonzero(np.concatenate(([True], ls[1:] != ls[:-1])))
+    luniq = ls[starts]
+    lcnt = np.add.reduceat(cs, starts) if ls.shape[0] else np.empty(0)
+    vref = ray.put({"bgs": bgs, "c2": c2, "lv": luniq, "c1": lcnt})
+
+    def score(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        v = get_broadcast(vref)
+        bg, left, par, n = _batch_bigrams(batch)
+        n_big = np.bincount(par, minlength=n).astype(np.int64)
+        if len(bg):
+            bgn = np.asarray(bg.to_pylist(), dtype=str)
+            ln = np.asarray(left.to_pylist(), dtype=str)
+            c2v = v["c2"][np.searchsorted(v["bgs"], bgn)]
+            c1v = v["c1"][np.searchsorted(v["lv"], ln)]
+            w = -np.log2(c2v / c1v)
+            s = np.bincount(par, weights=w, minlength=n)
+        else:
+            s = np.zeros(n)
+        xent2 = np.where(n_big > 0, s / np.maximum(n_big, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "xent2": pa.array(xent2, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", batch_size=8192
+    )
+
+
 # ------------------------------------------ dsir_importance_weights
 
 

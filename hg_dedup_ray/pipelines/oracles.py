@@ -1328,6 +1328,34 @@ ORACLE_SQL = {
                CASE WHEN n IS NULL THEN 0.0 ELSE s / n END AS xent
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
+    # Bigram-LM cross-entropy: P(w|v) = c2(v,w) / c1(v) where c1 counts
+    # v as a bigram LEFT element (so P sums to 1 per context and the
+    # self-trained model needs no smoothing). Bigram identity = the
+    # space-joined pair, injective since tokens hold no whitespace.
+    "bigram_logprob": r"""
+        WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        big AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])) AS bg,
+                 unnest(list_transform(range(1, len(w)), i -> w[i])) AS lw
+          FROM words
+        ),
+        c2 AS (SELECT bg, count(*)::DOUBLE AS c FROM big GROUP BY bg),
+        c1 AS (SELECT lw, count(*)::DOUBLE AS c FROM big GROUP BY lw),
+        per AS (
+          SELECT b.doc_id, count(*)::BIGINT AS n,
+                 sum(-log2(c2.c / c1.c)) AS s
+          FROM big b JOIN c2 ON b.bg = c2.bg JOIN c1 ON b.lw = c1.lw
+          GROUP BY b.doc_id
+        )
+        SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_bigrams,
+               CASE WHEN n IS NULL THEN 0.0 ELSE s / n END AS xent2
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
     # Substring decontamination: a training doc window is contaminated
     # iff the same 64-byte string occurs in a benchmark doc; SQL joins
     # exact substr windows (chars == bytes on the ASCII fixture).

@@ -3257,6 +3257,7 @@ from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     token_entropy,
     unigram_logprob,
 )
+from hg_dedup_ray.pipelines.curation import bigram_logprob  # noqa: E402
 from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     cap_per_source,
     decontaminate,
@@ -3348,6 +3349,7 @@ QUERIES = {
     "kmeans_assign": kmeans_assign,
     "semantic_dedup": semantic_dedup,
     "unigram_logprob": unigram_logprob,
+    "bigram_logprob": bigram_logprob,
     "dsir_importance_weights": dsir_importance_weights,
     "url_dedup_latest": url_dedup_latest,
     "substring_decontaminate": substring_decontaminate,
