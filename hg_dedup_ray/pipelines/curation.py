@@ -401,11 +401,14 @@ def bigram_logprob(sf_dir: str):
     # left-context counts derive from the bigram table itself (c1 = sum
     # of c2 over bigrams sharing the left token) — no third pass
     lefts = np.array([b.split(" ", 1)[0] for b in bgs.tolist()])
-    lorder = np.argsort(lefts, kind="stable")
-    ls, cs = lefts[lorder], c2[lorder]
-    starts = np.flatnonzero(np.concatenate(([True], ls[1:] != ls[:-1])))
-    luniq = ls[starts]
-    lcnt = np.add.reduceat(cs, starts) if ls.shape[0] else np.empty(0)
+    if lefts.shape[0]:
+        lorder = np.argsort(lefts, kind="stable")
+        ls, cs = lefts[lorder], c2[lorder]
+        starts = np.flatnonzero(np.concatenate(([True], ls[1:] != ls[:-1])))
+        luniq = ls[starts]
+        lcnt = np.add.reduceat(cs, starts)
+    else:  # empty corpus: no bigrams anywhere
+        luniq, lcnt = lefts, np.empty(0)
     vref = ray.put({"bgs": bgs, "c2": c2, "lv": luniq, "c1": lcnt})
 
     def score(batch: pa.Table) -> pa.Table:

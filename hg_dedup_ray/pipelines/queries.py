@@ -1742,6 +1742,16 @@ def ann_topk(sf_dir: str):
     qt = emb.filter(expr=f"vec_id < {ANN_NUM_QUERIES}").to_pandas()
     import pandas  # noqa: F401
 
+    if len(qt) == 0:  # empty corpus: no queries, empty result
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
     qmat = np.stack(qt.sort_values("vec_id")["embedding"].to_numpy())
     qids = qt.sort_values("vec_id")["vec_id"].to_numpy()
     queries_ref = ray.put({"qids": qids, "qmat": qmat})
@@ -1783,6 +1793,16 @@ def ann_ivf_topk(sf_dir: str, n_cells: int = 8, nprobe: int = 2):
     sample = np.array(
         [r["embedding"] for r in emb.limit(512).take_all()], dtype=np.float64
     )
+    if sample.size == 0:  # empty corpus: nothing to cluster or rank
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
     cents = kmeans_centroids(sample, n_cells)
     cents_ref = ray.put(cents)
     from hg_dedup_ray.pipelines.sa_dedup import _task_stage
@@ -2004,8 +2024,23 @@ def sa_dedup_resumable(sf_dir: str):
             seq_col="doc_id", id_col="doc_id", text_col="text",
         )
         run_dedup_resumable(f"{sf_dir}/documents.parquet", out_dir, cfg)
+        import glob
+
         import pyarrow.parquet as pq
 
+        # pyarrow datasets ignore _-prefixed dirs (the _ckpt artifacts),
+        # so only part=*/ files count as output
+        if not glob.glob(f"{out_dir}/part=*/*.parquet"):
+            # empty input: zero partitions processed, no output files
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "doc_seq": pa.array([], pa.int64()),
+                    "n_bytes": pa.array([], pa.int64()),
+                    "n_removed_bytes": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
         t = pq.read_table(
             out_dir, columns=["url", "doc_seq", "n_bytes", "n_removed_bytes", "cluster_id"]
         )
@@ -2072,6 +2107,18 @@ def html_features(sf_dir: str):
     from hg_dedup_ray.stages.multimodal import HtmlFeatures
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if n_docs == 0:  # empty corpus: no pages to parse
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "n_tags": pa.array([], pa.int64()),
+                    "n_links": pa.array([], pa.int64()),
+                    "title": pa.array([], pa.string()),
+                    "text_ratio": pa.array([], pa.float64()),
+                }
+            )
+        )
     table, _ = generate_webpages(n_docs=n_docs, seed=42, minlen=64)
     return (
         ray.data.from_arrow(table.select(["url", "html"]))
@@ -2606,6 +2653,8 @@ def jsonl_roundtrip_dedup(sf_dir: str):
         run_jsonl_dedup(src, out, minlen=64, num_partitions=4)
         rows = []
         for f in range(n_files):
+            if not _os.path.exists(f"{out}/part{f}.jsonl"):
+                continue  # empty source shard: the sink mirrors nothing
             with open(f"{out}/part{f}.jsonl") as fh:
                 for line in fh:
                     obj = _json.loads(line)
@@ -3011,6 +3060,17 @@ def orders_per_nation(sf_dir: str):
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
+    if len(cust) == 0:  # inner join on an empty dim side: empty result
+        # (empty reads also drop the projected columns from to_pandas)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "sum_price": pa.array([], pa.float64()),
+                }
+            )
+        )
     nat = (
         ray.data.read_parquet(
             f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
@@ -3032,8 +3092,18 @@ def orders_per_nation(sf_dir: str):
         ck, cn, nk, names = get_broadcast(side_ref)
         cust_keys = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         rows = np.searchsorted(ck, cust_keys)
-        nation_keys = cn[rows]
-        nation_rows = np.searchsorted(nk, nation_keys)
+        rows_c = np.minimum(rows, ck.shape[0] - 1)
+        # inner-join semantics: drop orders whose custkey has no
+        # customer row (referential integrity holds on real TPC-H data;
+        # degenerate fixtures must not crash or mis-bucket)
+        ok = (rows < ck.shape[0]) & (ck[rows_c] == cust_keys)
+        if not ok.all():
+            batch = batch.filter(pa.array(ok))
+            rows_c = rows_c[ok]
+        nation_keys = cn[rows_c]
+        nation_rows = np.minimum(
+            np.searchsorted(nk, nation_keys), nk.shape[0] - 1
+        )
         price_c = pc.cast(
             pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
         )

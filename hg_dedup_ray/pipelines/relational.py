@@ -38,6 +38,18 @@ def revenue_by_segment(sf_dir: str, num_buckets: int = 64):
 
     # --- dim side: custkey -> segment code, broadcast once ---------------
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    if len(cust) == 0:  # inner join on an empty dim side: empty result
+        # (empty reads also drop the projected columns from to_pandas)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        )
     segs = np.sort(cust["c_mktsegment"].unique())
     seg_code = {s: i for i, s in enumerate(segs)}
     ck = cust["c_custkey"].to_numpy(np.int64)
@@ -255,6 +267,16 @@ def supplier_balance_by_region(sf_dir: str):
 
     nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
     reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    if len(nat) == 0 or len(reg) == 0:  # empty dim side: empty rollup
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "r_name": pa.array([], pa.string()),
+                    "n_suppliers": pa.array([], pa.int64()),
+                    "sum_acctbal": pa.array([], pa.float64()),
+                }
+            )
+        )
     reg = reg.sort_values("r_regionkey")
     rnames = reg["r_name"].to_numpy()
     rcode_of_key = {k: i for i, k in enumerate(reg["r_regionkey"].to_numpy())}
@@ -275,7 +297,10 @@ def supplier_balance_by_region(sf_dir: str):
             b["s_acctbal"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
         pos = np.searchsorted(dim["nkeys"], snk)
-        rc = dim["rcode"][np.minimum(pos, dim["nkeys"].shape[0] - 1)]
+        pos_c = np.minimum(pos, dim["nkeys"].shape[0] - 1)
+        ok = (pos < dim["nkeys"].shape[0]) & (dim["nkeys"][pos_c] == snk)
+        rc, cents = pos_c[ok], cents[ok]  # inner join: drop unmatched
+        rc = dim["rcode"][rc]
         n_sup = np.bincount(rc, minlength=n_reg).astype(np.int64)
         bal = np.zeros(n_reg, np.int64)
         np.add.at(bal, rc, cents)
@@ -326,6 +351,14 @@ def promo_revenue_share(sf_dir: str, broadcast_limit: int = 50_000_000):
     from hg_dedup_ray.stages.broadcast import get_broadcast
 
     part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    if len(part) == 0:  # empty dim side: empty join, no revenue rows
+        return pa.table(
+            {
+                "promo_revenue": pa.array([], pa.float64()),
+                "total_revenue": pa.array([], pa.float64()),
+                "promo_share": pa.array([], pa.float64()),
+            }
+        )
     if len(part) > broadcast_limit:  # pragma: no cover - fixture is small
         raise NotImplementedError(
             "part table above broadcast limit: route through the bucketed "
@@ -351,7 +384,10 @@ def promo_revenue_share(sf_dir: str, broadcast_limit: int = 50_000_000):
         ).astype(np.int64)
         units = cents * (100 - disc)
         pos = np.searchsorted(dim["keys"], lpk)
-        promo = dim["promo"][np.minimum(pos, dim["keys"].shape[0] - 1)]
+        pos_c = np.minimum(pos, dim["keys"].shape[0] - 1)
+        ok = (pos < dim["keys"].shape[0]) & (dim["keys"][pos_c] == lpk)
+        units = units[ok]  # inner join: drop unmatched lineitems
+        promo = dim["promo"][pos_c[ok]]
         return pa.table(
             {
                 "k": pa.array([0], pa.int64()),

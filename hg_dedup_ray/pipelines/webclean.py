@@ -305,10 +305,11 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY):
 
     @ray.remote
     def block_meta(block: pa.Table):
+        # empty-input blocks can carry a columnless schema
+        if block.num_rows == 0 or "doc_id" not in block.column_names:
+            return (None, None, 0, True)
         ids = block["doc_id"].to_numpy(zero_copy_only=False)
         nt = block["n_tokens"].to_numpy(zero_copy_only=False)
-        if ids.shape[0] == 0:
-            return (None, None, 0, True)
         mono = bool((np.diff(ids) > 0).all())
         return (int(ids[0]), int(ids[-1]), int(nt.sum()), mono)
 
@@ -328,6 +329,15 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY):
 
     @ray.remote
     def finish(block: pa.Table, base: int) -> pa.Table:
+        if block.num_rows == 0 or "doc_id" not in block.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64()),
+                    "pack_off": pa.array([], pa.int64()),
+                }
+            )
         nt = block["n_tokens"].to_numpy(zero_copy_only=False)
         cum_before = base + np.cumsum(nt) - nt
         pack_id = cum_before // capacity

@@ -72,6 +72,11 @@ def generate_webpages(
         out: list[int] = []
         for x in positions:
             x = int(np.clip(x, 0, n_docs - 1))
+            if len(used) >= n_docs:
+                # degenerate tiny corpora: every doc already claimed —
+                # allow reuse instead of probing forever
+                out.append(x)
+                continue
             while x in used:
                 x = (x + 1) % n_docs
             out.append(x)

@@ -79,6 +79,15 @@ def merge_topk(group: pa.Table, k: int) -> pa.Table:
 
 
 def _block_pair_table(ta: pa.Table, tb: pa.Table, threshold: float) -> pa.Table:
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        # repartitioning a tiny corpus can produce empty blocks whose
+        # embedding matrix is 1-D; nothing to pair with anyway
+        return pa.table(
+            {
+                "vec_id_a": pa.array([], pa.int64()),
+                "vec_id_b": pa.array([], pa.int64()),
+            }
+        )
     va = ta["vec_id"].to_numpy(zero_copy_only=False)
     vb = tb["vec_id"].to_numpy(zero_copy_only=False)
     ma = _normalize(embedding_matrix(ta))
@@ -131,6 +140,17 @@ def near_dup_pairs_blocked(emb_ds, threshold: float):
     cpus = int(ray.cluster_resources().get("CPU", 4))
     mat = emb_ds.materialize()
     n = mat.count()
+    if n == 0:
+        # zero-row parquet reads yield fragment-metadata-only blocks
+        # that lack the real columns; never hand those to tile()
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id_a": pa.array([], pa.int64()),
+                    "vec_id_b": pa.array([], pa.int64()),
+                }
+            )
+        )
     target_blocks = max(
         2,
         min(-(-n // 1536), int((4 * cpus) ** 0.5)),

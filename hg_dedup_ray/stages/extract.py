@@ -145,7 +145,10 @@ def seq_bounds(ds, cfg: DedupConfig) -> tuple[int, int]:
         if bounds is not None:
             return bounds
     res = ds.select_columns([cfg.seq_col]).aggregate(*_min_max_aggs(cfg.seq_col))
-    return int(res[f"min({cfg.seq_col})"]), int(res[f"max({cfg.seq_col})"])
+    mn, mx = res[f"min({cfg.seq_col})"], res[f"max({cfg.seq_col})"]
+    if mn is None:  # empty dataset: degenerate bounds, every stage no-ops
+        return 0, -1
+    return int(mn), int(mx)
 
 
 def _min_max_aggs(col: str):
