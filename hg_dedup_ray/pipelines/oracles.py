@@ -1364,6 +1364,75 @@ ORACLE_SQL = {
     # occurrence per distinct window value, coalesce the rest into
     # per-doc islands with the reference gap rule (break at diff > 64).
     # Chars == bytes on the ASCII fixture (documented divergence).
+    "window_ptr_report": """
+        WITH w AS (
+          SELECT doc_id,
+                 UNNEST(range(1, greatest(length(text) - 63, 0) + 1)) - 1
+                     AS pos,
+                 UNNEST(list_transform(
+                     range(1, greatest(length(text) - 63, 0) + 1),
+                     i -> substr(text, i::INT, 64))) AS win
+          FROM documents
+        ),
+        firsts AS (
+          SELECT win, min(doc_id * 4294967296 + pos) AS k0, count(*) AS n
+          FROM w GROUP BY win
+        )
+        SELECT w.doc_id,
+               sum(CASE WHEN w.doc_id * 4294967296 + w.pos = firsts.k0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_kept_ptrs,
+               sum(CASE WHEN w.doc_id * 4294967296 + w.pos <> firsts.k0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_dropped_ptrs
+        FROM w JOIN firsts USING (win)
+        WHERE firsts.n >= 2
+        GROUP BY w.doc_id
+    """,
+    "window_kept_gaps": """
+        WITH w AS (
+          SELECT doc_id,
+                 UNNEST(range(1, greatest(length(text) - 23, 0) + 1)) - 1
+                     AS pos,
+                 UNNEST(list_transform(
+                     range(1, greatest(length(text) - 23, 0) + 1),
+                     i -> substr(text, i::INT, 24))) AS win
+          FROM documents
+        ),
+        firsts AS (
+          SELECT win, min(doc_id * 4294967296 + pos) AS k0, count(*) AS n
+          FROM w GROUP BY win
+        ),
+        rp AS (
+          SELECT w.doc_id, w.pos
+          FROM w JOIN firsts USING (win)
+          WHERE firsts.n >= 2
+            AND w.doc_id * 4294967296 + w.pos <> firsts.k0
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          IS NULL
+                      OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > 24
+                      THEN 1 ELSE 0 END AS brk
+          FROM rp
+        ),
+        isl2 AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        ),
+        isl3 AS (
+          SELECT doc_id, island, min(pos) AS s, max(pos) + 24 AS e
+          FROM isl2 GROUP BY doc_id, island
+        ),
+        g AS (
+          SELECT s - lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS gap_len
+          FROM isl3
+        )
+        SELECT gap_len::BIGINT AS gap_len, count(*)::BIGINT AS n
+        FROM g WHERE gap_len IS NOT NULL GROUP BY gap_len
+    """,
     "window_dedup_report": """
         WITH w AS (
           SELECT doc_id,

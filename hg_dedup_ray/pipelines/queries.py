@@ -2406,29 +2406,25 @@ def video_framehash_near_dup(sf_dir: str, threshold: float = 0.5, num_buckets: i
     )
 
 
-def window_dedup_report(sf_dir: str, minlen: int = 64):
-    """The flagship's keep-first substring-dedup semantics as an
-    ORACLE-CHECKED per-doc report: for every ``minlen``-byte window lying
-    fully inside a doc, the occurrence with the smallest (doc_id, pos)
-    is kept and every other occurrence becomes a remove pointer
-    (reference keep-min rule, cpp_engine_dedup.h:239-247); per doc the
-    sorted pointers coalesce into ranges with the reference's gap rule
-    (break at diff > minlen, cpp_engine_dedup.h:285-292) and the report
-    row is (doc_id, n_dup_windows, removed_bytes). This is the
-    north-star operation restricted to doc-internal windows so DuckDB
-    can replicate it exactly (window explode + keep-first + islands).
+def _window_keepfirst_ctx(sf_dir: str, minlen: int):
+    """Shared passes 1-2 of the doc-internal keep-first window family
+    (window_dedup_report / window_ptr_report / window_kept_gaps): find
+    the duplicated (count >= 2) windows and each one's global first
+    (doc_id, pos) key. Returns ``(docs, batch_windows, map_ref)`` where
+    ``map_ref`` is None when the corpus has no duplicated windows and
+    ``batch_windows(batch) -> (hashes, window_doc_row, in_doc_pos,
+    valid_mask, ids)``.
 
-    Scale shape: three streaming passes over the corpus, none of which
+    Scale shape: two streaming passes over the corpus, neither of which
     shuffles text. Pass 1 streams window hashes and emits each batch-
     distinct hash once (twice when it repeats in-batch), so the global
     count >= 2 test = the hot-window set; pass 2 ships (hash, key) rows
     for HOT windows only (dup-bounded) through a 64-way coarse-bucket
-    segment-min to get each hot window's global first key; pass 3
-    re-streams, probes the broadcast (hot, first-key) map, and folds
-    remove pointers into per-doc islands vectorized. u64 rolling hashes
-    stand in for window identity with the same documented collision
-    odds as substring_decontaminate (~n^2/2^64). Windows are BYTES; the
-    oracle's substr() is characters — identical on the ASCII fixtures."""
+    segment-min to get each hot window's global first key. u64 rolling
+    hashes stand in for window identity with the same documented
+    collision odds as substring_decontaminate (~n^2/2^64). Windows are
+    BYTES; the oracles' substr() is characters — identical on the ASCII
+    fixtures."""
     from hg_dedup_ray.functions.arrow_utils import string_column_bytes
     from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
     from hg_dedup_ray.functions.scan import _window_hashes
@@ -2470,18 +2466,8 @@ def window_dedup_report(sf_dir: str, minlen: int = 64):
     ).materialize()
     hot = hot_u64_keys(mat, "h")
 
-    def zeros(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_dup_windows": pa.array(np.zeros(n, np.int64), pa.int64()),
-                "removed_bytes": pa.array(np.zeros(n, np.int64), pa.int64()),
-            }
-        )
-
     if hot.shape[0] == 0:
-        return docs.map_batches(zeros, batch_format="pyarrow")
+        return docs, _batch_windows, None
     hot_ref = ray.put(hot)
 
     def hot_keys(batch: pa.Table) -> pa.Table:
@@ -2533,7 +2519,37 @@ def window_dedup_report(sf_dir: str, minlen: int = 64):
         or [np.empty(0, np.uint64)]
     )
     order = np.argsort(fh)
-    map_ref = ray.put((fh[order], fk[order]))
+    return docs, _batch_windows, ray.put((fh[order], fk[order]))
+
+
+def window_dedup_report(sf_dir: str, minlen: int = 64):
+    """The flagship's keep-first substring-dedup semantics as an
+    ORACLE-CHECKED per-doc report: for every ``minlen``-byte window lying
+    fully inside a doc, the occurrence with the smallest (doc_id, pos)
+    is kept and every other occurrence becomes a remove pointer
+    (reference keep-min rule, cpp_engine_dedup.h:239-247); per doc the
+    sorted pointers coalesce into ranges with the reference's gap rule
+    (break at diff > minlen, cpp_engine_dedup.h:285-292) and the report
+    row is (doc_id, n_dup_windows, removed_bytes). This is the
+    north-star operation restricted to doc-internal windows so DuckDB
+    can replicate it exactly (window explode + keep-first + islands).
+    Pass 3 re-streams the corpus, probes the broadcast (hot, first-key)
+    map, and folds remove pointers into per-doc islands vectorized."""
+    docs, _batch_windows, map_ref = _window_keepfirst_ctx(sf_dir, minlen)
+
+    if map_ref is None:  # no duplicated windows anywhere
+
+        def zeros(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_dup_windows": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "removed_bytes": pa.array(np.zeros(n, np.int64), pa.int64()),
+                }
+            )
+
+        return docs.map_batches(zeros, batch_format="pyarrow")
 
     def report(batch: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
@@ -2570,6 +2586,115 @@ def window_dedup_report(sf_dir: str, minlen: int = 64):
         )
 
     return docs.map_batches(report, batch_format="pyarrow", batch_size=1024)
+
+
+def window_ptr_report(sf_dir: str, minlen: int = 64):
+    """D5/D6 kept-vs-dropped pointer report (reference
+    find_dup_ptrs/find_dup_docs, cpp_engine_dedup.h:801-867) under the
+    doc-internal window semantics, ORACLE-CHECKED: per doc that touches
+    any duplicated window, the count of occurrences it KEEPS (it holds
+    the global min (doc_id, pos) key) vs occurrences DROPPED to an
+    earlier doc. ``dup_doc_report`` keeps the full cross-doc corpus
+    formulation (rows-only, reference-parity-tested); this pins the
+    same kept/dropped accounting to DuckDB."""
+    docs, _batch_windows, map_ref = _window_keepfirst_ctx(sf_dir, minlen)
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_kept_ptrs": pa.array([], pa.int64()),
+            "n_dropped_ptrs": pa.array([], pa.int64()),
+        }
+    )
+    if map_ref is None:  # no duplicated windows anywhere
+        return ray.data.from_arrow(empty)
+
+    def report(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        HS, KMIN = get_broadcast(map_ref)
+        h, wdoc, ip, valid, ids = _batch_windows(batch)
+        if h.shape[0] == 0:
+            return empty
+        p = np.searchsorted(HS, h)
+        pc_ = np.minimum(p, HS.shape[0] - 1)
+        hit = valid & (p < HS.shape[0]) & (HS[pc_] == h)
+        key = (ids[wdoc].astype(np.uint64) << np.uint64(32)) | ip.astype(
+            np.uint64
+        )
+        kept = hit & (key == KMIN[pc_])
+        drop = hit & ~kept
+        nb = len(batch)
+        nk = np.bincount(wdoc[kept], minlength=nb).astype(np.int64)
+        nd = np.bincount(wdoc[drop], minlength=nb).astype(np.int64)
+        any_ = (nk + nd) > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[any_], pa.int64()),
+                "n_kept_ptrs": pa.array(nk[any_], pa.int64()),
+                "n_dropped_ptrs": pa.array(nd[any_], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(report, batch_format="pyarrow", batch_size=1024)
+
+
+def window_kept_gaps(sf_dir: str, minlen: int = 24):
+    """Kept-middle-lengths QA stat (reference
+    write_back_to_jsonl_sharded.py:91-111) under the doc-internal window
+    semantics, ORACLE-CHECKED: histogram of the gap lengths between two
+    consecutive removed islands inside one doc. ``kept_middle_lengths``
+    keeps the full cross-doc corpus formulation (rows-only); this pins
+    the island-coalesce + gap accounting to DuckDB. minlen=24 for the
+    same non-vacuity reason as kept_middle_lengths (64 yields almost no
+    two-island docs on the fixtures)."""
+    from ray.data.aggregate import Sum
+
+    docs, _batch_windows, map_ref = _window_keepfirst_ctx(sf_dir, minlen)
+
+    empty = pa.table(
+        {"gap_len": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    if map_ref is None:  # no duplicated windows anywhere
+        return ray.data.from_arrow(empty)
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        HS, KMIN = get_broadcast(map_ref)
+        h, wdoc, ip, valid, ids = _batch_windows(batch)
+        g = np.empty(0, np.int64)
+        if h.shape[0]:
+            p = np.searchsorted(HS, h)
+            pc_ = np.minimum(p, HS.shape[0] - 1)
+            hit = valid & (p < HS.shape[0]) & (HS[pc_] == h)
+            key = (ids[wdoc].astype(np.uint64) << np.uint64(32)) | ip.astype(
+                np.uint64
+            )
+            rm = hit & (key != KMIN[pc_])
+            d, rp = wdoc[rm], ip[rm]  # pos-ascending => sorted per doc
+            if rp.shape[0]:
+                st = np.flatnonzero(
+                    np.concatenate(
+                        ([True], (d[1:] != d[:-1]) | (rp[1:] - rp[:-1] > minlen))
+                    )
+                )
+                en = np.concatenate((st[1:], [rp.shape[0]]))
+                same = d[st[1:]] == d[st[:-1]]  # island i+1 in island i's doc
+                g = (rp[st[1:]] - (rp[en[:-1] - 1] + minlen))[same]
+        vals, counts = np.unique(g, return_counts=True)
+        return pa.table(
+            {
+                "gap_len": pa.array(vals, pa.int64()),
+                "partial": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(gaps, batch_format="pyarrow", batch_size=1024)
+        .groupby("gap_len")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
 
 
 def dup_doc_report(sf_dir: str, minlen: int = 64):
@@ -3358,6 +3483,8 @@ QUERIES = {
     "top_docs_by_chars": top_docs_by_chars,
     "dup_doc_report": dup_doc_report,
     "window_dedup_report": window_dedup_report,
+    "window_ptr_report": window_ptr_report,
+    "window_kept_gaps": window_kept_gaps,
     "jsonl_roundtrip_dedup": jsonl_roundtrip_dedup,
     "sa_dedup_documents": sa_dedup_documents,
     "minhash_clusters": minhash_clusters,
