@@ -440,6 +440,91 @@ def bigram_logprob(sf_dir: str):
     )
 
 
+# ----------------------------------------------------- bigram_pmi
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5):
+    """Collocation extraction by pointwise mutual information: for every
+    bigram seen >= ``min_count`` times corpus-wide, emit
+    PMI = log2(P(v,w) / (P_left(v) * P_right(w))) with all three
+    probabilities estimated from the bigram table itself (left/right
+    marginals), i.e. log2(c2 * N2 / (cL(v) * cR(w))). High-PMI bigrams
+    are the corpus's multi-word expressions; low/negative PMI flags
+    word-salad. Emitted UNROUNDED (round-half convention differs between
+    engines; the harness's shared 6-dp normalization absorbs it).
+
+    Scale shape matches bigram_logprob exactly: one vocabulary-sized
+    count reduction (per-batch dictionary-encode + bincount partials,
+    groupby-Sum combine); marginals derive from the reduced table by
+    splitting the bigram key (tokens contain no whitespace, so the
+    first space is unambiguous) — no extra corpus pass. At web scale,
+    hash bigrams into ~2^20 feature buckets exactly as
+    dsir_importance_weights documents; the output itself is
+    model-sized, never doc-sized."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat, parents, _n = _doc_words(batch["text"])
+        m = len(flat)
+        if m < 2:
+            return pa.table(
+                {"bg": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        left, right = flat.slice(0, m - 1), flat.slice(1)
+        valid = pa.array(parents[1:] == parents[:-1])
+        bg = pc.binary_join_element_wise(left, right, " ").filter(valid)
+        enc = bg.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"bg": enc.dictionary, "c": pa.array(cnt, pa.int64())})
+
+    rows = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", batch_size=8192)
+        .groupby("bg")
+        .aggregate(Sum("c", alias_name="cnt"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "bigram": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
+    )
+    if not rows:
+        return empty
+    bgs = np.array([r["bg"] for r in rows])
+    c2 = np.array([r["cnt"] for r in rows], np.float64)
+    n2 = c2.sum()
+
+    def _marginal(tokens: np.ndarray):
+        """(sorted unique tokens, summed c2 per token)."""
+        order = np.argsort(tokens, kind="stable")
+        ts, cs = tokens[order], c2[order]
+        starts = np.flatnonzero(np.concatenate(([True], ts[1:] != ts[:-1])))
+        return ts[starts], np.add.reduceat(cs, starts)
+
+    parts = [b.split(" ", 1) for b in bgs.tolist()]
+    lefts = np.array([p[0] for p in parts])
+    rights = np.array([p[1] for p in parts])
+    lv, cl = _marginal(lefts)
+    rv, cr = _marginal(rights)
+    keep = c2 >= min_count
+    if not keep.any():
+        return empty
+    clb = cl[np.searchsorted(lv, lefts[keep])]
+    crb = cr[np.searchsorted(rv, rights[keep])]
+    pmi = np.log2(c2[keep] * n2 / (clb * crb))
+    return pa.table(
+        {
+            "bigram": pa.array(bgs[keep], pa.string()),
+            "n": pa.array(c2[keep].astype(np.int64), pa.int64()),
+            "pmi": pa.array(pmi, pa.float64()),
+        }
+    )
+
+
 # ------------------------------------------ dsir_importance_weights
 
 

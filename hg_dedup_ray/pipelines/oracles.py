@@ -1332,6 +1332,35 @@ ORACLE_SQL = {
     # v as a bigram LEFT element (so P sums to 1 per context and the
     # self-trained model needs no smoothing). Bigram identity = the
     # space-joined pair, injective since tokens hold no whitespace.
+    # Bigram PMI collocations: marginals derive from the bigram table
+    # (left/right element counts), PMI in one shared IEEE expression.
+    "bigram_pmi": r"""
+        WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        big AS (
+          SELECT unnest(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])) AS bg,
+                 unnest(list_transform(range(1, len(w)), i -> w[i])) AS lw,
+                 unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS rw
+          FROM words
+        ),
+        c2 AS (
+          SELECT bg, any_value(lw) AS lw, any_value(rw) AS rw,
+                 count(*)::DOUBLE AS c
+          FROM big GROUP BY bg
+        ),
+        cl AS (SELECT lw, count(*)::DOUBLE AS c FROM big GROUP BY lw),
+        cr AS (SELECT rw, count(*)::DOUBLE AS c FROM big GROUP BY rw),
+        n2 AS (SELECT count(*)::DOUBLE AS n FROM big)
+        SELECT c2.bg AS bigram, c2.c::BIGINT AS n,
+               log2(c2.c * n2.n / (cl.c * cr.c)) AS pmi
+        FROM c2 CROSS JOIN n2
+        JOIN cl ON c2.lw = cl.lw
+        JOIN cr ON c2.rw = cr.rw
+        WHERE c2.c >= 5
+    """,
     "bigram_logprob": r"""
         WITH words AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -150,7 +150,16 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.5):
         text_col="text",
     )
     out = dedup_dataset(_docs(sf_dir, columns=["doc_id", "text"]), cfg)
-    return out.select_columns(["url", "doc_seq", "cluster_id"])
+
+    def cast_label(b: pa.Table) -> pa.Table:
+        # cluster labels are min doc_seq (< 2^63); emit int64 so the
+        # dtype matches the oracle's BIGINT exactly, not just the values
+        i = b.schema.get_field_index("cluster_id")
+        return b.set_column(i, "cluster_id", pc.cast(b["cluster_id"], pa.int64()))
+
+    return out.select_columns(["url", "doc_seq", "cluster_id"]).map_batches(
+        cast_label, batch_format="pyarrow"
+    )
 
 
 def sa_dedup_documents(sf_dir: str, minlen: int = 64):
@@ -3452,7 +3461,10 @@ from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     token_entropy,
     unigram_logprob,
 )
-from hg_dedup_ray.pipelines.curation import bigram_logprob  # noqa: E402
+from hg_dedup_ray.pipelines.curation import (  # noqa: E402
+    bigram_logprob,
+    bigram_pmi,
+)
 from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     cap_per_source,
     decontaminate,
@@ -3547,6 +3559,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "unigram_logprob": unigram_logprob,
     "bigram_logprob": bigram_logprob,
+    "bigram_pmi": bigram_pmi,
     "dsir_importance_weights": dsir_importance_weights,
     "url_dedup_latest": url_dedup_latest,
     "substring_decontaminate": substring_decontaminate,
