@@ -62,6 +62,13 @@ def test_all_queries_run_and_sql_matches(contract, duck):
         assert len(res) >= 0, name
         if name in oracles:
             want = duck.execute(oracles[name]).df()
+            # dtype-exactness: the driver's value-hash sees dtypes the
+            # normalization below hides (uint64 vs int64 burned us once)
+            gd = {c: str(res[c].dtype) for c in res.columns}
+            wd = {c: str(want[c].dtype) for c in want.columns}
+            if gd != wd:
+                failures.append(f"{name}: dtypes {gd} vs oracle {wd}")
+                continue
             got_n, want_n = _normalize(res.copy()), _normalize(want)
             if got_n.shape != want_n.shape:
                 failures.append(f"{name}: shape {got_n.shape} vs {want_n.shape}")
