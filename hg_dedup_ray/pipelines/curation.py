@@ -841,3 +841,169 @@ def kmeans_lloyd(sf_dir: str, k: int = KMEANS_K, iters: int = LLOYD_ITERS):
     return _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
         assign, batch_format="pyarrow", batch_size=4096
     )
+
+
+# ------------------------------------------------ soft dedup reweighting
+
+SOFT_DEDUP_N = 4
+
+
+def soft_dedup_weights(sf_dir: str, n: int = SOFT_DEDUP_N):
+    """SoftDeDup-style data reweighting (He et al. 2024, arXiv:2407.06654):
+    instead of REMOVING near-duplicates, down-weight "common" documents.
+    Commonness here is the geometric mean of each doc's word-4-gram corpus
+    frequency, so ``soft_weight = exp(-mean ln c(g))`` is 1.0 for a doc
+    whose every 4-gram is corpus-unique and ~1/k for one duplicated k
+    times. Emits (doc_id, n_windows, soft_weight) for EVERY doc; docs too
+    short for a window keep weight 1.0.
+
+    Shape: occurrence-level gram u64 rows (vectorized polynomial hashing,
+    functions/wordgrams.py) -> hot-key+count pass (grams with c >= 2 only;
+    the c == 1 majority contributes ln(1) = 0, so singleton grams never
+    leave their block) -> one broadcast of (hot grams, ln counts) ->
+    per-doc searchsorted lookup + segment sum. Gram identity is the u64
+    hash (collision odds ~2^-64 per pair; the oracle uses exact strings —
+    same documented contract as dup_ngram_stats)."""
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys_counts
+    from hg_dedup_ray.functions.wordgrams import doc_tokens, word_gram_hashes
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        th, doc_off = doc_tokens(batch["text"])
+        g, _ = word_gram_hashes(th, doc_off, n)
+        return pa.table({"gram": pa.array(g, pa.uint64())})
+
+    grams = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(gram_rows, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+    hot, cnt = hot_u64_keys_counts(grams, "gram")  # keys come back sorted
+    lref = ray.put({"keys": hot, "lnc": np.log(cnt.astype(np.float64))})
+
+    def score(batch: pa.Table) -> pa.Table:
+        v = get_broadcast(lref)
+        th, doc_off = doc_tokens(batch["text"])
+        g, goff = word_gram_hashes(th, doc_off, n)
+        counts = np.diff(goff)
+        keys, lnc = v["keys"], v["lnc"]
+        if keys.shape[0] and g.shape[0]:
+            pos = np.searchsorted(keys, g)
+            safe = np.minimum(pos, keys.shape[0] - 1)
+            w = np.where(keys[safe] == g, lnc[safe], 0.0)
+        else:
+            w = np.zeros(g.shape[0], np.float64)
+        seg = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+        s = np.zeros(counts.shape[0], np.float64)
+        np.add.at(s, seg, w)
+        nw = counts.astype(np.int64)
+        weight = np.where(nw > 0, np.exp(-(s / np.maximum(nw, 1))), 1.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_windows": pa.array(nw, pa.int64()),
+                "soft_weight": pa.array(weight, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", batch_size=4096
+    )
+
+
+# ------------------------------------------- dup cluster size histogram
+
+
+def dup_cluster_size_histogram(sf_dir: str, num_buckets: int = 64):
+    """Distribution of exact-duplicate cluster sizes — the first chart of
+    every dedup paper (how much of the corpus sits in k-way clusters).
+    Rows: (cluster_size, n_clusters).
+
+    Shape mirrors exact_dedup: only (fp:u64, partial count) shuffles, in
+    a fixed 64-bucket combine (per-fp native aggregation would pay Ray's
+    per-group cost on every DISTINCT doc); each bucket reduces its fps to
+    cluster sizes and emits a LOCAL histogram, and a final native
+    groupby-Sum over the tiny (size -> count) rows merges buckets."""
+    from ray.data.aggregate import Sum
+
+    from hg_dedup_ray.stages import textstats
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = textstats.content_hash_u64(batch)
+        fp = h["fp"].to_numpy(zero_copy_only=False)
+        if fp.shape[0] == 0:
+            return pa.table(
+                {
+                    "cbucket": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.uint64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        fp = np.sort(fp)
+        bnd = np.flatnonzero(np.concatenate(([True], fp[1:] != fp[:-1])))
+        c = np.diff(np.concatenate((bnd, [fp.shape[0]]))).astype(np.int64)
+        fp = fp[bnd]
+        return pa.table(
+            {
+                "cbucket": pa.array((fp % num_buckets).astype(np.int64), pa.int64()),
+                "fp": pa.array(fp, pa.uint64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    def bucket_hist(group: pa.Table) -> pa.Table:
+        fp = group["fp"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(fp, kind="stable")
+        fp, c = fp[order], c[order]
+        bnd = np.flatnonzero(np.concatenate(([True], fp[1:] != fp[:-1])))
+        sizes = np.add.reduceat(c, bnd)
+        u, k = np.unique(sizes, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(u.astype(np.int64), pa.int64()),
+                "n_partial": pa.array(k.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("cbucket")
+        .map_groups(bucket_hist, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_partial", alias_name="n_clusters"))
+    )
+    return out
+
+
+# --------------------------------------------- source mixture weighting
+
+
+def source_mix_weights(sf_dir: str, alpha: float = 0.7):
+    """Temperature-scaled sampling weights per source (the multilingual-LM
+    mixing rule, p_s proportional to n_s^alpha at alpha = 0.7 — upweights
+    tail sources, damps head ones). Rows: (source, n_docs, mix_weight),
+    weights summing to 1. Source cardinality is bounded (domains/crawls),
+    so the native Count aggregate and the driver-side normalize are over
+    a broadcast-class table at any corpus size."""
+    from ray.data.aggregate import Count
+
+    rows = (
+        _docs(sf_dir, columns=["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+        .take_all()
+    )
+    src = [r["source"] for r in rows]
+    nd = np.array([r["n_docs"] for r in rows], np.float64)
+    p = np.power(nd, alpha)
+    z = float(p.sum())
+    w = p / z if z > 0 else p
+    return pa.table(
+        {
+            "source": pa.array(src, pa.string()),
+            "n_docs": pa.array(nd.astype(np.int64), pa.int64()),
+            "mix_weight": pa.array(w, pa.float64()),
+        }
+    )

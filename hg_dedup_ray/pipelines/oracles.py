@@ -1624,4 +1624,46 @@ ORACLE_SQL = {
           FROM smx)
         WHERE rn <= {BALANCED_SAMPLE_M}
     """,
+    # SoftDeDup reweighting: soft_weight = exp(-avg ln c(g)) over the
+    # doc's word-4-gram occurrences, c(g) = corpus occurrence count.
+    # Docs with no 4-gram window keep weight 1.0 (LEFT JOIN + coalesce).
+    # Ray side hashes grams to u64 (collision odds ~2^-64/pair); this
+    # oracle uses the exact strings — same contract as dup_ngram_stats.
+    "soft_dedup_weights": r"""
+        WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        grams AS (
+          SELECT doc_id, unnest(list_transform(
+              range(1, greatest(len(w) - 3, 0) + 1),
+              i -> array_to_string(w[i:i+3], ' '))) AS g
+          FROM words
+        ),
+        gc AS (SELECT g, count(*)::BIGINT AS c FROM grams GROUP BY g),
+        per AS (
+          SELECT grams.doc_id, count(*)::BIGINT AS n_windows,
+                 avg(ln(gc.c)) AS alc
+          FROM grams JOIN gc USING (g) GROUP BY grams.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+               exp(-coalesce(p.alc, 0.0)) AS soft_weight
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+    "dup_cluster_size_histogram": r"""
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
+          SELECT count(*)::BIGINT AS cluster_size
+          FROM documents GROUP BY text
+        ) GROUP BY cluster_size
+    """,
+    "source_mix_weights": r"""
+        WITH s AS (
+          SELECT source, count(*)::BIGINT AS n_docs
+          FROM documents GROUP BY source
+        ),
+        t AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM s)
+        SELECT s.source, s.n_docs, pow(s.n_docs, 0.7) / t.z AS mix_weight
+        FROM s CROSS JOIN t
+    """,
 }

@@ -3464,6 +3464,9 @@ from hg_dedup_ray.pipelines.curation import (  # noqa: E402
 from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     bigram_logprob,
     bigram_pmi,
+    dup_cluster_size_histogram,
+    soft_dedup_weights,
+    source_mix_weights,
 )
 from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     cap_per_source,
@@ -3569,4 +3572,7 @@ QUERIES = {
     "supplier_balance_by_region": supplier_balance_by_region,
     "promo_revenue_share": promo_revenue_share,
     "kmeans_lloyd": kmeans_lloyd,
+    "soft_dedup_weights": soft_dedup_weights,
+    "dup_cluster_size_histogram": dup_cluster_size_histogram,
+    "source_mix_weights": source_mix_weights,
 }
