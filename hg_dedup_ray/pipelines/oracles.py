@@ -1666,4 +1666,104 @@ ORACLE_SQL = {
         SELECT s.source, s.n_docs, pow(s.n_docs, 0.7) / t.z AS mix_weight
         FROM s CROSS JOIN t
     """,
+    # Tiered dedup survival: exact keep-first -> segment keep-first over
+    # the exact survivors -> doc-internal keep-first window dedup over
+    # the segment-cleaned texts. Chains the exact_dedup,
+    # segment_dedup_apply and window_dedup_report oracle blocks over the
+    # same intermediate texts; n_bytes = length() characters (== the Ray
+    # side's byte counts on the ASCII fixtures, as documented there).
+    "dedup_tier_cascade": r"""
+        WITH surv AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        ),
+        w AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 unnest(range(len(string_split(text, ' ')))) AS wi
+          FROM surv
+        ),
+        segs AS (
+          SELECT doc_id, wi // 16 AS seg_no,
+                 string_agg(word, ' ' ORDER BY wi) AS seg
+          FROM w GROUP BY doc_id, wi // 16
+        ),
+        marked AS (
+          SELECT doc_id, seg_no, seg,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY doc_id, seg_no) AS rn
+          FROM segs
+        ),
+        kept AS (SELECT doc_id, seg_no, seg FROM marked WHERE rn = 1),
+        cleaned AS (
+          SELECT s.doc_id,
+                 coalesce(string_agg(k.seg, ' ' ORDER BY k.seg_no), '')
+                     AS text
+          FROM surv s LEFT JOIN kept k ON k.doc_id = s.doc_id
+          GROUP BY s.doc_id
+        ),
+        ww AS (
+          SELECT doc_id,
+                 UNNEST(range(1, greatest(length(text) - 63, 0) + 1)) - 1
+                     AS pos,
+                 UNNEST(list_transform(
+                     range(1, greatest(length(text) - 63, 0) + 1),
+                     i -> substr(text, i::INT, 64))) AS win
+          FROM cleaned
+        ),
+        firsts AS (
+          SELECT win, min(doc_id * 4294967296 + pos) AS k0, count(*) AS n
+          FROM ww GROUP BY win
+        ),
+        rp AS (
+          SELECT ww.doc_id, ww.pos
+          FROM ww JOIN firsts USING (win)
+          WHERE firsts.n >= 2
+            AND ww.doc_id * 4294967296 + ww.pos <> firsts.k0
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          IS NULL
+                      OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > 64
+                      THEN 1 ELSE 0 END AS brk
+          FROM rp
+        ),
+        isl2 AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        ),
+        rem AS (
+          SELECT doc_id, sum(e - s)::BIGINT AS removed_bytes
+          FROM (SELECT doc_id, island, min(pos) AS s, max(pos) + 64 AS e
+                FROM isl2 GROUP BY doc_id, island)
+          GROUP BY doc_id
+        ),
+        t3 AS (
+          SELECT c.doc_id,
+                 length(c.text) - coalesce(r.removed_bytes, 0) AS rem_bytes
+          FROM cleaned c LEFT JOIN rem r ON r.doc_id = c.doc_id
+        )
+        SELECT 0::BIGINT AS tier_no, 'input' AS tier,
+               count(*)::BIGINT AS n_docs,
+               coalesce(sum(length(text)), 0)::BIGINT AS n_bytes
+        FROM documents
+        UNION ALL
+        SELECT 1::BIGINT, 'exact', count(*)::BIGINT,
+               coalesce(sum(length(text)), 0)::BIGINT
+        FROM surv
+        UNION ALL
+        SELECT 2::BIGINT, 'segment',
+               (count(*) FILTER (WHERE text <> ''))::BIGINT,
+               coalesce(sum(length(text)), 0)::BIGINT
+        FROM cleaned
+        UNION ALL
+        SELECT 3::BIGINT, 'window',
+               (count(*) FILTER (WHERE rem_bytes > 0))::BIGINT,
+               coalesce(sum(rem_bytes), 0)::BIGINT
+        FROM t3
+    """,
 }

@@ -57,20 +57,10 @@ def _pool() -> tuple[int, int]:
 
 
 # --------------------------------------------------------------- dedup ops
-def exact_dedup(sf_dir: str):
-    """Exact dedup: keep the min-doc_id doc of every identical text
-    (SURVEY.md A6; the guide's exact-dedup idiom).
-
-    Only (fp:u64, doc_id) enters the shuffle — never text. The fp key
-    space is ~one group per distinct doc, so a native per-fp aggregate
-    pays Ray's per-group cost on every unique document; instead each
-    batch pre-reduces to its per-fp min (one lexsort) and the shuffle
-    groups by a COARSE fp%64 bucket whose combine is one more
-    lexsort-boundary pass — group count fixed regardless of corpus
-    size. Keeper ids (8 B/doc) stream to the driver for a broadcast
-    semi-join; at a scale where that outgrows the driver, replace with
-    bucket = hash(doc_id)%B on both sides + per-bucket join."""
-    num_buckets = 64
+def _exact_keeper_ids(docs, num_buckets: int = 64) -> np.ndarray:
+    """Sorted keeper doc_ids of exact keep-first text dedup over any
+    (doc_id, text) dataset — the fp/partial-min shape documented on
+    exact_dedup, shared with dedup_tier_cascade's exact tier."""
 
     def fp_min_partial(batch: pa.Table) -> pa.Table:
         h = textstats.content_hash_u64(batch)
@@ -97,12 +87,11 @@ def exact_dedup(sf_dir: str):
         return pa.table({"keep_id": pa.array(d[bnd], pa.int64())})
 
     keepers = (
-        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(fp_min_partial, batch_format="pyarrow", batch_size=4096)
+        docs.map_batches(fp_min_partial, batch_format="pyarrow", batch_size=4096)
         .groupby("cbucket")
         .map_groups(fp_min_combine, batch_format="pyarrow")
     )
-    keep_ids = np.sort(
+    return np.sort(
         np.concatenate(
             [
                 b["keep_id"].to_numpy(zero_copy_only=False)
@@ -113,7 +102,11 @@ def exact_dedup(sf_dir: str):
             or [np.empty(0, np.int64)]
         )
     )
-    keep_ref = ray.put(keep_ids)
+
+
+def _filter_by_ids(keep_ref):
+    """map_batches fn: broadcast semi-join of a batch's doc_id column
+    against a sorted id array (``ray.put`` once, probed per batch)."""
 
     def filter_keep(batch: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
@@ -124,10 +117,30 @@ def exact_dedup(sf_dir: str):
         mask = (pos < ids.shape[0]) & (ids[np.minimum(pos, ids.shape[0] - 1)] == d)
         return batch.filter(pa.array(mask))
 
+    return filter_keep
+
+
+def exact_dedup(sf_dir: str):
+    """Exact dedup: keep the min-doc_id doc of every identical text
+    (SURVEY.md A6; the guide's exact-dedup idiom).
+
+    Only (fp:u64, doc_id) enters the shuffle — never text. The fp key
+    space is ~one group per distinct doc, so a native per-fp aggregate
+    pays Ray's per-group cost on every unique document; instead each
+    batch pre-reduces to its per-fp min (one lexsort) and the shuffle
+    groups by a COARSE fp%64 bucket whose combine is one more
+    lexsort-boundary pass — group count fixed regardless of corpus
+    size. Keeper ids (8 B/doc) stream to the driver for a broadcast
+    semi-join; at a scale where that outgrows the driver, replace with
+    bucket = hash(doc_id)%B on both sides + per-bucket join."""
+    keep_ids = _exact_keeper_ids(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    keep_ref = ray.put(keep_ids)
     return read_parquet_sized(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "source", "n_chars"],
-    ).map_batches(filter_keep, batch_format="pyarrow")
+    ).map_batches(_filter_by_ids(keep_ref), batch_format="pyarrow")
 
 
 def minhash_clusters(sf_dir: str, threshold: float = 0.5):
@@ -1384,6 +1397,13 @@ def segment_dedup_stats(sf_dir: str, words_per_seg: int = 16, num_buckets: int =
 
 
 def segment_dedup_apply(sf_dir: str, words_per_seg: int = 16, num_buckets: int = 64):
+    """Query wrapper over ``_segment_dedup_apply_ds`` (see there)."""
+    return _segment_dedup_apply_ds(
+        _docs_sized(sf_dir, columns=["doc_id", "text"]), words_per_seg, num_buckets
+    )
+
+
+def _segment_dedup_apply_ds(docs, words_per_seg: int = 16, num_buckets: int = 64):
     """The REMOVAL step of sub-document segment dedup (CCNet /
     RefinedWeb-style line dedup, generalized): drop every non-first
     duplicate ``words_per_seg``-word segment (global keep-first order =
@@ -1511,7 +1531,6 @@ def segment_dedup_apply(sf_dir: str, words_per_seg: int = 16, num_buckets: int =
             }
         )
 
-    docs = _docs_sized(sf_dir, columns=["doc_id", "text"])
     drops = (
         docs.map_batches(seg_rows, batch_format="pyarrow", batch_size=4096)
         .groupby("hbucket")
@@ -2415,9 +2434,11 @@ def video_framehash_near_dup(sf_dir: str, threshold: float = 0.5, num_buckets: i
     )
 
 
-def _window_keepfirst_ctx(sf_dir: str, minlen: int):
+def _window_keepfirst_ctx(docs, minlen: int):
     """Shared passes 1-2 of the doc-internal keep-first window family
-    (window_dedup_report / window_ptr_report / window_kept_gaps): find
+    (window_dedup_report / window_ptr_report / window_kept_gaps, plus
+    the window tier of dedup_tier_cascade — ``docs`` is any Dataset
+    with (doc_id, text) columns): find
     the duplicated (count >= 2) windows and each one's global first
     (doc_id, pos) key. Returns ``(docs, batch_windows, map_ref)`` where
     ``map_ref`` is None when the corpus has no duplicated windows and
@@ -2469,7 +2490,6 @@ def _window_keepfirst_ctx(sf_dir: str, minlen: int):
             hv = np.concatenate([u, u[cnt >= 2]])
         return pa.table({"h": pa.array(hv, pa.uint64())})
 
-    docs = _docs(sf_dir, columns=["doc_id", "text"])
     mat = docs.map_batches(
         hash_partial, batch_format="pyarrow", batch_size=1024
     ).materialize()
@@ -2544,7 +2564,9 @@ def window_dedup_report(sf_dir: str, minlen: int = 64):
     can replicate it exactly (window explode + keep-first + islands).
     Pass 3 re-streams the corpus, probes the broadcast (hot, first-key)
     map, and folds remove pointers into per-doc islands vectorized."""
-    docs, _batch_windows, map_ref = _window_keepfirst_ctx(sf_dir, minlen)
+    docs, _batch_windows, map_ref = _window_keepfirst_ctx(
+        _docs(sf_dir, columns=["doc_id", "text"]), minlen
+    )
 
     if map_ref is None:  # no duplicated windows anywhere
 
@@ -2606,7 +2628,9 @@ def window_ptr_report(sf_dir: str, minlen: int = 64):
     earlier doc. ``dup_doc_report`` keeps the full cross-doc corpus
     formulation (rows-only, reference-parity-tested); this pins the
     same kept/dropped accounting to DuckDB."""
-    docs, _batch_windows, map_ref = _window_keepfirst_ctx(sf_dir, minlen)
+    docs, _batch_windows, map_ref = _window_keepfirst_ctx(
+        _docs(sf_dir, columns=["doc_id", "text"]), minlen
+    )
 
     empty = pa.table(
         {
@@ -2659,7 +2683,9 @@ def window_kept_gaps(sf_dir: str, minlen: int = 24):
     two-island docs on the fixtures)."""
     from ray.data.aggregate import Sum
 
-    docs, _batch_windows, map_ref = _window_keepfirst_ctx(sf_dir, minlen)
+    docs, _batch_windows, map_ref = _window_keepfirst_ctx(
+        _docs(sf_dir, columns=["doc_id", "text"]), minlen
+    )
 
     empty = pa.table(
         {"gap_len": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
@@ -2703,6 +2729,141 @@ def window_kept_gaps(sf_dir: str, minlen: int = 24):
         docs.map_batches(gaps, batch_format="pyarrow", batch_size=1024)
         .groupby("gap_len")
         .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
+def dedup_tier_cascade(sf_dir: str, words_per_seg: int = 16, minlen: int = 64):
+    """The TIERED dedup survival report: run the three dedup
+    granularities of a web-corpus curation pipeline in sequence — exact
+    doc dedup (keep min doc_id per identical text), then segment-level
+    keep-first dedup (CCNet/RefinedWeb line dedup) over the exact
+    survivors, then doc-internal keep-first WINDOW dedup (the flagship's
+    substring semantics, window_dedup_report's formulation) over the
+    segment-cleaned texts — and report docs/bytes surviving after each
+    tier. Rows: (tier_no, tier, n_docs, n_bytes); ORACLE-CHECKED end to
+    end (the SQL chains the exact_dedup, segment_dedup_apply and
+    window_dedup_report oracle blocks over the same intermediate texts).
+
+    Scale shape = composition of the three tiers' own documented shapes
+    (each already individually oracle-checked); the only additions are
+    per-batch (count, byte-sum) partials — one tiny row per block — and
+    two corpus-sized intermediates (exact survivors, cleaned texts) that
+    are materialized into the object store because the next tier streams
+    them multiple times, exactly like the flagship's partition corpora.
+    ``n_bytes`` counts characters (oracle ``length()``); window removal
+    counts bytes — identical on the ASCII fixtures, documented on
+    _window_keepfirst_ctx."""
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    docs = _docs_sized(sf_dir, columns=["doc_id", "text"])
+
+    def _utf8len(batch: pa.Table) -> np.ndarray:
+        return (
+            pc.utf8_length(batch["text"])
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    def _sum_rows(ds, fn) -> tuple[int, int]:
+        parts = ds.map_batches(fn, batch_format="pyarrow").take_all()
+        return (
+            int(sum(r["d"] for r in parts)),
+            int(sum(r["b"] for r in parts)),
+        )
+
+    def count_all(batch: pa.Table) -> pa.Table:
+        lens = _utf8len(batch)
+        return pa.table(
+            {
+                "d": pa.array([len(batch)], pa.int64()),
+                "b": pa.array([int(lens.sum())], pa.int64()),
+            }
+        )
+
+    def count_nonempty(batch: pa.Table) -> pa.Table:
+        lens = _utf8len(batch)
+        return pa.table(
+            {
+                "d": pa.array([int((lens > 0).sum())], pa.int64()),
+                "b": pa.array([int(lens.sum())], pa.int64()),
+            }
+        )
+
+    # tier 0: the input corpus
+    t0d, t0b = _sum_rows(docs, count_all)
+
+    # tier 1: exact keep-first survivors
+    keep_ids = _exact_keeper_ids(docs)
+    surv = docs.map_batches(
+        _filter_by_ids(ray.put(keep_ids)), batch_format="pyarrow"
+    ).materialize()
+    t1d = int(keep_ids.shape[0])
+    _, t1b = _sum_rows(surv, count_all)
+
+    # tier 2: segment keep-first dedup over the survivors
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": batch["text_deduped"]}
+        )
+
+    cleaned = (
+        _segment_dedup_apply_ds(surv, words_per_seg)
+        .map_batches(rename, batch_format="pyarrow")
+        .materialize()
+    )
+    t2d, t2b = _sum_rows(cleaned, count_nonempty)
+
+    # tier 3: doc-internal keep-first window dedup over the cleaned texts
+    cdocs, bw, map_ref = _window_keepfirst_ctx(cleaned, minlen)
+    if map_ref is None:
+        t3d, t3b = t2d, t2b
+    else:
+
+        def remaining(batch: pa.Table) -> pa.Table:
+            HS, KMIN = get_broadcast(map_ref)
+            h, wdoc, ip, valid, ids = bw(batch)
+            nb = len(batch)
+            rb = np.zeros(nb, np.int64)
+            if h.shape[0]:
+                p = np.searchsorted(HS, h)
+                pcl = np.minimum(p, HS.shape[0] - 1)
+                hit = valid & (p < HS.shape[0]) & (HS[pcl] == h)
+                key = (ids[wdoc].astype(np.uint64) << np.uint64(32)) | ip.astype(
+                    np.uint64
+                )
+                rm = hit & (key != KMIN[pcl])
+                d_, rp = wdoc[rm], ip[rm]  # pos-ascending => sorted per doc
+                if rp.shape[0]:
+                    st = np.flatnonzero(
+                        np.concatenate(
+                            (
+                                [True],
+                                (d_[1:] != d_[:-1]) | (rp[1:] - rp[:-1] > minlen),
+                            )
+                        )
+                    )
+                    en = np.concatenate((st[1:], [rp.shape[0]]))
+                    seg = rp[en - 1] - rp[st] + minlen
+                    rb = np.bincount(d_[st], weights=seg, minlength=nb).astype(
+                        np.int64
+                    )
+            rem = _utf8len(batch) - rb
+            return pa.table(
+                {
+                    "d": pa.array([int((rem > 0).sum())], pa.int64()),
+                    "b": pa.array([int(rem.sum())], pa.int64()),
+                }
+            )
+
+        t3d, t3b = _sum_rows(cdocs, remaining)
+
+    return pa.table(
+        {
+            "tier_no": pa.array([0, 1, 2, 3], pa.int64()),
+            "tier": pa.array(["input", "exact", "segment", "window"], pa.string()),
+            "n_docs": pa.array([t0d, t1d, t2d, t3d], pa.int64()),
+            "n_bytes": pa.array([t0b, t1b, t2b, t3b], pa.int64()),
+        }
     )
 
 
@@ -3575,4 +3736,5 @@ QUERIES = {
     "soft_dedup_weights": soft_dedup_weights,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "source_mix_weights": source_mix_weights,
+    "dedup_tier_cascade": dedup_tier_cascade,
 }
