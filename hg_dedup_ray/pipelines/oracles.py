@@ -506,6 +506,60 @@ _EXACT_JACCARD_PAIRS_SQL = """
     WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
 """
 
+
+def _bloom_sql(m: int = 4096, k: int = 3) -> str:
+    """DuckDB replication of webclean.bloom_dedup_report: the same
+    prefix8+length fold -> splitmix64 chain as the KMV oracle, probe
+    positions = consecutive 12-bit lanes of the hash, and the
+    sequential-Bloom semantics expressed order-free: a probe bit was
+    set before doc d arrives iff some STRICTLY earlier doc probes the
+    same position (window min over pos, ROWS ... 1 PRECEDING after a
+    DISTINCT collapse of repeated probes within one doc)."""
+    fold = (
+        "CAST(CASE WHEN length(text) >= 1"
+        " THEN ord(substr(text, 1, 1)) ELSE 0 END AS HUGEINT)"
+    )
+    for j in range(2, 9):
+        fold = (
+            f"(({fold}) * {_FNV_C} + CASE WHEN length(text) >= {j}"
+            f" THEN ord(substr(text, {j}, 1)) ELSE 0 END) % {_M64}"
+        )
+    fold = f"(({fold}) * {_FNV_C} + length(text)) % {_M64}"
+    shift = max((m - 1).bit_length(), 1)
+    posrows = " UNION ALL ".join(
+        f"SELECT doc_id, (sm // {1 << (shift * r)}) % {m} AS pos FROM smt"
+        for r in range(k)
+    )
+    return f"""
+        WITH raw AS (SELECT doc_id, text, ({fold}) AS x FROM documents),
+        g1 AS (SELECT doc_id, text, {_xorshift('x', 30)} AS x FROM raw),
+        g2 AS (SELECT doc_id, text, {_mulmod64('x', _SM1)} AS x FROM g1),
+        g3 AS (SELECT doc_id, text, {_xorshift('x', 27)} AS x FROM g2),
+        g4 AS (SELECT doc_id, text, {_mulmod64('x', _SM2)} AS x FROM g3),
+        smt AS (SELECT doc_id, text,
+                       CAST({_xorshift('x', 31)} AS HUGEINT) AS sm FROM g4),
+        posrows AS ({posrows}),
+        dist AS (SELECT DISTINCT doc_id, pos FROM posrows),
+        w AS (SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY pos ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prior
+              FROM dist),
+        flags AS (SELECT doc_id, bool_and(prior IS NOT NULL) AS bloom_dup
+                  FROM w GROUP BY doc_id),
+        kd AS (SELECT doc_id,
+                      doc_id > min(doc_id) OVER (PARTITION BY sm)
+                        AS key_dup,
+                      doc_id > min(doc_id) OVER (PARTITION BY text)
+                        AS exact_dup
+               FROM smt)
+        SELECT f.doc_id, f.bloom_dup, kd.key_dup, kd.exact_dup
+        FROM flags f JOIN kd USING (doc_id)
+        ORDER BY f.doc_id
+    """
+
+
+
 ORACLE_SQL = {
     "simhash_sigs": _simhash_sql(),
     "simhash_near_dup_pairs": _simhash_pairs_sql(),
@@ -1047,6 +1101,7 @@ ORACLE_SQL = {
         FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
     """,
     "approx_distinct_kmv": _kmv_sql(),
+    "bloom_dedup_report": _bloom_sql(),
     "approx_counts_cms": _cms_sql(),
     "approx_distinct_hll": _hll_sql(),
     "kmeans_lloyd": _lloyd_sql(),

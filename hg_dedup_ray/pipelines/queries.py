@@ -3630,6 +3630,7 @@ from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     source_mix_weights,
 )
 from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
+    bloom_dedup_report,
     cap_per_source,
     decontaminate,
     deterministic_shuffle,
@@ -3710,6 +3711,7 @@ QUERIES = {
     "lsh_recall_report": lsh_recall_report,
     "jaccard_dup_clusters": jaccard_dup_clusters,
     "incremental_dedup": incremental_dedup,
+    "bloom_dedup_report": bloom_dedup_report,
     "dup_rate_by_source": dup_rate_by_source,
     "tfidf_top_terms": tfidf_top_terms,
     "prefix_dup_docs": prefix_dup_docs,

@@ -852,3 +852,191 @@ def cap_per_source(sf_dir: str, cap: int = CAP_PER_SOURCE):
         .groupby("bucket")
         .map_groups(rank_bucket, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------- bloom dedup report
+
+BLOOM_REPORT_M = 4096  # filter bits — fixture-sized so false positives
+BLOOM_REPORT_K = 3     # are visible in the report (prod: bits ~ O(docs))
+
+
+def bloom_dedup_report(
+    sf_dir: str,
+    m_bits: int = BLOOM_REPORT_M,
+    k: int = BLOOM_REPORT_K,
+    num_shards: int = 32,
+):
+    """Dolma-style sequential Bloom-filter dedup (Soldaini et al. 2024,
+    the `dedupe-by-bloom` pass; reference analogue: the keep-first
+    identity gate of dedup_v3.py) with full false-positive accounting:
+
+    docs arrive in doc_id order; each queries the filter (k probe bits =
+    12-bit lanes of the splitmix64 doc hash), then inserts itself.
+
+    - ``bloom_dup``  — all k probe bits were set by some EARLIER doc
+      (what a real Bloom pass would drop),
+    - ``key_dup``    — an earlier doc had the same 64-bit doc hash
+      (separates hash collisions from bit collisions),
+    - ``exact_dup``  — an earlier doc had byte-identical text (ground
+      truth; exact_dup => key_dup => bloom_dup, never the reverse).
+
+    Order-aware distributed formulation: bit b's state when doc s
+    arrives is fully determined by min_id[b] = the smallest doc_id
+    probing b, so the sequential filter becomes per-batch partial mins
+    (np.minimum.at into a dense m-array) -> ONE shuffle of <= m short
+    rows per block into ``num_shards`` range shards (vectorized segment
+    min each) -> a fixed-size broadcast array -> a second stateless
+    flagging pass. No text is shuffled; no sequential dependency
+    remains. key/exact mins ride the same shape keyed on u64 hashes
+    (driver holds one 16-byte row per DISTINCT hash — the QA-diagnostic
+    budget; production exact dedup is exact_dedup / incremental_dedup's
+    bucketed path).
+
+    The doc hash is sketches.kmv_token_hashes' 8-char-prefix+length
+    chain, replicated bit-for-bit in the DuckDB oracle (ASCII fixture
+    assumption as documented there); prefix+length collisions are
+    therefore deliberate, identical sketch behavior on both sides.
+    """
+    from hg_dedup_ray.pipelines.sketches import kmv_token_hashes
+    from hg_dedup_ray.stages.textstats import content_hash_u64
+
+    m = int(m_bits)
+    shift = max((m - 1).bit_length(), 1)
+    kk = int(k)
+    sentinel = np.iinfo(np.int64).max
+
+    def probe_positions(h: np.ndarray) -> np.ndarray:
+        """(n, k) int64 probe positions: consecutive shift-bit lanes."""
+        lanes = [
+            ((h >> np.uint64(shift * r)) % np.uint64(m)).astype(np.int64)
+            for r in range(kk)
+        ]
+        return np.stack(lanes, axis=1)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "shard": pa.array([], pa.int64()),
+                "key": pa.array([], pa.int64()),
+                "min_id": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int8()),
+            }
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = kmv_token_hashes(batch["text"])
+        # kind 0: bloom bit -> min doc_id (dense m-array, then sparse rows)
+        arr = np.full(m, sentinel, np.int64)
+        pos = probe_positions(h)
+        np.minimum.at(arr, pos.ravel(), np.repeat(ids, kk))
+        hit = np.flatnonzero(arr != sentinel)
+        # kinds 1/2: doc-hash / content-hash -> min doc_id (unique per batch)
+        def key_min(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            order = np.lexsort((ids, keys))
+            ks, first = np.unique(keys[order], return_index=True)
+            return ks.view(np.int64), ids[order][first]
+
+        kh, kh_min = key_min(h)
+        fp = content_hash_u64(batch)["fp"].to_numpy(zero_copy_only=False)
+        fh, fh_min = key_min(fp)
+        key = np.concatenate([hit, kh, fh])
+        min_id = np.concatenate([arr[hit], kh_min, fh_min])
+        kind = np.repeat(
+            np.array([0, 1, 2], np.int8),
+            [hit.shape[0], kh.shape[0], fh.shape[0]],
+        )
+        shard = np.empty(key.shape[0], np.int64)
+        nb = hit.shape[0]
+        shard[:nb] = key[:nb] * num_shards // m  # bit pos: range shards
+        shard[nb:] = (
+            key[nb:].view(np.uint64) % np.uint64(num_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(shard, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "min_id": pa.array(min_id, pa.int64()),
+                "kind": pa.array(kind, pa.int8()),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.select(["kind", "key", "min_id"])
+        key = group["key"].to_numpy(zero_copy_only=False)
+        mid = group["min_id"].to_numpy(zero_copy_only=False)
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((mid, key, kind))
+        kk_, ky, md = kind[order], key[order], mid[order]
+        first = np.ones(order.shape[0], bool)
+        first[1:] = (kk_[1:] != kk_[:-1]) | (ky[1:] != ky[:-1])
+        return pa.table(
+            {
+                "kind": pa.array(kk_[first], pa.int8()),
+                "key": pa.array(ky[first], pa.int64()),
+                "min_id": pa.array(md[first], pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    rows = (
+        docs.map_batches(partials, batch_format="pyarrow", batch_size=4096)
+        .groupby("shard")
+        .map_groups(combine, batch_format="pyarrow")
+        .take_all()
+    )
+    bloom_min = np.full(m, sentinel, np.int64)
+    keys: dict[int, list] = {1: [], 2: []}
+    for r in rows:
+        if r["kind"] == 0:
+            bloom_min[r["key"]] = min(bloom_min[r["key"]], r["min_id"])
+        else:
+            keys[r["kind"]].append((r["key"], r["min_id"]))
+
+    def sorted_pair(lst: list) -> tuple[np.ndarray, np.ndarray]:
+        if not lst:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        a = np.array(lst, np.int64)
+        order = np.argsort(a[:, 0], kind="stable")
+        return a[order, 0], a[order, 1]
+
+    state_ref = ray.put(
+        (bloom_min, sorted_pair(keys[1]), sorted_pair(keys[2]))
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bloom_dup": pa.array([], pa.bool_()),
+                "key_dup": pa.array([], pa.bool_()),
+                "exact_dup": pa.array([], pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        bmin, (khs, kmins), (fhs, fmins) = get_broadcast(state_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = kmv_token_hashes(batch["text"])
+        bloom = (bmin[probe_positions(h)] < ids[:, None]).all(axis=1)
+
+        def earlier(keys_s, mins_s, q: np.ndarray) -> np.ndarray:
+            j = np.searchsorted(keys_s, q)  # every key is present
+            return mins_s[j] < ids
+
+        kdup = earlier(khs, kmins, h.view(np.int64))
+        fp = content_hash_u64(batch)["fp"].to_numpy(zero_copy_only=False)
+        edup = earlier(fhs, fmins, fp.view(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bloom_dup": pa.array(bloom),
+                "key_dup": pa.array(kdup),
+                "exact_dup": pa.array(edup),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow", batch_size=4096)

@@ -353,3 +353,56 @@ def test_cap_per_source_mega_source_skew(ray_session, tmp_path):
         members = np.flatnonzero(src == name)
         want = set(members[np.argsort(sm[members])][:15].tolist())
         assert set(got[got["source"] == name]["doc_id"]) == want
+
+
+# ---------------------------------------------------- bloom dedup report
+
+
+def test_bloom_dedup_report_matches_sequential_simulation():
+    """Pin the distributed order-free formulation against a literal
+    sequential Bloom pass (query filter, then insert, doc_id order) and
+    check the dup-taxonomy invariants exact => key => bloom."""
+    from hg_dedup_ray.pipelines.sketches import kmv_token_hashes
+    from hg_dedup_ray.pipelines.webclean import (
+        BLOOM_REPORT_K,
+        BLOOM_REPORT_M,
+        bloom_dedup_report,
+    )
+
+    df = (
+        bloom_dedup_report(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    t = t.sort_by("doc_id")
+    h = kmv_token_hashes(t["text"].combine_chunks())
+    shift = (BLOOM_REPORT_M - 1).bit_length()
+
+    bits: set[int] = set()
+    seen_keys: set[int] = set()
+    seen_texts: set[str] = set()
+    exp_bloom, exp_key, exp_exact = [], [], []
+    for i, txt in enumerate(t["text"].to_pylist()):
+        probes = {
+            int((h[i] >> np.uint64(shift * r)) % np.uint64(BLOOM_REPORT_M))
+            for r in range(BLOOM_REPORT_K)
+        }
+        exp_bloom.append(probes <= bits)
+        exp_key.append(int(h[i]) in seen_keys)
+        exp_exact.append(txt in seen_texts)
+        bits |= probes
+        seen_keys.add(int(h[i]))
+        seen_texts.add(txt)
+
+    assert (df["doc_id"].to_numpy() == t["doc_id"].to_numpy()).all()
+    assert df["bloom_dup"].tolist() == exp_bloom
+    assert df["key_dup"].tolist() == exp_key
+    assert df["exact_dup"].tolist() == exp_exact
+    # taxonomy: exact => key => bloom (a Bloom filter never false-negatives)
+    assert (~df["exact_dup"] | df["key_dup"]).all()
+    assert (~df["key_dup"] | df["bloom_dup"]).all()
+    # the fixture makes the taxonomy non-vacuous: bit-collision FPs exist
+    assert df["bloom_dup"].sum() > df["key_dup"].sum()
+    assert df["key_dup"].sum() > 0
