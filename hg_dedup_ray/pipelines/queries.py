@@ -2313,17 +2313,29 @@ def video_framehash_near_dup(sf_dir: str, threshold: float = 0.5, num_buckets: i
     payload (stages/multimodal.StdCodec), aHash every frame, and report
     doc pairs whose DISTINCT-frame-hash sets have Jaccard >= threshold.
 
-    Exact for threshold > 0 without any PPJoin cascade because frame
-    sets are tiny (<= a dozen per video): any qualifying pair shares >= 1
-    frame hash, every shared hash has df >= 2 and so survives the hot-key
-    prefilter, and within a pair-hash bucket the ROW COUNT per pair is
-    exactly the intersection size (each shared posting emits the pair
-    once). Shuffles carry only (u64 fhash / pid, three ints); frames and
+    Candidate generation is PREFIX-FILTERED (the PPJoin cascade of
+    ngram_jaccard_exact_pairs, specialized to tiny sets): each doc's
+    frame hashes are ordered by global df ascending and only the
+    ``n - ceil(t*n) + 1`` rarest are indexed, so a stop frame (all-black
+    / intro card shared by thousands of videos) lands in a doc's prefix
+    only when the doc has nothing rarer — the per-posting-list pair
+    expansion CLAUDE.md bans as quadratic never sees ubiquitous hashes.
+    The prefix guarantee holds for any consistent global order, so
+    candidates remain a SUPERSET of qualifying pairs (prefix length is
+    rounded toward the enlarging side; doc fragments straddling blocks
+    only enlarge it further). Candidates are then verified EXACTLY
+    against each doc's full sorted frame-hash set (<= a dozen u64s =
+    ~100 B/doc, broadcast for candidate docs only — the dup-set
+    broadcast pattern; above a driver budget this side would ride the
+    bucketed dupset_join shape instead).
+
+    Shuffles carry only (u64 fhash / pid, short ints); frames and
     payloads never leave the decode stage. Per-group Python runs only on
-    hot fhash keys (dup-content-bounded), per the repo groupby rule.
-    Rows-only (frame decode has no SQL oracle); equality with a
-    brute-force all-pairs set scan is pinned in tests/test_multimodal.py."""
-    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+    hot PREFIX hashes, per-pair Python only on surviving candidates
+    (both dup-bounded). Rows-only (frame decode has no SQL oracle);
+    equality with a brute-force all-pairs set scan is pinned in
+    tests/test_multimodal.py."""
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys_counts
     from hg_dedup_ray.stages.mediadedup import VideoFrameHashes
     from hg_dedup_ray.stages.multimodal import attach_payloads
 
@@ -2350,28 +2362,64 @@ def video_framehash_near_dup(sf_dir: str, threshold: float = 0.5, num_buckets: i
             }
         )
     )
-    hot = hot_u64_keys(rows, "fhash")
+    hot, df = hot_u64_keys_counts(rows, "fhash")
     if hot.shape[0] == 0:
         return empty
-    hot_ref = ray.put(pa.array(hot, pa.uint64()))
+    df_ref = ray.put((hot, df.astype(np.int64)))
 
-    def keep_hot(b: pa.Table) -> pa.Table:
+    def prefix_postings(batch: pa.Table) -> pa.Table:
+        """(fhash, doc_id, nframes) rows for each doc's df-ascending
+        PREFIX hashes that are hot (df >= 2). Runs on whole blocks
+        (batch_size=None): doc fragments would only enlarge the prefix
+        (local rank <= global rank), never shrink it."""
         from hg_dedup_ray.stages.broadcast import get_broadcast
 
-        return b.filter(pc.is_in(b["fhash"], value_set=get_broadcast(hot_ref)))
+        e = pa.table(
+            {
+                "fhash": pa.array([], pa.uint64()),
+                "doc_id": pa.array([], pa.int64()),
+                "nframes": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "fhash" not in batch.column_names:
+            return e
+        hot_s, df_s = get_broadcast(df_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        fh = batch["fhash"].to_numpy(zero_copy_only=False)
+        nf = batch["nframes"].to_numpy(zero_copy_only=False)
+        j = np.searchsorted(hot_s, fh)
+        jc = np.minimum(j, hot_s.shape[0] - 1)
+        is_hot = (j < hot_s.shape[0]) & (hot_s[jc] == fh)
+        dfv = np.where(is_hot, df_s[jc], 1)
+        order = np.lexsort((fh, dfv, ids))
+        ids_s, fh_s, nf_s = ids[order], fh[order], nf[order]
+        hot_m = is_hot[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ids_s[1:] != ids_s[:-1]))
+        )
+        seg = np.diff(np.concatenate((starts, [ids_s.shape[0]])))
+        rank = np.arange(ids_s.shape[0], dtype=np.int64) - np.repeat(starts, seg)
+        # enlarging rounding: ceil(t*n - eps), so borderline n*t keeps
+        # the extra slot (a candidate superset is always safe)
+        plen = nf_s - np.ceil(threshold * nf_s - 1e-9).astype(np.int64) + 1
+        keep = (rank < plen) & hot_m
+        return pa.table(
+            {
+                "fhash": pa.array(fh_s[keep], pa.uint64()),
+                "doc_id": pa.array(ids_s[keep], pa.int64()),
+                "nframes": pa.array(nf_s[keep], pa.int64()),
+            }
+        )
 
     _empty_pairs = pa.table(
         {
             "pbucket": pa.array([], pa.int64()),
             "pid": pa.array([], pa.uint64()),
-            "na": pa.array([], pa.int64()),
-            "nb": pa.array([], pa.int64()),
         }
     )
 
     def posting_pairs(group: pa.Table) -> pa.Table:
-        # one posting list (all docs containing one hot frame hash);
-        # each doc appears at most once (rows are per-doc-DISTINCT)
+        # one PREFIX posting list; each doc appears at most once
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         if ids.shape[0] and (ids.min() < 0 or ids.max() >= 1 << 32):
             raise ValueError("video_framehash_near_dup requires 0 <= doc_id < 2^32")
@@ -2385,7 +2433,7 @@ def video_framehash_near_dup(sf_dir: str, threshold: float = 0.5, num_buckets: i
         na, nb = nf[ai], nf[bi]
         # length filter (J >= t implies min >= t*max); eps only ENLARGES
         ok = np.minimum(na, nb) >= threshold * np.maximum(na, nb) - 1e-9
-        ai, bi, na, nb = ai[ok], bi[ok], na[ok], nb[ok]
+        ai, bi = ai[ok], bi[ok]
         pid = (ids[ai].astype(np.uint64) << np.uint64(32)) | ids[bi].astype(
             np.uint64
         )
@@ -2395,43 +2443,87 @@ def video_framehash_near_dup(sf_dir: str, threshold: float = 0.5, num_buckets: i
                     (pid % np.uint64(num_buckets)).astype(np.int64), pa.int64()
                 ),
                 "pid": pa.array(pid, pa.uint64()),
-                "na": pa.array(na, pa.int64()),
-                "nb": pa.array(nb, pa.int64()),
             }
         )
 
-    def jaccard_bucket(group: pa.Table) -> pa.Table:
-        pid = group["pid"].to_numpy(zero_copy_only=False)
-        na = group["na"].to_numpy(zero_copy_only=False)
-        nb = group["nb"].to_numpy(zero_copy_only=False)
-        order = np.argsort(pid, kind="stable")
-        pid, na, nb = pid[order], na[order], nb[order]
-        starts = np.flatnonzero(np.concatenate(([True], pid[1:] != pid[:-1])))
-        inter = np.diff(np.concatenate((starts, [pid.shape[0]])))
-        pid, na, nb = pid[starts], na[starts], nb[starts]
-        union = na + nb - inter
-        j = inter / union  # union >= 1 (inter >= 1 by construction)
-        keep = j >= threshold
-        pid, j = pid[keep], j[keep]
-        return pa.table(
-            {
-                "doc_id_a": pa.array(
-                    (pid >> np.uint64(32)).astype(np.int64), pa.int64()
-                ),
-                "doc_id_b": pa.array(
-                    (pid & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
-                ),
-                "jaccard": pa.array(j, pa.float64()),
-            }
-        )
+    def distinct_pids(group: pa.Table) -> pa.Table:
+        pid = np.unique(group["pid"].to_numpy(zero_copy_only=False))
+        return pa.table({"pid": pa.array(pid, pa.uint64())})
 
-    return (
-        rows.map_batches(keep_hot, batch_format="pyarrow")
+    cand = (
+        rows.map_batches(prefix_postings, batch_format="pyarrow", batch_size=None)
         .groupby("fhash")
         .map_groups(posting_pairs, batch_format="pyarrow")
         .groupby("pbucket")
-        .map_groups(jaccard_bucket, batch_format="pyarrow")
+        .map_groups(distinct_pids, batch_format="pyarrow")
+        .materialize()
     )
+    if cand.count() == 0:
+        return empty
+
+    # ---- exact verify: broadcast candidate docs' full frame-hash sets
+    pid_all = np.concatenate(
+        [
+            t["pid"].to_numpy(zero_copy_only=False)
+            for t in ray.get(cand.to_arrow_refs())
+            if len(t)
+        ]
+    )
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                (pid_all >> np.uint64(32)).astype(np.int64),
+                (pid_all & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            ]
+        )
+    )
+    ids_ref = ray.put(cand_ids)
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        ci = get_broadcast(ids_ref)
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ci, d)
+        hit = (pos < ci.shape[0]) & (ci[np.minimum(pos, ci.shape[0] - 1)] == d)
+        return b.filter(pa.array(hit)).select(["doc_id", "fhash"])
+
+    mem = rows.map_batches(member_rows, batch_format="pyarrow").take_all()
+    md = np.array([r["doc_id"] for r in mem], np.int64)
+    mh = np.array([r["fhash"] for r in mem], np.uint64)
+    order = np.lexsort((mh, md))
+    md, mh = md[order], mh[order]
+    set_starts = np.flatnonzero(np.concatenate(([True], md[1:] != md[:-1])))
+    set_ids = md[set_starts]
+    set_offs = np.concatenate((set_starts, [md.shape[0]]))
+    sets_ref = ray.put((set_ids, set_offs, mh))
+
+    def verify(b: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        sid, soff, shash = get_broadcast(sets_ref)
+        pid = b["pid"].to_numpy(zero_copy_only=False)
+        a = (pid >> np.uint64(32)).astype(np.int64)
+        bb = (pid & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        ja = np.searchsorted(sid, a)
+        jb = np.searchsorted(sid, bb)
+        out_j = np.empty(pid.shape[0], np.float64)
+        for i in range(pid.shape[0]):  # per-PAIR: candidates only, sets tiny
+            sa_ = shash[soff[ja[i]] : soff[ja[i] + 1]]
+            sb_ = shash[soff[jb[i]] : soff[jb[i] + 1]]
+            inter = np.intersect1d(sa_, sb_, assume_unique=True).shape[0]
+            union = sa_.shape[0] + sb_.shape[0] - inter
+            out_j[i] = inter / union if union else 1.0
+        keep = out_j >= threshold
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a[keep], pa.int64()),
+                "doc_id_b": pa.array(bb[keep], pa.int64()),
+                "jaccard": pa.array(out_j[keep], pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 def _window_keepfirst_ctx(docs, minlen: int):
@@ -2463,9 +2555,12 @@ def _window_keepfirst_ctx(docs, minlen: int):
         """(hashes, window_doc_row, in_doc_pos, valid_mask, ids)."""
         data, offsets = string_column_bytes(batch["text"])
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 32):
-            # the keep-first key packs (doc_id, pos) into one u64
-            raise ValueError("window_dedup_report requires 0 <= doc_id < 2^32")
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 31):
+            # the keep-first key packs (doc_id, pos) into one u64 on the
+            # Ray side (good to 2^32), but the window-family DuckDB
+            # oracles compute doc_id * 2^32 + pos in BIGINT — the
+            # oracle-parity-safe domain is doc_id < 2^31
+            raise ValueError("window_dedup_report requires 0 <= doc_id < 2^31")
         if data.shape[0] < minlen:
             z = np.empty(0, np.int64)
             return np.empty(0, np.uint64), z, z, np.empty(0, bool), ids
@@ -3396,9 +3491,19 @@ def orders_per_nation(sf_dir: str):
             batch = batch.filter(pa.array(ok))
             rows_c = rows_c[ok]
         nation_keys = cn[rows_c]
-        nation_rows = np.minimum(
-            np.searchsorted(nk, nation_keys), nk.shape[0] - 1
-        )
+        # same inner-join semantics on the nation side: an empty nation
+        # table or a dangling c_nationkey must drop the order (as the
+        # oracle's inner join does), not crash or credit the last nation
+        if nk.shape[0] == 0:
+            okn = np.zeros(nation_keys.shape[0], bool)
+            nation_rows = np.empty(0, np.int64)
+        else:
+            rows_n = np.searchsorted(nk, nation_keys)
+            nation_rows = np.minimum(rows_n, nk.shape[0] - 1)
+            okn = (rows_n < nk.shape[0]) & (nk[nation_rows] == nation_keys)
+        if not okn.all():
+            batch = batch.filter(pa.array(okn))
+            nation_rows = nation_rows[okn] if nk.shape[0] else nation_rows
         price_c = pc.cast(
             pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
         )

@@ -515,3 +515,50 @@ def test_video_framehash_near_dup_matches_bruteforce(ray_session):
                 want.add((a, b, round(inter / union, 9)))
     assert got_set == want
     assert len(want) > 0  # fixture has exact text dups -> jaccard-1 pairs
+
+
+def test_video_framehash_stop_frame_stays_exact(ray_session, tmp_path):
+    """Stop-frame fixture: every doc shares frame 1 (common 192-byte
+    prefix = one ubiquitous aHash), so the naive per-hash pair expansion
+    would be quadratic in the corpus. The prefix-filtered cascade must
+    still equal the brute-force set scan: non-dup pairs sharing ONLY the
+    stop frame stay below threshold, true dup pairs survive."""
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import video_framehash_near_dup
+
+    rng = np.random.default_rng(11)
+    common = bytes(rng.integers(32, 127, size=192, dtype=np.uint8)).decode()
+    texts = [
+        common
+        + bytes(rng.integers(32, 127, size=3 * 192, dtype=np.uint8)).decode()
+        for _ in range(40)
+    ]
+    texts += [texts[5], texts[9]]  # true dups at ids 40, 41
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    threshold = 0.5
+    got = video_framehash_near_dup(str(tmp_path), threshold=threshold).to_pandas()
+    got_set = {
+        (a, b, round(j, 9))
+        for a, b, j in zip(got["doc_id_a"], got["doc_id_b"], got["jaccard"])
+    }
+    assert len(got) == len(got_set)
+    sets = _drv_video_sets(str(tmp_path))
+    ids = sorted(sets)
+    want = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                want.add((a, b, round(inter / union, 9)))
+    assert got_set == want
+    assert {(a, b) for a, b, _ in want} == {(5, 40), (9, 41)}
