@@ -41,9 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--data_dir", required=True,
                    help="Input corpus: a parquet dir/file or a jsonl tree.")
-    p.add_argument("--save_dir", required=True,
+    p.add_argument("--save_dir", default=None,
                    help="Output directory (partitioned parquet, or a "
-                   "mirrored jsonl tree with --format jsonl).")
+                   "mirrored jsonl tree with --format jsonl). Required "
+                   "except with --check_query.")
     p.add_argument("--format", default="parquet", choices=["parquet", "jsonl"])
     p.add_argument("--minlen", type=int, default=100,
                    help="Minimum duplicate length, in corpus units "
@@ -81,11 +82,21 @@ def build_parser() -> argparse.ArgumentParser:
                    "journey: --data_dir is the table directory, the "
                    "result writes to save_dir as partitioned parquet. "
                    "'list' prints all registered names.")
+    p.add_argument("--check_query", default=None, metavar="NAME",
+                   nargs="+",
+                   help="Validate operators against their DuckDB oracles "
+                   "over --data_dir's parquet tables (driver-identical "
+                   "rows/schema/dtypes/value-hash compare; 'all' checks "
+                   "every registered query). Prints one JSON report; "
+                   "exit 1 on any mismatch/error.")
     return p
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.save_dir and not args.check_query and args.run_query != "list":
+        parser.error("--save_dir is required except with --check_query")
     import ray
 
     if not ray.is_initialized():
@@ -100,6 +111,15 @@ def main(argv=None) -> int:
                 kw["num_cpus"] = args.cpus
         ray.init(address=addr, **kw)
     try:
+        if args.check_query:
+            from hg_dedup_ray.tools.oracle_check import check_queries
+
+            names = (None if args.check_query == ["all"]
+                     else args.check_query)
+            report = check_queries(args.data_dir, names)
+            print(json.dumps(report))
+            return 0 if report["mismatch"] + report["error"] == 0 else 1
+
         if args.run_query:
             from hg_dedup_ray.pipelines.queries import QUERIES
 
