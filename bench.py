@@ -216,7 +216,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # Default pair 8 vs 32 (the driver's N-vs-4N stand-in). Override with
+    # GRAFT_SCALING_LO/HI: e.g. 2 vs 8 keeps the hi level inside the
+    # box's DRAM budget, modeling N- vs 4N-NODE scaling (each node brings
+    # its own memory channels) without the shared-bandwidth distortion.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     # interleave lo/hi sessions and keep the min per level: this sandbox
     # shows multi-minute host-interference bursts, and interleaving keeps
     # a burst from landing entirely on one level
