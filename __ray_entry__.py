@@ -7,9 +7,12 @@ here (or in hg_dedup_ray) calls ``ray.init``/``ray.shutdown``.
   /root/testdata/sf0.001/documents.parquet.
 - ``queries()``: one callable per implemented operator (SURVEY.md §2 +
   the training-data ops); each takes ``sf_dir``.
-- ``oracle_sql()``: DuckDB-equivalent SQL for the SQL-expressible subset;
-  suffix-array / MinHash / SimHash / IVF ops are rows-only here and
-  oracle-checked in tests/ against a naive Python reimplementation.
+- ``oracle_sql()``: DuckDB-equivalent SQL for the SQL-expressible subset
+  (81 of 95 queries, incl. MinHash/SimHash sigs+clusters, LSH cascades,
+  Bloom dedup and k-means). The 14 rows-only entries are the media
+  decode triad, the suffix-array flagship journeys (reference-parity-
+  tested against the real compiled engine), cross-doc SA diagnostics,
+  and approximate IVF (its exhaustive variant IS oracle-checked).
 """
 
 from __future__ import annotations
