@@ -78,6 +78,44 @@ def _doc_words(text: pa.ChunkedArray | pa.Array):
 # ------------------------------------------------- gopher_quality_filter
 
 
+def _gopher_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch Gopher signals + integer-exact keep flag (shared by
+    gopher_quality_filter and curation_cascade)."""
+    flat, parents, n = _doc_words(batch["text"])
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    n_words = np.bincount(parents, minlength=n).astype(np.int64)
+    chars = np.bincount(parents, weights=lens, minlength=n).astype(np.int64)
+    alpha = pc.match_substring_regex(flat, r"[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha = np.bincount(parents[alpha], minlength=n).astype(np.int64)
+    stop_types = np.zeros(n, np.int64)
+    for s in GOPHER_STOPS:
+        hit = pc.equal(flat, s).to_numpy(zero_copy_only=False)
+        stop_types += np.bincount(parents[hit], minlength=n) > 0
+    mean_wl = np.where(n_words > 0, chars / np.maximum(n_words, 1), 0.0)
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (chars >= GOPHER_MIN_MEAN_WL * n_words)
+        & (chars <= GOPHER_MAX_MEAN_WL * n_words)
+        & (GOPHER_ALPHA_DEN * n_alpha >= GOPHER_ALPHA_NUM * n_words)
+        & (stop_types >= GOPHER_MIN_STOP_TYPES)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "total_word_chars": pa.array(chars, pa.int64()),
+            "mean_word_len": pa.array(mean_wl, pa.float64()),
+            "n_alpha_words": pa.array(n_alpha, pa.int64()),
+            "n_stop_types": pa.array(stop_types, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
+
+
+
 def gopher_quality_filter(sf_dir: str):
     """Gopher repetition-free quality gate over the documents table.
 
@@ -87,43 +125,8 @@ def gopher_quality_filter(sf_dir: str):
     stop-word rule — all evaluated in integer arithmetic so the flag is
     engine-exact; ``mean_word_len`` is the one float column and is a
     SINGLE division of two exact integers on both sides."""
-
-    def stats(batch: pa.Table) -> pa.Table:
-        flat, parents, n = _doc_words(batch["text"])
-        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        n_words = np.bincount(parents, minlength=n).astype(np.int64)
-        chars = np.bincount(parents, weights=lens, minlength=n).astype(np.int64)
-        alpha = pc.match_substring_regex(flat, r"[A-Za-z]").to_numpy(
-            zero_copy_only=False
-        )
-        n_alpha = np.bincount(parents[alpha], minlength=n).astype(np.int64)
-        stop_types = np.zeros(n, np.int64)
-        for s in GOPHER_STOPS:
-            hit = pc.equal(flat, s).to_numpy(zero_copy_only=False)
-            stop_types += np.bincount(parents[hit], minlength=n) > 0
-        mean_wl = np.where(n_words > 0, chars / np.maximum(n_words, 1), 0.0)
-        keep = (
-            (n_words >= GOPHER_MIN_WORDS)
-            & (n_words <= GOPHER_MAX_WORDS)
-            & (chars >= GOPHER_MIN_MEAN_WL * n_words)
-            & (chars <= GOPHER_MAX_MEAN_WL * n_words)
-            & (GOPHER_ALPHA_DEN * n_alpha >= GOPHER_ALPHA_NUM * n_words)
-            & (stop_types >= GOPHER_MIN_STOP_TYPES)
-        )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_words": pa.array(n_words, pa.int64()),
-                "total_word_chars": pa.array(chars, pa.int64()),
-                "mean_word_len": pa.array(mean_wl, pa.float64()),
-                "n_alpha_words": pa.array(n_alpha, pa.int64()),
-                "n_stop_types": pa.array(stop_types, pa.int64()),
-                "keep": pa.array(keep, pa.bool_()),
-            }
-        )
-
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        stats, batch_format="pyarrow", batch_size=8192
+        _gopher_stats_batch, batch_format="pyarrow", batch_size=8192
     )
 
 
@@ -1007,3 +1010,102 @@ def source_mix_weights(sf_dir: str, alpha: float = 0.7):
             "mix_weight": pa.array(w, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------- curation_cascade
+
+
+def curation_cascade(sf_dir: str):
+    """The canonical webtext tier pipeline as ONE operator: lang-ID gate
+    -> Gopher quality gate -> exact keep-first dedup among SURVIVORS
+    (CCNet's lang/quality ordering, Rae et al. 2021 section A1.2's gate
+    chain).
+
+    Per-doc verdict: (doc_id, lang_ok, quality_ok, drop_stage, keep)
+    where drop_stage is the FIRST failed tier ('lang' | 'quality' |
+    'duplicate') or 'kept', and keep == (drop_stage = 'kept').
+
+    The dedup tier genuinely runs over gate SURVIVORS only. With the
+    text-pure gates used here every copy of a text shares its gate
+    outcome, so the survivor-restricted keep-first happens to equal the
+    global per-text keep-first — but the cascade structure is what
+    gives first-failed-stage attribution, and it stays correct when a
+    gate becomes non-text-pure (URL blocklists, per-source rules),
+    where restricting dedup to survivors and a column-AND diverge.
+
+    Scale shape: ONE streaming pass over text computes both gates and
+    the u64 content fingerprint per batch (the lang_id and
+    _gopher_stats_batch kernels, each individually oracle-checked, plus
+    blake2b-8); only (doc_id, 2 bools, fp) is materialized. The dedup
+    tier reuses _exact_keeper_ids' fp/partial-min shape on the survivor
+    subset (precomputed_fp — text is never re-read), keeper ids
+    broadcast once, and a stateless flagging pass labels every doc.
+    """
+    from hg_dedup_ray.pipelines.queries import _exact_keeper_ids
+    from hg_dedup_ray.stages import textstats
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang_ok": pa.array([], pa.bool_()),
+                "quality_ok": pa.array([], pa.bool_()),
+                "fp": pa.array([], pa.uint64()),
+            }
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        lang = textstats.lang_id(batch)
+        q = _gopher_stats_batch(batch)
+        fp = textstats.content_hash_u64(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_ok": pc.equal(lang["lang_pred"], "en"),
+                "quality_ok": q["keep"],
+                "fp": fp["fp"],
+            }
+        )
+
+    rows = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(pass1, batch_format="pyarrow", batch_size=8192)
+        .materialize()
+    )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(batch["lang_ok"], batch["quality_ok"])
+        return batch.filter(ok).select(["doc_id", "fp"])
+
+    keep_ids = _exact_keeper_ids(
+        rows.map_batches(survivors, batch_format="pyarrow"),
+        precomputed_fp=True,
+    )
+    keep_ref = ray.put(keep_ids)
+
+    def label(batch: pa.Table) -> pa.Table:
+        ki = get_broadcast(keep_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lo = batch["lang_ok"].to_numpy(zero_copy_only=False)
+        qo = batch["quality_ok"].to_numpy(zero_copy_only=False)
+        is_keep = np.zeros(d.shape[0], bool)
+        if ki.shape[0]:
+            pos = np.searchsorted(ki, d)
+            inr = pos < ki.shape[0]
+            is_keep[inr] = ki[pos[inr]] == d[inr]
+        stage = np.where(
+            ~lo, "lang",
+            np.where(~qo, "quality", np.where(is_keep, "kept", "duplicate")),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_ok": batch["lang_ok"],
+                "quality_ok": batch["quality_ok"],
+                "drop_stage": pa.array(stage.tolist(), pa.string()),
+                "keep": pa.array(is_keep, pa.bool_()),
+            }
+        )
+
+    return rows.map_batches(label, batch_format="pyarrow")

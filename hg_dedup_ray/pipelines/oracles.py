@@ -1275,6 +1275,50 @@ ORACLE_SQL = {
                 AND n_stop_types >= {GOPHER_MIN_STOP_TYPES}) AS keep
         FROM st
     """,
+    # The cascade's dedup tier groups by full text among GATE SURVIVORS
+    # only (the Ray side uses a u64 blake2b-8 fingerprint for the same
+    # grouping, as exact_dedup does); CASE order defines the first-failed-
+    # tier label when a doc fails several gates.
+    "curation_cascade": rf"""
+        WITH w AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+          FROM documents
+        ), st AS (
+          SELECT doc_id, text,
+                 len(ws)::BIGINT AS n_words,
+                 coalesce(list_sum(list_transform(ws, x -> length(x))),
+                          0)::BIGINT AS total_word_chars,
+                 len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                     ::BIGINT AS n_alpha_words,
+                 len(list_filter({_gopher_stops},
+                                 s -> list_contains(ws, s)))::BIGINT
+                     AS n_stop_types,
+                 len(list_filter(ws, x -> x IN ({_stops}))) > 0 AS lang_ok
+          FROM w
+        ), g AS (
+          SELECT doc_id, text, lang_ok,
+                 (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                  AND total_word_chars >= {GOPHER_MIN_MEAN_WL} * n_words
+                  AND total_word_chars <= {GOPHER_MAX_MEAN_WL} * n_words
+                  AND {GOPHER_ALPHA_DEN} * n_alpha_words
+                          >= {GOPHER_ALPHA_NUM} * n_words
+                  AND n_stop_types >= {GOPHER_MIN_STOP_TYPES}) AS quality_ok
+          FROM st
+        ), k AS (
+          SELECT min(doc_id) AS keep_id FROM g
+          WHERE lang_ok AND quality_ok GROUP BY text
+        )
+        SELECT doc_id, lang_ok, quality_ok,
+               CASE WHEN NOT lang_ok THEN 'lang'
+                    WHEN NOT quality_ok THEN 'quality'
+                    WHEN doc_id IN (SELECT keep_id FROM k) THEN 'kept'
+                    ELSE 'duplicate' END AS drop_stage,
+               (lang_ok AND quality_ok
+                AND doc_id IN (SELECT keep_id FROM k)) AS keep
+        FROM g
+    """,
     "token_entropy": r"""
         WITH toks AS (
           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w

@@ -57,13 +57,17 @@ def _pool() -> tuple[int, int]:
 
 
 # --------------------------------------------------------------- dedup ops
-def _exact_keeper_ids(docs, num_buckets: int = 64) -> np.ndarray:
+def _exact_keeper_ids(
+    docs, num_buckets: int = 64, precomputed_fp: bool = False
+) -> np.ndarray:
     """Sorted keeper doc_ids of exact keep-first text dedup over any
     (doc_id, text) dataset — the fp/partial-min shape documented on
-    exact_dedup, shared with dedup_tier_cascade's exact tier."""
+    exact_dedup, shared with dedup_tier_cascade's exact tier and
+    curation_cascade's dedup tier (which passes ``precomputed_fp=True``
+    with (doc_id, fp:u64) rows so the text is read exactly once)."""
 
     def fp_min_partial(batch: pa.Table) -> pa.Table:
-        h = textstats.content_hash_u64(batch)
+        h = batch if precomputed_fp else textstats.content_hash_u64(batch)
         fp = h["fp"].to_numpy(zero_copy_only=False)
         d = h["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((d, fp))
@@ -3730,6 +3734,7 @@ from hg_dedup_ray.pipelines.curation import (  # noqa: E402
 from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     bigram_logprob,
     bigram_pmi,
+    curation_cascade,
     dup_cluster_size_histogram,
     soft_dedup_weights,
     source_mix_weights,
@@ -3825,6 +3830,7 @@ QUERIES = {
     "normalize_texts": normalize_texts,
     "substring_counts": substring_counts,
     "gopher_quality_filter": gopher_quality_filter,
+    "curation_cascade": curation_cascade,
     "token_entropy": token_entropy,
     "kmeans_assign": kmeans_assign,
     "semantic_dedup": semantic_dedup,
