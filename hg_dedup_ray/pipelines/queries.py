@@ -1920,6 +1920,231 @@ def ann_ivf_exhaustive(sf_dir: str):
     return ann_ivf_topk(sf_dir, n_cells=8, nprobe=8)
 
 
+def ann_ivfpq_topk(
+    sf_dir: str,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 10,
+):
+    """IVF-PQ ANN with exact refine (IVFADC+R, Jegou et al. 2011;
+    rows-only — quantized scoring has no exact oracle; recall vs brute
+    force and determinism are pinned in tests/test_embed.py).
+
+    THE memory-bounded trillion-scale ANN shape: after a one-off
+    driver-side training pass (coarse k-means + per-subspace PQ
+    codebooks over a 512-row sample), every db vector is reduced to
+    **16 bytes** (vec_id + m=8 codes packed in one u64) — the ONLY
+    thing the cell shuffle carries, independent of embedding dimension.
+    Queries broadcast with full precision; per cell, scoring is
+    asymmetric distance computation: one (m, ksub) inner-product LUT
+    per query, then m vectorized gathers over the unpacked codes — no
+    full-precision db read in the scan. nprobe/n_cells bounds the
+    scanned fraction exactly as in ann_ivf_topk.
+
+    Refine stage: ADC ordering is noisy exactly where it matters (the
+    top of the list), so the ADC pass returns a shortlist of
+    ``refine * ANN_K`` ids per query, and ONE more streaming pass
+    re-scores just those (query, id) pairs with full-precision vectors
+    (broadcast shortlist, searchsorted membership per batch, sims only
+    for hits) — at 10^12-vector scale this pass prunes to the
+    shortlist's row groups instead of re-streaming the corpus. Measured
+    on the fixture: ADC-only recall ~0.26, refined ~= exact-vector IVF
+    at the same nprobe (probe loss is then the only loss)."""
+    from hg_dedup_ray.pipelines.sa_dedup import _task_stage
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+    from hg_dedup_ray.stages.embed import (
+        PqEncoder,
+        _normalize,
+        pq_train,
+        unpack_codes,
+    )
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    emb = _emb(sf_dir)
+    sample = np.array(
+        [r["embedding"] for r in emb.limit(512).take_all()], dtype=np.float64
+    )
+    if sample.size == 0:
+        return ray.data.from_arrow(empty)
+    cents = kmeans_centroids(sample, n_cells)
+    books = pq_train(sample, m=m, ksub=ksub)
+
+    qt = emb.filter(expr=f"vec_id < {ANN_NUM_QUERIES}").to_pandas()
+    qmat = _normalize(
+        np.array([np.asarray(e) for e in qt["embedding"]], dtype=np.float64)
+    )
+    qids = qt["vec_id"].to_numpy().astype(np.int64)
+    qsims = qmat @ cents.T
+    P = min(nprobe, cents.shape[0])
+    probe = (
+        np.argpartition(-qsims, kth=P - 1, axis=1)[:, :P]
+        if P < cents.shape[0]
+        else np.broadcast_to(
+            np.arange(cents.shape[0]), (qmat.shape[0], cents.shape[0])
+        ).copy()
+    )
+    # per-query ADC lookup tables, built ONCE on the driver:
+    # luts[q, i, c] = <q_sub_i, codeword_{i,c}>  — (nq, m, ksub)
+    dsub = books.shape[2]
+    luts = np.einsum(
+        "qid,icd->qic", qmat.reshape(qmat.shape[0], m, dsub), books
+    )
+    enc_ref = ray.put((cents, books))
+    q_ref = ray.put((qids, luts, probe))
+
+    enc = emb.map_batches(
+        _task_stage(PqEncoder, enc_ref), batch_format="pyarrow", batch_size=2048
+    )
+
+    def cell_adc_topk(group: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0:
+            return out_empty
+        g_qids, g_luts, g_probe = get_broadcast(q_ref)
+        cell = int(group["ivf_cell"][0].as_py())
+        qsel = np.flatnonzero((g_probe == cell).any(axis=1))
+        if qsel.size == 0:
+            return out_empty
+        dids = group["vec_id"].to_numpy(zero_copy_only=False)
+        codes = unpack_codes(
+            group["pq_code"].to_numpy(zero_copy_only=False), m
+        )  # (nd, m)
+        sims = np.zeros((qsel.size, dids.shape[0]))
+        for i in range(m):
+            sims += g_luts[qsel, i][:, codes[:, i]]
+        sims[g_qids[qsel][:, None] == dids[None, :]] = -np.inf  # self
+        k = min(ANN_K * refine, dids.shape[0])
+        part = (
+            np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+            if k < dids.shape[0]
+            else np.broadcast_to(
+                np.arange(dids.shape[0]), (qsel.size, dids.shape[0])
+            ).copy()
+        )
+        psims = np.take_along_axis(sims, part, axis=1)
+        keep = np.isfinite(psims).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.repeat(g_qids[qsel], part.shape[1])[keep], pa.int64()
+                ),
+                "neighbor_id": pa.array(dids[part.ravel()][keep], pa.int64()),
+                "sim": pa.array(psims.ravel()[keep], pa.float64()),
+            }
+        )
+
+    cand = enc.groupby("ivf_cell").map_groups(
+        cell_adc_topk, batch_format="pyarrow"
+    )
+
+    # ADC shortlist: global top refine*ANN_K per query. Tiny by
+    # construction (<= nq * nprobe * refine*ANN_K rows reach the driver;
+    # nq, refine, ANN_K are constants), like ann_topk's partials.
+    ql, nl, sl = [], [], []
+    for b in cand.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        ql.append(b["query_id"].to_numpy(zero_copy_only=False))
+        nl.append(b["neighbor_id"].to_numpy(zero_copy_only=False))
+        sl.append(b["sim"].to_numpy(zero_copy_only=False))
+    qa = np.concatenate(ql) if ql else np.empty(0, np.int64)
+    na = np.concatenate(nl) if nl else np.empty(0, np.int64)
+    sa = np.concatenate(sl) if sl else np.empty(0, np.float64)
+    order = np.lexsort((na, -sa, qa))
+    qa, na = qa[order], na[order]
+    if qa.shape[0]:
+        new = np.concatenate(([True], qa[1:] != qa[:-1]))
+        rid = np.cumsum(new) - 1
+        run_start = np.cumsum(np.bincount(rid)) - np.bincount(rid)
+        local = np.arange(qa.shape[0]) - run_start[rid]
+        keepm = local < ANN_K * refine
+        qa, na = qa[keepm], na[keepm]
+    # sort shortlist by neighbor id for per-batch searchsorted membership
+    so = np.lexsort((qa, na))
+    sl_nid, sl_qid = na[so], qa[so]
+    qid_sorted = np.sort(qids)
+    qrow_of = np.argsort(qids, kind="stable")  # qmat row for sorted qids
+    ref_ref = ray.put((sl_nid, sl_qid, qid_sorted, qmat[qrow_of]))
+
+    def refine_batch(batch: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return out_empty
+        nid, qid, qs, qm = get_broadcast(ref_ref)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(nid, vids, "left")
+        hi = np.searchsorted(nid, vids, "right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return out_empty
+        mat = _normalize(embedding_matrix(batch))
+        rows = np.repeat(np.arange(vids.shape[0]), counts)
+        slpos = np.repeat(lo, counts) + (
+            np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        qidx = np.searchsorted(qs, qid[slpos])
+        sims = np.einsum("ij,ij->i", qm[qidx], mat[rows])
+        return pa.table(
+            {
+                "query_id": pa.array(qid[slpos], pa.int64()),
+                "neighbor_id": pa.array(vids[rows], pa.int64()),
+                "sim": pa.array(sims, pa.float64()),
+            }
+        )
+
+    refined = emb.map_batches(
+        refine_batch, batch_format="pyarrow", batch_size=2048
+    )
+
+    def add_qbucket(b: pa.Table) -> pa.Table:
+        q = b["query_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("qbucket", pa.array((q % 32).astype(np.int64)))
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        s = group["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s, q))
+        q, n = q[order], n[order]
+        new = np.concatenate(([True], q[1:] != q[:-1]))
+        rid = np.cumsum(new) - 1
+        run_start = np.cumsum(np.bincount(rid)) - np.bincount(rid)
+        local = np.arange(q.shape[0]) - run_start[rid]
+        keep = local < ANN_K
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep], pa.int64()),
+                "neighbor_id": pa.array(n[keep], pa.int64()),
+                "rank": pa.array(local[keep] + 1, pa.int64()),
+            }
+        )
+
+    return (
+        refined.map_batches(add_qbucket, batch_format="pyarrow")
+        .groupby("qbucket")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+
 def top_docs_per_lang(sf_dir: str, k: int = 3):
     """Windowed top-k per group (rank() shape): per lang, the k largest
     docs by n_chars, doc_id tiebreak. One groupby over the BOUNDED lang
@@ -3795,6 +4020,7 @@ QUERIES = {
     "corpus_stats": corpus_stats,
     "ann_topk": ann_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivf_exhaustive": ann_ivf_exhaustive,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "top_docs_per_lang": top_docs_per_lang,

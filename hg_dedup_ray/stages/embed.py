@@ -240,3 +240,112 @@ def kmeans_centroids(sample: np.ndarray, n_cells: int, seed: int = 42, iters: in
                 cents[c] = members.mean(axis=0)
         cents = _normalize(cents)
     return cents
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def pq_train(
+    sample: np.ndarray, m: int = 8, ksub: int = 16, seed: int = 42,
+    iters: int = 15,
+) -> np.ndarray:
+    """(m, ksub, d/m) product-quantization codebooks: per-subspace L2
+    Lloyd k-means over a (bounded) driver-side sample of L2-normalized
+    vectors (Jegou et al. 2011). Deterministic: seeded init, argmin
+    ties break low."""
+    sample = _normalize(sample.astype(np.float64))
+    n, d = sample.shape
+    dsub = d // m
+    assert dsub * m == d, f"dim {d} not divisible by m={m}"
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), np.float64)
+    for i in range(m):
+        sub = sample[:, i * dsub : (i + 1) * dsub]
+        k = min(ksub, n)
+        c = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            for j in range(k):
+                mem = sub[a == j]
+                if len(mem):
+                    c[j] = mem.mean(0)
+        if k < ksub:  # tiny sample: pad with the last centroid
+            c = np.vstack([c, np.repeat(c[-1:], ksub - k, axis=0)])
+        books[i] = c
+    return books
+
+
+def pq_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: per subspace, index of the L2-nearest
+    codeword. ``mat`` must already be L2-normalized."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((mat.shape[0], m), np.uint8)
+    for i in range(m):
+        sub = mat[:, i * dsub : (i + 1) * dsub]
+        d2 = (
+            (sub * sub).sum(1)[:, None]
+            - 2.0 * (sub @ books[i].T)
+            + (books[i] * books[i]).sum(1)[None, :]
+        )
+        codes[:, i] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """(n, m<=8) uint8 -> (n,) uint64, code i in byte i. The packed form
+    is what shuffles: 16 bytes per db vector (vec_id + code) regardless
+    of embedding dimension."""
+    n, m = codes.shape
+    out = np.zeros(n, np.uint64)
+    for i in range(m):
+        out |= codes[:, i].astype(np.uint64) << np.uint64(8 * i)
+    return out
+
+
+def unpack_codes(packed: np.ndarray, m: int) -> np.ndarray:
+    """(n,) uint64 -> (n, m) int64 code indices."""
+    return np.stack(
+        [
+            ((packed >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.int64)
+            for i in range(m)
+        ],
+        axis=1,
+    )
+
+
+class PqEncoder:
+    """Task-closure stage: vectors -> (vec_id, ivf_cell, pq_code) rows.
+    Codebooks + coarse centroids broadcast once; per batch one matmul
+    (cell assign) + m small matmuls (codes)."""
+
+    def __init__(self, state_ref):
+        import ray
+
+        st = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        self.cents, self.books = st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "ivf_cell": pa.array([], pa.int64()),
+                "pq_code": pa.array([], pa.uint64()),
+            }
+        )
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return empty
+        mat = _normalize(embedding_matrix(batch))
+        cell = np.argmax(mat @ self.cents.T, axis=1).astype(np.int64)
+        packed = pack_codes(pq_codes(mat, self.books))
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "ivf_cell": pa.array(cell, pa.int64()),
+                "pq_code": pa.array(packed, pa.uint64()),
+            }
+        )

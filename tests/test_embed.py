@@ -64,3 +64,45 @@ def test_ivf_multiprobe_recall_monotone(brute):
     # every query answered, k rows each
     df = _run(8, 2)
     assert len(df) == len(ids) * K
+
+
+def _pq_recall(df, ids, sims, n_queries):
+    rec = []
+    for i in range(len(ids)):
+        if ids[i] >= n_queries:
+            continue
+        true_top = set(ids[np.argsort(-sims[i])[:K]])
+        got = set(df[df.query_id == ids[i]].neighbor_id)
+        rec.append(len(true_top & got) / K)
+    return float(np.mean(rec))
+
+
+def test_ivfpq_refine_recall_and_determinism(brute):
+    """IVF-PQ+refine: recall floor vs brute force, full answer shape,
+    bit-identical across runs (seeded training, argmin ties break low)."""
+    from hg_dedup_ray.pipelines.queries import ANN_NUM_QUERIES, ann_ivfpq_topk
+
+    ids, sims = brute
+    df = ann_ivfpq_topk(SF).to_pandas()
+    assert _pq_recall(df, ids, sims, ANN_NUM_QUERIES) >= 0.55
+    assert len(df) == ANN_NUM_QUERIES * K
+    df2 = ann_ivfpq_topk(SF).to_pandas()
+    a = df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = df2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_ivfpq_refine_beats_adc_only(brute):
+    """refine=1 degenerates to raw ADC ordering (shortlist == ANN_K);
+    the full refine stage must strictly improve recall on this fixture
+    (measured: ~0.26 ADC-only vs ~0.72 refined)."""
+    from hg_dedup_ray.pipelines.queries import ANN_NUM_QUERIES, ann_ivfpq_topk
+
+    ids, sims = brute
+    adc = _pq_recall(
+        ann_ivfpq_topk(SF, refine=1).to_pandas(), ids, sims, ANN_NUM_QUERIES
+    )
+    ref = _pq_recall(
+        ann_ivfpq_topk(SF).to_pandas(), ids, sims, ANN_NUM_QUERIES
+    )
+    assert ref > adc
