@@ -140,8 +140,10 @@ def run_bench() -> dict:
             "token_counts",
             "unigram_counts",
             "ann_topk",
+            "ann_ivfpq_topk",
             "embedding_near_dup_pairs",
             "window_dedup_report",
+            "curation_cascade",
         ]
     for name in bench_queries:
         t0 = time.time()
