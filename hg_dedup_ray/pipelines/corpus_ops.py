@@ -750,3 +750,201 @@ def next_token_distribution(
         .groupby(["prefix", "next_char"])
         .aggregate(Sum("occ", alias_name="n_occurrences"))
     )
+
+
+# --------------------------------------------------------------- BM25
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_NUM_QUERIES = 3     # query texts = documents with doc_id < 3
+BM25_TOPK = 10
+
+
+def bm25_topk(sf_dir: str, k: int = BM25_TOPK):
+    """Sparse lexical retrieval: Okapi BM25 top-k docs per query
+    (Robertson & Zaragoza 2009), queries = the distinct terms of the
+    first BM25_NUM_QUERIES documents — the retrieval-side complement of
+    the dense ANN operators.
+
+    Scale shape: the query side is broadcast-class by definition (a few
+    dozen distinct terms). One tiny pass collects corpus stats (N,
+    avgdl) and the union terms' document frequencies as fixed-width
+    per-block partials (one row per block); the scoring pass is then
+    embarrassingly parallel — per batch, tf over the sorted union terms
+    via searchsorted + bincount, the BM25 tf-normalization elementwise,
+    one (n_docs, |U|) x (|U|, n_queries) matmul, per-batch partial
+    top-k — followed by the same bounded qbucket merge the ANN
+    operators use. Nothing doc-sized ever shuffles.
+
+    Determinism / oracle exactness: N and avgdl come from integer sums
+    (bit-identical doubles on both engines); scores are rounded to 6 dp
+    BEFORE ranking (the tfidf_top_terms rule) with doc_id tie-break;
+    only docs matching >= 1 query term emit rows, mirroring the SQL
+    join semantics."""
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    # --- query side (driver): distinct terms per query doc ------------
+    qdocs = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .filter(expr=f"doc_id < {BM25_NUM_QUERIES}")
+        .to_pandas()
+    )
+    empty_out = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if len(qdocs) == 0:
+        return ray.data.from_arrow(empty_out)
+    qdocs = qdocs.sort_values("doc_id")
+    qids = qdocs["doc_id"].to_numpy().astype(np.int64)
+    qterms = [sorted(set(t.split())) for t in qdocs["text"]]
+    union_strs = sorted({w for ts in qterms for w in ts})
+    # sorted u64 hashes stand in for the term strings (module-wide
+    # collision assumption); all matching is searchsorted over this
+    uh = np.sort(token_hashes(pa.array(union_strs, pa.string())))
+    nu = uh.shape[0]
+    member = np.zeros((nu, qids.shape[0]), np.float64)  # term x query
+    for j, ts in enumerate(qterms):
+        th = token_hashes(pa.array(ts, pa.string()))
+        member[np.searchsorted(uh, th), j] = 1.0
+    uref = ray.put(uh)
+
+    # --- pass 1: corpus stats + union-term dfs (one row per block) ----
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        one = pa.table(
+            {
+                "n": pa.array([0], pa.int64()),
+                "toks": pa.array([0], pa.int64()),
+                "df": pa.array([[0] * nu], pa.list_(pa.int64())),
+            }
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return one
+        u = get_broadcast(uref)
+        toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        doc_ix = np.repeat(np.arange(batch.num_rows), counts.astype(np.int64))
+        th = token_hashes(flat)[nonempty]
+        doc_ix = doc_ix[nonempty]
+        dl = np.bincount(doc_ix, minlength=batch.num_rows).astype(np.int64)
+        pos = np.searchsorted(u, th)
+        ok = (pos < nu) & (u[np.minimum(pos, max(nu - 1, 0))] == th)
+        # df: distinct (doc, term) memberships
+        key = doc_ix[ok].astype(np.int64) * nu + pos[ok]
+        df = np.bincount(
+            np.unique(key) % nu, minlength=nu
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([int((dl > 0).sum())], pa.int64()),
+                "toks": pa.array([int(dl.sum())], pa.int64()),
+                "df": pa.array([df.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(stat_partial, batch_format="pyarrow", batch_size=8192)
+        .take_all()
+    )
+    n_docs = int(sum(r["n"] for r in parts))
+    total_toks = int(sum(r["toks"] for r in parts))
+    df = np.zeros(nu, np.int64)
+    for r in parts:
+        df += np.asarray(r["df"], np.int64)
+    if n_docs == 0:
+        return ray.data.from_arrow(empty_out)
+    avgdl = total_toks / n_docs  # exact: two ints
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)  # (|U|,)
+    w_ref = ray.put((idf[:, None] * member, avgdl))  # (|U|, nq) weights
+
+    # --- pass 2: scoring + per-batch partial top-k ---------------------
+    def score_partial(batch: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return out_empty
+        u = get_broadcast(uref)
+        weights, av = get_broadcast(w_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        doc_ix = np.repeat(np.arange(batch.num_rows), counts.astype(np.int64))
+        th = token_hashes(flat)[nonempty]
+        doc_ix = doc_ix[nonempty]
+        dl = np.bincount(doc_ix, minlength=batch.num_rows).astype(np.float64)
+        pos = np.searchsorted(u, th)
+        ok = (pos < nu) & (u[np.minimum(pos, max(nu - 1, 0))] == th)
+        tf = np.zeros((batch.num_rows, nu), np.float64)
+        np.add.at(tf, (doc_ix[ok], pos[ok]), 1.0)
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[:, None] / av)
+        tfn = np.divide(tf * (BM25_K1 + 1.0), denom, where=denom > 0)
+        scores = tfn @ weights  # (n_docs_in_batch, nq)
+        hit_d, hit_q = np.nonzero(scores > 0)
+        if hit_d.size == 0:
+            return out_empty
+        # partial top-k per query inside the batch
+        rs = np.round(scores[hit_d, hit_q], 6)
+        order = np.lexsort((ids[hit_d], -rs, hit_q))
+        qv = hit_q[order]
+        new = np.concatenate(([True], qv[1:] != qv[:-1]))
+        rid = np.cumsum(new) - 1
+        run_start = np.cumsum(np.bincount(rid)) - np.bincount(rid)
+        local = np.arange(qv.shape[0]) - run_start[rid]
+        keep = local < k
+        qkeep, sel = qv[keep], order[keep]
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qkeep], pa.int64()),
+                "doc_id": pa.array(ids[hit_d[sel]], pa.int64()),
+                "score": pa.array(rs[sel], pa.float64()),
+            }
+        )
+
+    cand = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score_partial, batch_format="pyarrow", batch_size=8192
+    )
+
+    def add_qbucket(b: pa.Table) -> pa.Table:
+        q = b["query_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("qbucket", pa.array((q % 32).astype(np.int64)))
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        s = group["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s, q))
+        q, d, s = q[order], d[order], s[order]
+        new = np.concatenate(([True], q[1:] != q[:-1]))
+        rid = np.cumsum(new) - 1
+        run_start = np.cumsum(np.bincount(rid)) - np.bincount(rid)
+        local = np.arange(q.shape[0]) - run_start[rid]
+        keep = local < k
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep], pa.int64()),
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "rank": pa.array(local[keep] + 1, pa.int64()),
+                "score": pa.array(s[keep], pa.float64()),
+            }
+        )
+
+    return (
+        cand.map_batches(add_qbucket, batch_format="pyarrow")
+        .groupby("qbucket")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )

@@ -1122,6 +1122,48 @@ ORACLE_SQL = {
                (count(*) - count(DISTINCT text))::BIGINT AS n_dup_docs
         FROM documents GROUP BY source
     """,
+    # BM25: N and avgdl from integer sums (bit-identical doubles both
+    # sides); score rounded to 6 dp BEFORE ranking (tfidf rule); only
+    # docs matching >= 1 query term appear (join semantics == the Ray
+    # side's score>0 filter, and idf>0 always under the +1 variant)
+    "bm25_topk": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+        stats AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(dl)::DOUBLE / count(*) AS avgdl
+          FROM dl
+        ),
+        df AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+        q AS (SELECT DISTINCT doc_id AS query_id, w FROM toks WHERE doc_id < 3),
+        sc AS (
+          SELECT q.query_id, tf.doc_id,
+                 round(sum(
+                   ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                 ), 6) AS score
+          FROM q
+          JOIN tf ON tf.w = q.w
+          JOIN df ON df.w = q.w
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+                 ) AS rank
+          FROM sc
+        )
+        SELECT query_id, doc_id, rank::BIGINT AS rank, score
+        FROM ranked WHERE rank <= 10
+    """,
     "tfidf_top_terms": r"""
         WITH toks AS (
           SELECT doc_id,

@@ -3922,6 +3922,7 @@ def pricing_summary(sf_dir: str):
 
 
 from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
+    bm25_topk,
     dup_rate_by_source,
     minhash_jaccard_estimate_pairs,
     near_dedup_keep_first,
@@ -4050,6 +4051,7 @@ QUERIES = {
     "bloom_dedup_report": bloom_dedup_report,
     "dup_rate_by_source": dup_rate_by_source,
     "tfidf_top_terms": tfidf_top_terms,
+    "bm25_topk": bm25_topk,
     "prefix_dup_docs": prefix_dup_docs,
     "minhash_jaccard_estimate_pairs": minhash_jaccard_estimate_pairs,
     "near_dedup_keep_first": near_dedup_keep_first,
