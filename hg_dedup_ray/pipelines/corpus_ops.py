@@ -919,32 +919,8 @@ def bm25_topk(sf_dir: str, k: int = BM25_TOPK):
         score_partial, batch_format="pyarrow", batch_size=8192
     )
 
-    def add_qbucket(b: pa.Table) -> pa.Table:
-        q = b["query_id"].to_numpy(zero_copy_only=False)
-        return b.append_column("qbucket", pa.array((q % 32).astype(np.int64)))
+    from hg_dedup_ray.stages.embed import qbucket_merge_topk
 
-    def merge_topk(group: pa.Table) -> pa.Table:
-        q = group["query_id"].to_numpy(zero_copy_only=False)
-        d = group["doc_id"].to_numpy(zero_copy_only=False)
-        s = group["score"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, -s, q))
-        q, d, s = q[order], d[order], s[order]
-        new = np.concatenate(([True], q[1:] != q[:-1]))
-        rid = np.cumsum(new) - 1
-        run_start = np.cumsum(np.bincount(rid)) - np.bincount(rid)
-        local = np.arange(q.shape[0]) - run_start[rid]
-        keep = local < k
-        return pa.table(
-            {
-                "query_id": pa.array(q[keep], pa.int64()),
-                "doc_id": pa.array(d[keep], pa.int64()),
-                "rank": pa.array(local[keep] + 1, pa.int64()),
-                "score": pa.array(s[keep], pa.float64()),
-            }
-        )
-
-    return (
-        cand.map_batches(add_qbucket, batch_format="pyarrow")
-        .groupby("qbucket")
-        .map_groups(merge_topk, batch_format="pyarrow")
+    return qbucket_merge_topk(
+        cand, k, id_col="doc_id", score_col="score", emit_score=True
     )

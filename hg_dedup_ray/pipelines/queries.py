@@ -1882,33 +1882,9 @@ def ann_ivf_topk(sf_dir: str, n_cells: int = 8, nprobe: int = 2):
 
     cand = assigned.groupby("ivf_cell").map_groups(cell_topk, batch_format="pyarrow")
 
-    def add_qbucket(b: pa.Table) -> pa.Table:
-        q = b["query_id"].to_numpy(zero_copy_only=False)
-        return b.append_column("qbucket", pa.array((q % 32).astype(np.int64)))
+    from hg_dedup_ray.stages.embed import qbucket_merge_topk
 
-    def merge_topk(group: pa.Table) -> pa.Table:
-        q = group["query_id"].to_numpy(zero_copy_only=False)
-        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
-        s = group["sim"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((n, -s, q))  # per query: best sim first, ties by id
-        q, n = q[order], n[order]
-        new = np.concatenate(([True], q[1:] != q[:-1]))
-        run_start = np.cumsum(np.concatenate(([0], np.bincount(np.cumsum(new) - 1)))[:-1])
-        local = np.arange(q.shape[0]) - run_start[np.cumsum(new) - 1]
-        keep = local < ANN_K
-        return pa.table(
-            {
-                "query_id": pa.array(q[keep], pa.int64()),
-                "neighbor_id": pa.array(n[keep], pa.int64()),
-                "rank": pa.array(local[keep] + 1, pa.int64()),
-            }
-        )
-
-    return (
-        cand.map_batches(add_qbucket, batch_format="pyarrow")
-        .groupby("qbucket")
-        .map_groups(merge_topk, batch_format="pyarrow")
-    )
+    return qbucket_merge_topk(cand, ANN_K)
 
 
 def ann_ivf_exhaustive(sf_dir: str):
@@ -2115,34 +2091,9 @@ def ann_ivfpq_topk(
         refine_batch, batch_format="pyarrow", batch_size=2048
     )
 
-    def add_qbucket(b: pa.Table) -> pa.Table:
-        q = b["query_id"].to_numpy(zero_copy_only=False)
-        return b.append_column("qbucket", pa.array((q % 32).astype(np.int64)))
+    from hg_dedup_ray.stages.embed import qbucket_merge_topk
 
-    def merge_topk(group: pa.Table) -> pa.Table:
-        q = group["query_id"].to_numpy(zero_copy_only=False)
-        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
-        s = group["sim"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((n, -s, q))
-        q, n = q[order], n[order]
-        new = np.concatenate(([True], q[1:] != q[:-1]))
-        rid = np.cumsum(new) - 1
-        run_start = np.cumsum(np.bincount(rid)) - np.bincount(rid)
-        local = np.arange(q.shape[0]) - run_start[rid]
-        keep = local < ANN_K
-        return pa.table(
-            {
-                "query_id": pa.array(q[keep], pa.int64()),
-                "neighbor_id": pa.array(n[keep], pa.int64()),
-                "rank": pa.array(local[keep] + 1, pa.int64()),
-            }
-        )
-
-    return (
-        refined.map_batches(add_qbucket, batch_format="pyarrow")
-        .groupby("qbucket")
-        .map_groups(merge_topk, batch_format="pyarrow")
-    )
+    return qbucket_merge_topk(refined, ANN_K)
 
 
 def top_docs_per_lang(sf_dir: str, k: int = 3):

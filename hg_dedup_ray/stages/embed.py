@@ -349,3 +349,50 @@ class PqEncoder:
                 "pq_code": pa.array(packed, pa.uint64()),
             }
         )
+
+
+def qbucket_merge_topk(
+    cand,
+    k: int,
+    id_col: str = "neighbor_id",
+    score_col: str = "sim",
+    emit_score: bool = False,
+    buckets: int = 32,
+):
+    """Global top-k per query from partial (query_id, id, score) rows —
+    the final merge every retrieval operator (ANN brute/IVF/IVF-PQ,
+    BM25) shares: ONE bounded groupby on query_id % buckets, per-group
+    vectorized lexsort + segment rank, ties broken (-score, id). Emits
+    (query_id, id_col, rank[, score_col])."""
+
+    def add_qbucket(b: pa.Table) -> pa.Table:
+        q = b["query_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "qbucket", pa.array((q % buckets).astype(np.int64))
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        n = group[id_col].to_numpy(zero_copy_only=False)
+        s = group[score_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s, q))
+        q, n, s = q[order], n[order], s[order]
+        new = np.concatenate(([True], q[1:] != q[:-1]))
+        rid = np.cumsum(new) - 1
+        run_start = np.cumsum(np.bincount(rid)) - np.bincount(rid)
+        local = np.arange(q.shape[0]) - run_start[rid]
+        keep = local < k
+        cols = {
+            "query_id": pa.array(q[keep], pa.int64()),
+            id_col: pa.array(n[keep], pa.int64()),
+            "rank": pa.array(local[keep] + 1, pa.int64()),
+        }
+        if emit_score:
+            cols[score_col] = pa.array(s[keep], pa.float64())
+        return pa.table(cols)
+
+    return (
+        cand.map_batches(add_qbucket, batch_format="pyarrow")
+        .groupby("qbucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
