@@ -8,11 +8,12 @@ here (or in hg_dedup_ray) calls ``ray.init``/``ray.shutdown``.
 - ``queries()``: one callable per implemented operator (SURVEY.md §2 +
   the training-data ops); each takes ``sf_dir``.
 - ``oracle_sql()``: DuckDB-equivalent SQL for the SQL-expressible subset
-  (81 of 95 queries, incl. MinHash/SimHash sigs+clusters, LSH cascades,
-  Bloom dedup and k-means). The 14 rows-only entries are the media
-  decode triad, the suffix-array flagship journeys (reference-parity-
-  tested against the real compiled engine), cross-doc SA diagnostics,
-  and approximate IVF (its exhaustive variant IS oracle-checked).
+  (85 of 100 queries, incl. MinHash/SimHash sigs+clusters, LSH cascades,
+  Bloom dedup, dedup-aware splits and k-means). The 15 rows-only entries
+  are the media decode triad, the suffix-array flagship journeys
+  (reference-parity-tested against the real compiled engine), cross-doc
+  SA diagnostics, and approximate IVF/IVF-PQ (the exhaustive IVF
+  variant IS oracle-checked).
 """
 
 from __future__ import annotations

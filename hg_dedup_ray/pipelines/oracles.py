@@ -560,7 +560,86 @@ def _bloom_sql(m: int = 4096, k: int = 3) -> str:
 
 
 
+def _text_hash_cte() -> str:
+    """CTE chain ending in ``th(doc_id, text, th)`` where th =
+    splitmix64(prefix8+length Horner fold of the WHOLE text) — the
+    kmv_token_hashes chain applied per document, exactly as
+    webclean.dedup_aware_split computes its content-split hash (ASCII
+    fixture assumption, as with the bloom/KMV oracles)."""
+    fold = (
+        "CAST(CASE WHEN length(text) >= 1"
+        " THEN ord(substr(text, 1, 1)) ELSE 0 END AS HUGEINT)"
+    )
+    for j in range(2, 9):
+        fold = (
+            f"(({fold}) * {_FNV_C} + CASE WHEN length(text) >= {j}"
+            f" THEN ord(substr(text, {j}, 1)) ELSE 0 END) % {_M64}"
+        )
+    fold = f"(({fold}) * {_FNV_C} + length(text)) % {_M64}"
+    return f"""
+        traw AS (SELECT doc_id, text, ({fold}) AS x FROM documents),
+        t1 AS (SELECT doc_id, text, {_xorshift('x', 30)} AS x FROM traw),
+        t2 AS (SELECT doc_id, text, {_mulmod64('x', _SM1)} AS x FROM t1),
+        t3 AS (SELECT doc_id, text, {_xorshift('x', 27)} AS x FROM t2),
+        t4 AS (SELECT doc_id, text, {_mulmod64('x', _SM2)} AS x FROM t3),
+        th AS (SELECT doc_id, text,
+                      CAST({_xorshift('x', 31)} AS UBIGINT) AS th FROM t4)
+    """
+
+
+def _dedup_aware_split_sql() -> str:
+    """Oracle for webclean.dedup_aware_split: heldout iff hash % 10 == 0,
+    content hash = the text splitmix chain, naive hash = splitmix(doc_id)."""
+    return f"""
+        WITH {_text_hash_cte()},
+        {_splitmix_doc_id_sql()}
+        SELECT th.doc_id,
+               CASE WHEN th.th % 10 = 0 THEN 'heldout' ELSE 'train' END
+                   AS split_content,
+               CASE WHEN sm.sm % 10 = 0 THEN 'heldout' ELSE 'train' END
+                   AS split_naive
+        FROM th JOIN sm ON sm.doc_id = th.doc_id
+        ORDER BY th.doc_id
+    """
+
+
+def _split_leakage_sql() -> str:
+    """Oracle for webclean.split_leakage_report: among texts with >= 2
+    exact copies, a text leaks under a split iff its copies land on both
+    sides (min flag 0 AND max flag 1 within the text group). The Ray
+    side groups by blake2b-8 fp instead of raw text — identical barring
+    a 64-bit collision, the standing exact_dedup assumption."""
+    return f"""
+        WITH {_text_hash_cte()},
+        {_splitmix_doc_id_sql()},
+        flags AS (
+          SELECT th.text,
+                 CAST(th.th % 10 = 0 AS INT) AS ch,
+                 CAST(sm.sm % 10 = 0 AS INT) AS nh
+          FROM th JOIN sm ON sm.doc_id = th.doc_id
+        ),
+        g AS (SELECT text, count(*) AS c,
+                     max(ch) AS chx, min(ch) AS chn,
+                     max(nh) AS nhx, min(nh) AS nhn
+              FROM flags GROUP BY text),
+        d AS (SELECT * FROM g WHERE c >= 2),
+        agg AS (SELECT count(*)::BIGINT AS n_dup,
+                       coalesce(sum(CASE WHEN chx = 1 AND chn = 0
+                                    THEN 1 END), 0)::BIGINT AS leak_c,
+                       coalesce(sum(CASE WHEN nhx = 1 AND nhn = 0
+                                    THEN 1 END), 0)::BIGINT AS leak_n
+                FROM d)
+        SELECT 'content' AS split_mode, n_dup AS n_dup_texts,
+               leak_c AS n_leaky_texts FROM agg
+        UNION ALL
+        SELECT 'naive', n_dup, leak_n FROM agg
+        ORDER BY split_mode
+    """
+
+
 ORACLE_SQL = {
+    "dedup_aware_split": _dedup_aware_split_sql(),
+    "split_leakage_report": _split_leakage_sql(),
     "simhash_sigs": _simhash_sql(),
     "simhash_near_dup_pairs": _simhash_pairs_sql(),
     "minhash_sig_rows": _oph_sql(),

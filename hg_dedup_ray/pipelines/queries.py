@@ -3920,8 +3920,10 @@ from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     bloom_dedup_report,
     cap_per_source,
     decontaminate,
+    dedup_aware_split,
     deterministic_shuffle,
     incremental_dedup,
+    split_leakage_report,
     json_props_stats,
     pack_sequences,
     redact_pii,
@@ -4029,4 +4031,6 @@ QUERIES = {
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "source_mix_weights": source_mix_weights,
     "dedup_tier_cascade": dedup_tier_cascade,
+    "dedup_aware_split": dedup_aware_split,
+    "split_leakage_report": split_leakage_report,
 }

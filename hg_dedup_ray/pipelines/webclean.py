@@ -1040,3 +1040,162 @@ def bloom_dedup_report(
         )
 
     return docs.map_batches(flag, batch_format="pyarrow", batch_size=4096)
+
+
+# ------------------------------------------------- dedup-aware splitting
+
+
+def dedup_aware_split(sf_dir: str):
+    """Train/heldout assignment computed two ways per doc (the
+    decontamination-adjacent split op every pretraining pipeline needs):
+
+    - ``split_content``: heldout iff splitmix64(doc text hash) % 10 == 0.
+      Every copy of a text shares the hash, so NO duplicate group can
+      straddle the boundary — eval contamination by exact duplication is
+      structurally impossible (the property split_leakage_report
+      measures). Text hash = sketches.kmv_token_hashes' prefix8+length
+      chain, bit-replicated in the DuckDB oracle.
+    - ``split_naive``: the same 10% rule on splitmix64(doc_id) — the
+      strawman that leaks ~2*p*(1-p) of duplicate groups.
+
+    Pure per-batch map, no shuffle; output (doc_id, split_content,
+    split_naive)."""
+    from hg_dedup_ray.functions.bloom import _splitmix
+    from hg_dedup_ray.pipelines.sketches import kmv_token_hashes
+
+    def assign(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "split_content": pa.array([], pa.string()),
+                "split_naive": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hc = kmv_token_hashes(batch["text"])
+        hn = _splitmix(ids.astype(np.uint64))
+        sc = np.where(hc % np.uint64(10) == 0, "heldout", "train")
+        sn = np.where(hn % np.uint64(10) == 0, "heldout", "train")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "split_content": pa.array(sc.tolist(), pa.string()),
+                "split_naive": pa.array(sn.tolist(), pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        assign, batch_format="pyarrow", batch_size=8192
+    )
+
+
+def split_leakage_report(sf_dir: str, num_buckets: int = 64):
+    """(split_mode, n_dup_texts, n_leaky_texts): among texts with >= 2
+    exact copies, how many have copies on BOTH sides of each split of
+    dedup_aware_split. 'content' is structurally zero (the property the
+    op exists to provide); 'naive' leaks whenever a dup group's doc_ids
+    hash to different sides.
+
+    Scale shape: per-batch distinct (fp:u64 -> count, 4 presence bits),
+    one fp%B coarse-bucket combine (segment sum + OR), tiny final Sum —
+    exact_dedup's partial-min shape with bit flags; text never
+    shuffles. Text identity via blake2b-8 fp (the exact_dedup collision
+    assumption); the split bits hash the text too, so every fp group is
+    split-homogeneous in content mode on both engines."""
+    from ray.data.aggregate import Sum
+
+    from hg_dedup_ray.functions.bloom import _splitmix
+    from hg_dedup_ray.pipelines.sketches import kmv_token_hashes
+    from hg_dedup_ray.stages.textstats import content_hash_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cbucket": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.uint64()),
+                "cnt": pa.array([], pa.int64()),
+                "ct": pa.array([], pa.int8()),
+                "ch": pa.array([], pa.int8()),
+                "nt": pa.array([], pa.int8()),
+                "nh": pa.array([], pa.int8()),
+            }
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = content_hash_u64(batch)["fp"].to_numpy(zero_copy_only=False)
+        hc = kmv_token_hashes(batch["text"]) % np.uint64(10) == 0
+        hn = _splitmix(ids.astype(np.uint64)) % np.uint64(10) == 0
+        order = np.argsort(fp, kind="stable")
+        f = fp[order]
+        new = np.concatenate(([True], f[1:] != f[:-1]))
+        rid = np.cumsum(new) - 1
+        cnt = np.bincount(rid).astype(np.int64)
+        ct = np.bincount(rid, weights=~hc[order]) > 0  # content-train seen
+        ch = np.bincount(rid, weights=hc[order]) > 0   # content-heldout seen
+        nt = np.bincount(rid, weights=~hn[order]) > 0
+        nh = np.bincount(rid, weights=hn[order]) > 0
+        uf = f[new]
+        return pa.table(
+            {
+                "cbucket": pa.array(
+                    (uf % num_buckets).astype(np.int64), pa.int64()
+                ),
+                "fp": pa.array(uf, pa.uint64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "ct": pa.array(ct.astype(np.int8), pa.int8()),
+                "ch": pa.array(ch.astype(np.int8), pa.int8()),
+                "nt": pa.array(nt.astype(np.int8), pa.int8()),
+                "nh": pa.array(nh.astype(np.int8), pa.int8()),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        fp = group["fp"].to_numpy(zero_copy_only=False)
+        order = np.argsort(fp, kind="stable")
+        f = fp[order]
+        new = np.concatenate(([True], f[1:] != f[:-1]))
+        rid = np.cumsum(new) - 1
+        cnt = np.bincount(
+            rid, weights=group["cnt"].to_numpy(zero_copy_only=False)[order]
+        )
+        flags = {}
+        for c in ("ct", "ch", "nt", "nh"):
+            flags[c] = (
+                np.bincount(
+                    rid, weights=group[c].to_numpy(zero_copy_only=False)[order]
+                )
+                > 0
+            )
+        dup = cnt >= 2
+        return pa.table(
+            {
+                "n_dup": pa.array([int(dup.sum())], pa.int64()),
+                "leak_c": pa.array(
+                    [int((dup & flags["ct"] & flags["ch"]).sum())], pa.int64()
+                ),
+                "leak_n": pa.array(
+                    [int((dup & flags["nt"] & flags["nh"]).sum())], pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("cbucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .take_all()
+    )
+    n_dup = int(sum(r["n_dup"] for r in parts))
+    leak_c = int(sum(r["leak_c"] for r in parts))
+    leak_n = int(sum(r["leak_n"] for r in parts))
+    return pa.table(
+        {
+            "split_mode": pa.array(["content", "naive"], pa.string()),
+            "n_dup_texts": pa.array([n_dup, n_dup], pa.int64()),
+            "n_leaky_texts": pa.array([leak_c, leak_n], pa.int64()),
+        }
+    )

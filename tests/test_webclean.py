@@ -406,3 +406,84 @@ def test_bloom_dedup_report_matches_sequential_simulation():
     # the fixture makes the taxonomy non-vacuous: bit-collision FPs exist
     assert df["bloom_dup"].sum() > df["key_dup"].sum()
     assert df["key_dup"].sum() > 0
+
+
+# ------------------------------------------------- dedup-aware splitting
+
+
+def _planted_dup_fixture(tmp_path):
+    """300 docs: ids 0..99 unique texts, then 100 dup groups of 2 copies
+    each with ids interleaved across the range so splitmix(doc_id) puts
+    some groups on both sides of the naive split."""
+    # id FIRST: the content hash is a prefix8+length chain, so texts
+    # must differ within their first 8 bytes to get distinct hashes
+    texts = [f"u{i} unique doc with filler words" for i in range(100)]
+    ids = list(range(100))
+    for g in range(100):
+        t = f"d{g} duplicated group shared text body"
+        texts += [t, t]
+        ids += [100 + g, 200 + g]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array(ids, np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    return df
+
+
+def test_dedup_aware_split_planted(ray_session, tmp_path):
+    """Copies of one text ALWAYS share split_content (structural
+    no-leakage), the naive split leaks on this fixture, and both split
+    columns match the DuckDB oracle bit-for-bit."""
+    import duckdb
+
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.webclean import (
+        dedup_aware_split,
+        split_leakage_report,
+    )
+
+    _planted_dup_fixture(tmp_path)
+    got = (
+        dedup_aware_split(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 300
+    # structural property: dup group g = ids {100+g, 200+g} same side
+    by_id = got.set_index("doc_id")["split_content"]
+    for g in range(100):
+        assert by_id[100 + g] == by_id[200 + g]
+    # both splits hold out roughly 10%
+    for col in ("split_content", "split_naive"):
+        frac = (got[col] == "heldout").mean()
+        assert 0.02 < frac < 0.25, (col, frac)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = (
+        con.sql(ORACLE_SQL["dedup_aware_split"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got.to_numpy() == exp.to_numpy()).all()
+
+    rep = split_leakage_report(str(tmp_path)).to_pandas()
+    rep = rep.set_index("split_mode")
+    assert int(rep.loc["content", "n_dup_texts"]) == 100
+    assert int(rep.loc["content", "n_leaky_texts"]) == 0  # structural
+    assert int(rep.loc["naive", "n_leaky_texts"]) > 0     # the strawman
+    exp_rep = con.sql(ORACLE_SQL["split_leakage_report"]).df()
+    exp_rep = exp_rep.set_index("split_mode")
+    assert (
+        rep.sort_index().to_numpy() == exp_rep.sort_index().to_numpy()
+    ).all()
