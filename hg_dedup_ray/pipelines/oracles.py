@@ -1009,6 +1009,24 @@ ORACLE_SQL = {
             FROM documents WHERE trim(text) <> ''
         ) GROUP BY lang
     """,
+    "ngram_novelty": r"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        grams AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(w) - 4, 0) + 1),
+                       i -> array_to_string(w[i:i+4], ' ')))) AS g
+            FROM words
+        ),
+        mins AS (SELECT g, min(doc_id) AS m FROM grams GROUP BY g)
+        SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+               sum(CASE WHEN m < doc_id THEN 1 ELSE 0 END)::BIGINT
+                   AS n_stale_ngrams
+        FROM grams JOIN mins USING (g)
+        GROUP BY doc_id
+    """,
     "dup_ngram_stats": r"""
         WITH words AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

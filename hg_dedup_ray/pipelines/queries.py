@@ -3896,6 +3896,7 @@ from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
     distinct_token_counts,
     dup_ngram_stats,
     heavy_hitter_tokens,
+    ngram_novelty,
 )
 from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     cluster_balanced_sample,
@@ -3984,6 +3985,7 @@ QUERIES = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "distinct_token_counts": distinct_token_counts,
     "dup_ngram_stats": dup_ngram_stats,
+    "ngram_novelty": ngram_novelty,
     "approx_distinct_hll": approx_distinct_hll,
     "approx_distinct_kmv": approx_distinct_kmv,
     "approx_counts_cms": approx_counts_cms,

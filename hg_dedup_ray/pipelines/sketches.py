@@ -294,6 +294,117 @@ def dup_ngram_stats(sf_dir: str, n: int = DUP_NGRAM_N):
     )
 
 
+def ngram_novelty(sf_dir: str, n: int = DUP_NGRAM_N):
+    """Per-doc word-5-gram NOVELTY, the order-aware sibling of
+    dup_ngram_stats: n_stale_ngrams = how many of the doc's distinct
+    5-grams already appeared in a STRICTLY EARLIER doc (min doc_id over
+    the gram's postings < own doc_id) — the keep-first "how much of this
+    doc is old news" curation signal (RedPajama-v2-style dup-ngram
+    fraction, but incremental rather than symmetric).
+
+    Shape: same per-doc distinct gram pass as dup_ngram_stats -> hot-key
+    pass (a gram's min can precede a doc ONLY if >=2 docs share it, so
+    singleton grams never matter) -> one filtered partial-min pass over
+    the materialized gram rows (emits <= |hot| short rows per block) ->
+    driver segment-min over the dup-density-bounded hot set -> broadcast
+    sorted (gram, min_id) -> stateless per-doc membership count. Gram
+    identity is the u64 polynomial hash; the oracle uses exact strings
+    (documented collision contract as dup_ngram_stats)."""
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        th, doc_off = doc_tokens(batch["text"])
+        g, goff = word_gram_hashes(th, doc_off, n)
+        g, goff = distinct_per_doc(g, goff)
+        counts = np.diff(goff)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gram": pa.array(g, pa.uint64()),
+                "doc_id": pa.array(
+                    np.repeat(ids, counts.astype(np.int64)), pa.int64()
+                ),
+            }
+        )
+
+    grams = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+    hot = np.sort(hot_u64_keys(grams, "gram"))
+    hot_ref = ray.put(hot)
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        h = get_broadcast(hot_ref)
+        g = batch["gram"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if h.shape[0] and g.shape[0]:
+            pos = np.searchsorted(h, g)
+            hit = (pos < h.shape[0]) & (h[np.minimum(pos, h.shape[0] - 1)] == g)
+        else:
+            hit = np.zeros(g.shape[0], bool)
+        g, ids = g[hit], ids[hit]
+        order = np.lexsort((ids, g))
+        gs, first = np.unique(g[order], return_index=True)
+        return pa.table(
+            {
+                "gram": pa.array(gs, pa.uint64()),
+                "min_id": pa.array(ids[order][first], pa.int64()),
+            }
+        )
+
+    parts = ray.get(
+        grams.map_batches(
+            partial_min, batch_format="pyarrow", batch_size=65536
+        ).to_arrow_refs()
+    )
+    gcat = np.concatenate(
+        [t["gram"].to_numpy(zero_copy_only=False) for t in parts]
+        or [np.empty(0, np.uint64)]
+    )
+    mcat = np.concatenate(
+        [t["min_id"].to_numpy(zero_copy_only=False) for t in parts]
+        or [np.empty(0, np.int64)]
+    )
+    order = np.lexsort((mcat, gcat))
+    gs, first = np.unique(gcat[order], return_index=True)
+    mins_ref = ray.put((gs, mcat[order][first]))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        hg, hm = get_broadcast(mins_ref)
+        th, doc_off = doc_tokens(batch["text"])
+        g, goff = word_gram_hashes(th, doc_off, n)
+        g, goff = distinct_per_doc(g, goff)
+        counts = np.diff(goff)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        own = np.repeat(ids, counts.astype(np.int64))
+        if hg.shape[0] and g.shape[0]:
+            pos = np.searchsorted(hg, g)
+            hit = (pos < hg.shape[0]) & (
+                hg[np.minimum(pos, hg.shape[0] - 1)] == g
+            )
+            stale = hit & (hm[np.minimum(pos, hg.shape[0] - 1)] < own)
+        else:
+            stale = np.zeros(g.shape[0], bool)
+        seg = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+        n_stale = np.zeros(counts.shape[0], np.int64)
+        np.add.at(n_stale, seg, stale.astype(np.int64))
+        has = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has], pa.int64()),
+                "n_ngrams": pa.array(counts[has].astype(np.int64), pa.int64()),
+                "n_stale_ngrams": pa.array(n_stale[has], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pyarrow", batch_size=4096
+    )
+
+
 # ------------------------------------------------------------ KMV distinct
 
 _KMV_P = np.uint64(1099511628211)  # FNV-64 prime, same base as wordgrams

@@ -293,3 +293,50 @@ def test_hll_oracle_parity_raw_branch(ray_session, tmp_path):
     assert est > 2.5 * 4096, "test must exercise the raw branch"
     assert abs(est - n_true) / n_true < 0.05, (est, n_true)
     _cmp(got, want)
+
+
+def test_ngram_novelty_order_aware(ray_session, tmp_path):
+    """Novelty is KEEP-FIRST: a shared 5-gram is stale only in the LATER
+    doc. Doc 0 and doc 3 share one 5-gram -> doc 3 has 1 stale gram,
+    doc 0 has 0; a 3-copy group stales in copies 2 and 3 only. Matches
+    the DuckDB oracle on the planted fixture."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.sketches import ngram_novelty
+
+    shared = "alpha beta gamma delta epsilon"          # one 5-gram
+    tri = "zeta eta theta iota kappa"                  # another
+    texts = [
+        shared + " tail0 words here",                  # doc 0: first owner
+        tri,                                           # doc 1: first of 3
+        "totally fresh text one two three four five",  # doc 2: all novel
+        "head3 " + shared,                             # doc 3: stale gram
+        tri,                                           # doc 4: stale
+        tri,                                           # doc 5: stale
+        "short gram",                                  # doc 6: <5 tokens, no row
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "lang": pa.array(["en"] * len(texts)),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = _df(ngram_novelty(str(tmp_path))).set_index("doc_id")
+    assert 6 not in got.index                       # too short: no row
+    assert int(got.loc[0, "n_stale_ngrams"]) == 0   # first owner
+    assert int(got.loc[3, "n_stale_ngrams"]) == 1   # the shared gram
+    assert int(got.loc[1, "n_stale_ngrams"]) == 0
+    assert int(got.loc[4, "n_stale_ngrams"]) == 1
+    assert int(got.loc[5, "n_stale_ngrams"]) == 1
+    assert int(got.loc[2, "n_stale_ngrams"]) == 0
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = c.sql(ORACLE_SQL["ngram_novelty"]).df()
+    _cmp(got.reset_index(), want)
