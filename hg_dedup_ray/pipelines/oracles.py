@@ -1009,6 +1009,30 @@ ORACLE_SQL = {
             FROM documents WHERE trim(text) <> ''
         ) GROUP BY lang
     """,
+    "paragraph_dedup": """
+        WITH ps AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents
+        ),
+        paras AS (
+            SELECT doc_id, unnest(ps) AS p,
+                   unnest(range(1, len(ps) + 1)) AS idx
+            FROM ps
+        ),
+        r AS (
+            SELECT doc_id, idx, p,
+                   row_number() OVER (
+                       PARTITION BY p ORDER BY doc_id, idx
+                   ) AS rn
+            FROM paras
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_paragraphs,
+               sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup_paragraphs,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN p END,
+                        chr(10) ORDER BY idx), '') AS kept_text
+        FROM r GROUP BY doc_id
+    """,
     "ngram_novelty": r"""
         WITH words AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -3927,6 +3927,7 @@ from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     split_leakage_report,
     json_props_stats,
     pack_sequences,
+    paragraph_dedup,
     redact_pii,
     stratified_sample,
     substring_decontaminate,
@@ -4035,4 +4036,5 @@ QUERIES = {
     "dedup_tier_cascade": dedup_tier_cascade,
     "dedup_aware_split": dedup_aware_split,
     "split_leakage_report": split_leakage_report,
+    "paragraph_dedup": paragraph_dedup,
 }

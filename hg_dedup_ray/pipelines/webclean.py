@@ -1199,3 +1199,170 @@ def split_leakage_report(sf_dir: str, num_buckets: int = 64):
             "n_leaky_texts": pa.array([leak_c, leak_n], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+
+def _paragraph_arrays(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Split texts on '\\n' -> (flat paragraph values, per-doc paragraph
+    counts, blake2b-8 u64 hash per paragraph). Splitting keeps empty
+    strings (both engines' split semantics agree)."""
+    import hashlib
+
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+
+    lists = pc.split_pattern(text_col, pattern="\n")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    counts = (
+        pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = lists.flatten()
+    buf, off = string_column_bytes(flat)
+    n = off.shape[0] - 1
+    ph = np.zeros(n, np.uint64)
+    mv = memoryview(buf)
+    for i in range(n):
+        ph[i] = int.from_bytes(
+            hashlib.blake2b(mv[off[i]:off[i + 1]], digest_size=8).digest(),
+            "little",
+        )
+    return flat, counts, ph
+
+
+def paragraph_dedup(sf_dir: str):
+    """Dolma-style paragraph-level exact dedup, keep-first over
+    (doc_id, paragraph_idx): a paragraph is dropped iff the SAME
+    paragraph text occurred at a lexicographically earlier position
+    (earlier doc, or earlier index in the same doc). Returns per doc
+    (doc_id, n_paragraphs, n_dup_paragraphs, kept_text) with kept_text
+    the surviving paragraphs re-joined by '\\n' in original order.
+    On one-line corpora this degenerates to exact doc dedup — a free
+    oracle cross-check; multi-paragraph semantics are pinned by the
+    planted test. Reference analog: the keep-first rule of
+    cpp_engine_dedup.h's run scan, at paragraph granularity.
+
+    Shape: ngram_novelty's composition — per-batch (hash, packed rank)
+    rows, hot-key prefilter (singleton paragraphs are always kept),
+    filtered partial-min over the materialized rows, dup-density-bounded
+    broadcast of (hash, min_rank), then one stateless flag+rebuild pass
+    (binary_join on the kept ListArray). Text never shuffles; ranks pack
+    (doc_id, idx) into one u64 (both guarded < 2^32)."""
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    def _ranks(ids: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        if ids.shape[0] and (ids.min() < 0 or ids.max() >= 1 << 32):
+            raise ValueError("paragraph_dedup packs doc_id into 32 bits")
+        total = int(counts.sum())
+        idx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        own = np.repeat(ids.astype(np.uint64), counts)
+        return (own << np.uint64(32)) | idx.astype(np.uint64)
+
+    def para_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "ph": pa.array([], pa.uint64()),
+                    "rank": pa.array([], pa.uint64()),
+                }
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, counts, ph = _paragraph_arrays(batch["text"])
+        return pa.table(
+            {
+                "ph": pa.array(ph, pa.uint64()),
+                "rank": pa.array(_ranks(ids, counts), pa.uint64()),
+            }
+        )
+
+    paras = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(para_rows, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+    hot = np.sort(hot_u64_keys(paras, "ph"))
+    hot_ref = ray.put(hot)
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        h = get_broadcast(hot_ref)
+        g = batch["ph"].to_numpy(zero_copy_only=False)
+        rk = batch["rank"].to_numpy(zero_copy_only=False)
+        if h.shape[0] and g.shape[0]:
+            pos = np.searchsorted(h, g)
+            hit = (pos < h.shape[0]) & (h[np.minimum(pos, h.shape[0] - 1)] == g)
+        else:
+            hit = np.zeros(g.shape[0], bool)
+        g, rk = g[hit], rk[hit]
+        order = np.lexsort((rk, g))
+        gs, first = np.unique(g[order], return_index=True)
+        return pa.table(
+            {
+                "ph": pa.array(gs, pa.uint64()),
+                "min_rank": pa.array(rk[order][first], pa.uint64()),
+            }
+        )
+
+    parts = ray.get(
+        paras.map_batches(
+            partial_min, batch_format="pyarrow", batch_size=65536
+        ).to_arrow_refs()
+    )
+    gcat = np.concatenate(
+        [t["ph"].to_numpy(zero_copy_only=False) for t in parts]
+        or [np.empty(0, np.uint64)]
+    )
+    rcat = np.concatenate(
+        [t["min_rank"].to_numpy(zero_copy_only=False) for t in parts]
+        or [np.empty(0, np.uint64)]
+    )
+    order = np.lexsort((rcat, gcat))
+    gs, first = np.unique(gcat[order], return_index=True)
+    mins_ref = ray.put((gs, rcat[order][first]))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_paragraphs": pa.array([], pa.int64()),
+                "n_dup_paragraphs": pa.array([], pa.int64()),
+                "kept_text": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        hg, hr = get_broadcast(mins_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, counts, ph = _paragraph_arrays(batch["text"])
+        rk = _ranks(ids, counts)
+        if hg.shape[0] and ph.shape[0]:
+            pos = np.minimum(np.searchsorted(hg, ph), hg.shape[0] - 1)
+            hit = hg[pos] == ph
+            keep = ~hit | (hr[pos] == rk)
+        else:
+            keep = np.ones(ph.shape[0], bool)
+        seg = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+        n_dup = np.zeros(counts.shape[0], np.int64)
+        np.add.at(n_dup, seg, (~keep).astype(np.int64))
+        kept_counts = counts - n_dup
+        new_off = np.concatenate(([0], np.cumsum(kept_counts)))
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), flat.filter(pa.array(keep))
+        )
+        kept_text = pc.binary_join(kept_list, "\n")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_paragraphs": pa.array(counts, pa.int64()),
+                "n_dup_paragraphs": pa.array(n_dup, pa.int64()),
+                "kept_text": kept_text,
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        flag, batch_format="pyarrow", batch_size=4096
+    )

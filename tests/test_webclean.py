@@ -487,3 +487,62 @@ def test_dedup_aware_split_planted(ray_session, tmp_path):
     assert (
         rep.sort_index().to_numpy() == exp_rep.sort_index().to_numpy()
     ).all()
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+
+def test_paragraph_dedup_planted(ray_session, tmp_path):
+    """Keep-first at (doc_id, idx): a repeated paragraph survives only at
+    its first occurrence — including WITHIN one doc; kept_text re-joins
+    survivors in order; a doc of only stale paragraphs keeps ''. Matches
+    the DuckDB oracle on the planted fixture."""
+    import duckdb
+
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.webclean import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    texts = [
+        "doc zero intro\n" + boiler + "\ndoc zero body",     # first owner
+        boiler + "\nunique one\n" + boiler,                   # cross + self dup
+        "self dup\nself dup\nself dup",                       # within-doc only
+        boiler,                                               # all stale
+        "wholly unique paragraph",                            # untouched
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    got = (
+        paragraph_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert got.loc[0, "kept_text"] == texts[0]                # first owner intact
+    assert int(got.loc[0, "n_dup_paragraphs"]) == 0
+    assert got.loc[1, "kept_text"] == "unique one"            # both copies stale
+    assert int(got.loc[1, "n_dup_paragraphs"]) == 2
+    assert got.loc[2, "kept_text"] == "self dup"              # within-doc dedup
+    assert int(got.loc[2, "n_dup_paragraphs"]) == 2
+    assert got.loc[3, "kept_text"] == ""                      # nothing survives
+    assert got.loc[4, "kept_text"] == texts[4]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = (
+        con.sql(ORACLE_SQL["paragraph_dedup"])
+        .df()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert (got.to_numpy() == exp.to_numpy()).all()
