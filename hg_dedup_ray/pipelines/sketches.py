@@ -337,6 +337,14 @@ def ngram_novelty(sf_dir: str, n: int = DUP_NGRAM_N):
     hot_ref = ray.put(hot)
 
     def partial_min(batch: pa.Table) -> pa.Table:
+        # empty fixtures: Ray hands the INPUT-schema empty block through
+        if batch.num_rows == 0 or "gram" not in batch.column_names:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.uint64()),
+                    "min_id": pa.array([], pa.int64()),
+                }
+            )
         h = get_broadcast(hot_ref)
         g = batch["gram"].to_numpy(zero_copy_only=False)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -360,6 +368,7 @@ def ngram_novelty(sf_dir: str, n: int = DUP_NGRAM_N):
             partial_min, batch_format="pyarrow", batch_size=65536
         ).to_arrow_refs()
     )
+    parts = [t for t in parts if t.num_rows]  # empty ds: raw pass-through
     gcat = np.concatenate(
         [t["gram"].to_numpy(zero_copy_only=False) for t in parts]
         or [np.empty(0, np.uint64)]

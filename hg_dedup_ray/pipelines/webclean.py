@@ -1289,6 +1289,14 @@ def paragraph_dedup(sf_dir: str):
     hot_ref = ray.put(hot)
 
     def partial_min(batch: pa.Table) -> pa.Table:
+        # empty fixtures: Ray hands the INPUT-schema empty block through
+        if batch.num_rows == 0 or "ph" not in batch.column_names:
+            return pa.table(
+                {
+                    "ph": pa.array([], pa.uint64()),
+                    "min_rank": pa.array([], pa.uint64()),
+                }
+            )
         h = get_broadcast(hot_ref)
         g = batch["ph"].to_numpy(zero_copy_only=False)
         rk = batch["rank"].to_numpy(zero_copy_only=False)
@@ -1312,6 +1320,7 @@ def paragraph_dedup(sf_dir: str):
             partial_min, batch_format="pyarrow", batch_size=65536
         ).to_arrow_refs()
     )
+    parts = [t for t in parts if t.num_rows]  # empty ds: raw pass-through
     gcat = np.concatenate(
         [t["ph"].to_numpy(zero_copy_only=False) for t in parts]
         or [np.empty(0, np.uint64)]
