@@ -560,6 +560,52 @@ def _bloom_sql(m: int = 4096, k: int = 3) -> str:
 
 
 
+def _dedup_pressure_sql() -> str:
+    """Oracle for queries.dedup_pressure_curve: the exact-Jaccard pair
+    table with its value (same shingle CTEs as the pairs oracle, cut at
+    tau_min), conditionally aggregated per threshold. j is the same
+    int64/int64 double division the Ray side performs, so >= tau binning
+    is bit-identical."""
+    from hg_dedup_ray.pipelines.queries import DEDUP_PRESSURE_TAUS
+
+    taus = sorted(DEDUP_PRESSURE_TAUS)
+    tau_rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS tau" for t in taus
+    )
+    return f"""
+        WITH shingles AS (
+          SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, greatest(length(text) - 7, 0) + 1),
+              i -> substr(text, i, 8)))) AS sh
+          FROM documents
+        ),
+        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+          FROM shingles a JOIN shingles b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT doc_id_a, doc_id_b,
+                 i * 1.0 / (ca.n + cb.n - i) AS j
+          FROM inter
+          JOIN counts ca ON ca.doc_id = doc_id_a
+          JOIN counts cb ON cb.doc_id = doc_id_b
+          WHERE i * 1.0 / (ca.n + cb.n - i) >= {min(taus)}
+        ),
+        taus AS ({tau_rows})
+        SELECT taus.tau,
+               coalesce(sum(CASE WHEN p.j >= taus.tau THEN 1 END), 0)::BIGINT
+                   AS n_pairs,
+               count(DISTINCT CASE WHEN p.j >= taus.tau
+                     THEN p.doc_id_b END)::BIGINT AS n_dropped_docs
+        FROM taus LEFT JOIN pairs p ON TRUE
+        GROUP BY taus.tau
+        ORDER BY taus.tau
+    """
+
+
 def _text_hash_cte() -> str:
     """CTE chain ending in ``th(doc_id, text, th)`` where th =
     splitmix64(prefix8+length Horner fold of the WHOLE text) — the
@@ -638,6 +684,7 @@ def _split_leakage_sql() -> str:
 
 
 ORACLE_SQL = {
+    "dedup_pressure_curve": _dedup_pressure_sql(),
     "dedup_aware_split": _dedup_aware_split_sql(),
     "split_leakage_report": _split_leakage_sql(),
     "simhash_sigs": _simhash_sql(),

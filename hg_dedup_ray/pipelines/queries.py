@@ -665,6 +665,7 @@ def ngram_jaccard_exact_pairs(
     num_buckets: int = 64,
     verify_broadcast_limit: int = 8_000_000,
     bitset_byte_limit: int = 256 << 20,
+    emit_jaccard: bool = False,
 ):
     """EXACT k=8-byte-shingle Jaccard pairs, DuckDB-green, via PPJoin
     prefix + positional filtering (Xiao et al., WWW'08): candidates come
@@ -761,11 +762,23 @@ def ngram_jaccard_exact_pairs(
         .map_batches(shingle_rows, batch_format="pyarrow", batch_size=4096)
         .materialize()
     )
+    def _pairs_table(keepp: np.ndarray, jv: np.ndarray) -> pa.Table:
+        """Verified pairs (+ the exact Jaccard value when emit_jaccard —
+        the pressure-curve/report consumer; the plain query keeps its
+        2-column oracle schema)."""
+        cols = {
+            "doc_id_a": pa.array((keepp >> np.uint64(32)).astype(np.int64)),
+            "doc_id_b": pa.array(
+                (keepp & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            ),
+        }
+        if emit_jaccard:
+            cols["jaccard"] = pa.array(jv, pa.float64())
+        return pa.table(cols)
+
     # same result type on every branch: callers use Dataset-only APIs
     empty = ray.data.from_arrow(
-        pa.table(
-            {"doc_id_a": pa.array([], pa.int64()), "doc_id_b": pa.array([], pa.int64())}
-        )
+        _pairs_table(np.empty(0, np.uint64), np.empty(0, np.float64))
     )
     hot, dfc = hot_u64_keys_counts(mat, "sh")
     if hot.shape[0] == 0:
@@ -880,9 +893,7 @@ def ngram_jaccard_exact_pairs(
     )
     docs_ref = ray.put(docs_needed)
 
-    _empty_out = pa.table(
-        {"doc_id_a": pa.array([], pa.int64()), "doc_id_b": pa.array([], pa.int64())}
-    )
+    _empty_out = _pairs_table(np.empty(0, np.uint64), np.empty(0, np.float64))
 
     def _cand_doc_hot(batch: pa.Table):
         """(doc_id, hot shingle, n) arrays for candidate docs only."""
@@ -994,17 +1005,8 @@ def ngram_jaccard_exact_pairs(
                 jac = np.divide(
                     inter, union, out=np.zeros(pair.shape[0]), where=union > 0
                 )
-                keepp = pair[jac >= threshold]
-                return pa.table(
-                    {
-                        "doc_id_a": pa.array(
-                            (keepp >> np.uint64(32)).astype(np.int64)
-                        ),
-                        "doc_id_b": pa.array(
-                            (keepp & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                        ),
-                    }
-                )
+                okj = jac >= threshold
+                return _pairs_table(pair[okj], jac[okj])
 
             n_parts = max(1, min(64, allp.shape[0] // 65536 + 1))
             return cand.repartition(n_parts).map_batches(
@@ -1052,17 +1054,8 @@ def ngram_jaccard_exact_pairs(
             inter = np.bincount(p_s[1:][dup], minlength=np_).astype(np.int64)
             union = sum_n - inter
             jac = np.divide(inter, union, out=np.zeros(np_), where=union > 0)
-            keepp = pair[(jac >= threshold) & (mcount == 2)]
-            return pa.table(
-                {
-                    "doc_id_a": pa.array(
-                        (keepp >> np.uint64(32)).astype(np.int64)
-                    ),
-                    "doc_id_b": pa.array(
-                        (keepp & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                    ),
-                }
-            )
+            okj = (jac >= threshold) & (mcount == 2)
+            return _pairs_table(pair[okj], jac[okj])
 
         # cand materializes as a handful of blocks; re-split so the verify
         # tasks (the compute-heavy part) use the whole CPU pool. 8 KB-row
@@ -1244,15 +1237,8 @@ def ngram_jaccard_exact_pairs(
         )
         # defensive: only pairs with BOTH docs' rows resolved may pass
         mcount = np.bincount(pidx, minlength=pu.shape[0])
-        keepp = pu[(jac >= threshold) & (mcount == 2)]
-        return pa.table(
-            {
-                "doc_id_a": pa.array((keepp >> np.uint64(32)).astype(np.int64)),
-                "doc_id_b": pa.array(
-                    (keepp & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                ),
-            }
-        )
+        okj = (jac >= threshold) & (mcount == 2)
+        return _pairs_table(pu[okj], jac[okj])
 
     members = cand.map_batches(member_rows, batch_format="pyarrow")
     docrows = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
@@ -1264,6 +1250,42 @@ def ngram_jaccard_exact_pairs(
         .map_groups(attach_docs, batch_format="pyarrow")
         .groupby("pbucket")
         .map_groups(verify_pairs, batch_format="pyarrow")
+    )
+
+
+DEDUP_PRESSURE_TAUS = (0.7, 0.8, 0.9)
+
+
+def dedup_pressure_curve(sf_dir: str, taus=DEDUP_PRESSURE_TAUS):
+    """The threshold-tuning report a web-scale near-dup pass publishes
+    before anyone picks tau: per Jaccard threshold, how many exact pairs
+    exist and how many docs a keep-first pass would drop (a doc is
+    dropped iff it has at least one SMALLER-id partner at >= tau — the
+    pairwise keep-first rule; pairs are canonically a < b).
+
+    ONE PPJoin cascade at tau_min = min(taus) computes every pair with
+    its exact Jaccard; binning is driver-side numpy over the
+    output-bounded pair set. The per-pair division is the same
+    int64/int64 -> float64 IEEE op DuckDB performs, so the >= tau binning
+    is bit-identical (tau literals shared with the oracle)."""
+    rows = ngram_jaccard_exact_pairs(
+        sf_dir, threshold=min(taus), emit_jaccard=True
+    ).take_all()
+    a = np.array([r["doc_id_a"] for r in rows], np.int64)
+    b = np.array([r["doc_id_b"] for r in rows], np.int64)
+    j = np.array([r["jaccard"] for r in rows], np.float64)
+    ts = sorted(taus)
+    n_pairs, n_dropped = [], []
+    for t in ts:
+        m = j >= t
+        n_pairs.append(int(m.sum()))
+        n_dropped.append(int(np.unique(b[m]).shape[0]))
+    return pa.table(
+        {
+            "tau": pa.array(ts, pa.float64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+            "n_dropped_docs": pa.array(n_dropped, pa.int64()),
+        }
     )
 
 
@@ -3968,6 +3990,7 @@ QUERIES = {
     "video_framehash_near_dup": video_framehash_near_dup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_exact_pairs": ngram_jaccard_exact_pairs,
+    "dedup_pressure_curve": dedup_pressure_curve,
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "lang_id": lang_id_pred,

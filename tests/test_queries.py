@@ -145,3 +145,45 @@ def test_exact_jaccard_three_verify_paths_agree(ray_session):
     assert len(bitset) > 0
     assert lexsort.equals(bitset)
     assert bucketed.equals(bitset)
+
+
+def test_exact_jaccard_emit_values_three_paths_agree(ray_session):
+    """With emit_jaccard=True the three verify paths return identical
+    (pair, jaccard) rows, values in [threshold, 1]."""
+    from hg_dedup_ray.pipelines.queries import ngram_jaccard_exact_pairs
+
+    def run(**kw):
+        return (
+            ngram_jaccard_exact_pairs(SF_DIR, emit_jaccard=True, **kw)
+            .to_pandas()
+            .sort_values(["doc_id_a", "doc_id_b"])
+            .reset_index(drop=True)
+        )
+
+    bitset = run()
+    assert len(bitset) > 0
+    assert ((bitset["jaccard"] >= 0.8) & (bitset["jaccard"] <= 1.0)).all()
+    assert run(bitset_byte_limit=0).equals(bitset)
+    assert run(verify_broadcast_limit=0).equals(bitset)
+
+
+def test_dedup_pressure_curve_matches_oracle(ray_session):
+    """Counts per threshold match DuckDB bit-for-bit and are monotone
+    non-increasing in tau."""
+    import duckdb
+
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.queries import dedup_pressure_curve
+
+    got = dedup_pressure_curve(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = con.sql(ORACLE_SQL["dedup_pressure_curve"]).df()
+    import numpy as np
+
+    assert (got.to_numpy() == want.to_numpy()).all()
+    assert (np.diff(got["n_pairs"].to_numpy()) <= 0).all()
+    assert (np.diff(got["n_dropped_docs"].to_numpy()) <= 0).all()
+    assert int(got["n_pairs"].iloc[0]) > 0  # tau_min must be non-vacuous
