@@ -924,3 +924,105 @@ def bm25_topk(sf_dir: str, k: int = BM25_TOPK):
     return qbucket_merge_topk(
         cand, k, id_col="doc_id", score_col="score", emit_score=True
     )
+
+
+# --------------------------------------------------- source overlap matrix
+
+
+def source_overlap_matrix(sf_dir: str, num_buckets: int = 64):
+    """Pairwise cross-source contamination: for every source pair
+    (source_a < source_b, string order) the number of DISTINCT texts
+    present in BOTH sources — the report that tells a corpus curator
+    which providers are re-crawling each other before any dedup policy
+    is chosen. Text identity is the blake2b-8 fp (the standing
+    exact_dedup collision assumption; the oracle joins exact strings).
+
+    Scale shape: per-batch distinct (fp, source) rows — text never
+    shuffles — then ONE coarse fp%B groupby. fp spaces of different
+    buckets are disjoint, so per-bucket pair counts add exactly; within
+    a bucket the expansion is a vectorized within-run all-pairs with
+    k = sources sharing the text (bounded by the source count, not the
+    corpus). The combine is source-pair-bounded and happens on the
+    driver, like dup_rate_by_source's totals."""
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        h = content_hash_u64(batch)
+        fp = h["fp"].to_numpy(zero_copy_only=False)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        code, inv = np.unique(src, return_inverse=True)
+        order = np.lexsort((inv, fp))
+        f, c = fp[order], inv[order]
+        keep = np.concatenate(([True], (f[1:] != f[:-1]) | (c[1:] != c[:-1])))
+        f, c = f[keep], c[keep]
+        return pa.table(
+            {
+                "cbucket": pa.array((f % num_buckets).astype(np.int64), pa.int64()),
+                "fp": pa.array(f, pa.uint64()),
+                "source": pa.array([str(code[i]) for i in c], pa.string()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        fp = group["fp"].to_numpy(zero_copy_only=False)
+        src = np.asarray(group["source"].to_pylist(), dtype=object)
+        code, inv = np.unique(src, return_inverse=True)
+        # sort by (fp, source-code): codes are lexically ordered, so
+        # within-run pairs come out source_a < source_b automatically
+        order = np.lexsort((inv, fp))
+        f, c = fp[order], inv[order]
+        keep = np.concatenate(([True], (f[1:] != f[:-1]) | (c[1:] != c[:-1])))
+        f, c = f[keep], c[keep]
+        new = np.concatenate(([True], f[1:] != f[:-1]))
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        run_start = np.cumsum(run_len) - run_len
+        local = np.arange(f.shape[0]) - run_start[run_id]
+        rep = (run_len[run_id] - 1 - local).astype(np.int64)
+        tot = int(rep.sum())
+        if tot == 0:
+            return empty
+        a_idx = np.repeat(np.arange(f.shape[0]), rep)
+        seg = np.cumsum(rep) - rep
+        b_idx = a_idx + (np.arange(tot) - seg[a_idx]) + 1
+        packed = c[a_idx].astype(np.int64) * code.shape[0] + c[b_idx]
+        pu, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "source_a": pa.array(
+                    [str(code[i]) for i in pu // code.shape[0]], pa.string()
+                ),
+                "source_b": pa.array(
+                    [str(code[i]) for i in pu % code.shape[0]], pa.string()
+                ),
+                "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir, columns=["doc_id", "source", "text"])
+        .map_batches(fp_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("cbucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .take_all()
+    )
+    agg: dict = {}
+    for r in rows:
+        k = (r["source_a"], r["source_b"])
+        agg[k] = agg.get(k, 0) + int(r["partial"])
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "source_a": pa.array([k[0] for k in keys], pa.string()),
+            "source_b": pa.array([k[1] for k in keys], pa.string()),
+            "n_shared_texts": pa.array([agg[k] for k in keys], pa.int64()),
+        }
+    )

@@ -1284,6 +1284,14 @@ ORACLE_SQL = {
                    AS n_norm_chars
         FROM documents
     """,
+    "source_overlap_matrix": """
+        WITH st AS (SELECT DISTINCT source, text FROM documents)
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*)::BIGINT AS n_shared_texts
+        FROM st a JOIN st b ON a.text = b.text AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "dup_rate_by_source": """
         SELECT source, count(*)::BIGINT AS n_docs,
                count(DISTINCT text)::BIGINT AS n_distinct_texts,

@@ -3900,6 +3900,7 @@ from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
     minhash_jaccard_estimate_pairs,
     near_dedup_keep_first,
     next_token_distribution,
+    source_overlap_matrix,
     normalize_texts,
     prefix_dup_docs,
     substring_counts,
@@ -4029,6 +4030,7 @@ QUERIES = {
     "incremental_dedup": incremental_dedup,
     "bloom_dedup_report": bloom_dedup_report,
     "dup_rate_by_source": dup_rate_by_source,
+    "source_overlap_matrix": source_overlap_matrix,
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_topk": bm25_topk,
     "prefix_dup_docs": prefix_dup_docs,

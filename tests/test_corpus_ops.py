@@ -162,3 +162,45 @@ def test_near_dedup_keep_first_crafted(ray_session, tmp_path):
     )
     # cluster {3, 7, 10} keeps min member 3; 99 is unclustered
     assert got["doc_id"].tolist() == [3, 99]
+
+
+def test_source_overlap_matrix_planted(ray_session, tmp_path):
+    """A text in sources {a, b, c} yields all three pairs; two shared
+    texts between one pair count twice; within-source dups don't count.
+    Matches the DuckDB oracle."""
+    import duckdb
+
+    from hg_dedup_ray.pipelines.corpus_ops import source_overlap_matrix
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+
+    t1 = "triple shared text body"
+    t2 = "pairwise shared text body"
+    rows = [
+        (0, t1, "a"), (1, t1, "b"), (2, t1, "c"),     # pairs ab, ac, bc
+        (3, t2, "a"), (4, t2, "b"),                   # ab again
+        (5, "solo text", "a"), (6, "solo text", "a"), # same-source dup: no pair
+        (7, "only here", "c"),
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = source_overlap_matrix(str(tmp_path)).to_pandas()
+    exp = {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    assert {
+        (r.source_a, r.source_b): int(r.n_shared_texts)
+        for r in got.itertuples()
+    } == exp
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(ORACLE_SQL["source_overlap_matrix"]).df()
+    assert (got.to_numpy() == want.to_numpy()).all()
