@@ -144,6 +144,8 @@ def run_bench() -> dict:
             "embedding_near_dup_pairs",
             "window_dedup_report",
             "curation_cascade",
+            "paragraph_dedup",
+            "ngram_novelty",
         ]
     for name in bench_queries:
         t0 = time.time()
