@@ -560,6 +560,57 @@ def _bloom_sql(m: int = 4096, k: int = 3) -> str:
 
 
 
+def _lsh_sweep_sql() -> str:
+    """Oracle for queries.lsh_param_sweep: the lsh_recall_report oracle's
+    CTEs with one bands/cand pair per (num_bands, band_r) config, all
+    folding the SAME 128-perm OPH signature by perm // r."""
+    from hg_dedup_ray.pipelines.queries import LSH_SWEEP_CONFIGS
+
+    cfgs = sorted(LSH_SWEEP_CONFIGS)
+    blocks, selects = [], []
+    for b, r in cfgs:
+        blocks.append(f"""
+        bands{b} AS (
+          SELECT doc_id, perm // {r} AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY perm) AS bkey
+          FROM sigs GROUP BY 1, 2
+        ),
+        cand{b} AS (
+          SELECT DISTINCT a.doc_id AS ua, b.doc_id AS ub
+          FROM bands{b} a JOIN bands{b} b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )""")
+        selects.append(f"""
+        SELECT {b}::BIGINT AS num_bands, {r}::BIGINT AS band_r,
+               (SELECT count(*) FROM expairs)::BIGINT AS n_exact_pairs,
+               (SELECT count(*) FROM cand{b})::BIGINT AS n_candidate_pairs,
+               (SELECT count(*) FROM cand{b} c JOIN expairs e
+                 ON e.ua = c.ua AND e.ub = c.ub)::BIGINT AS n_hits""")
+    return f"""
+        WITH shingles AS (
+          SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, greatest(length(text) - 7, 0) + 1),
+              i -> substr(text, i, 8)))) AS sh
+          FROM documents
+        ),
+        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ua, b.doc_id AS ub, count(*) AS i
+          FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        expairs AS (
+          SELECT ua, ub FROM inter
+          JOIN counts ca ON ca.doc_id = ua JOIN counts cb ON cb.doc_id = ub
+          WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+        ),
+        sigs AS ({_oph_sql()}),
+        {','.join(blocks)}
+        {' UNION ALL '.join(selects)}
+        ORDER BY num_bands
+    """
+
+
 def _dedup_pressure_sql() -> str:
     """Oracle for queries.dedup_pressure_curve: the exact-Jaccard pair
     table with its value (same shingle CTEs as the pairs oracle, cut at
@@ -685,6 +736,7 @@ def _split_leakage_sql() -> str:
 
 ORACLE_SQL = {
     "dedup_pressure_curve": _dedup_pressure_sql(),
+    "lsh_param_sweep": _lsh_sweep_sql(),
     "dedup_aware_split": _dedup_aware_split_sql(),
     "split_leakage_report": _split_leakage_sql(),
     "simhash_sigs": _simhash_sql(),

@@ -332,24 +332,9 @@ def minhash_band_clusters(sf_dir: str, num_bands: int = 32, band_r: int = 4):
     )
 
 
-def lsh_recall_report(sf_dir: str, num_bands: int = 32, band_r: int = 4,
-                      threshold: float = 0.8):
-    """LSH quality evaluation — ONE row of integer counts quantifying the
-    north-star's recall criterion on this fixture: n_exact_pairs (exact
-    k=8-shingle Jaccard >= 0.8, the PPJoin cascade), n_candidate_pairs
-    (distinct doc pairs sharing any MinHash band bucket at b=32/r=4), and
-    n_hits (exact pairs the LSH candidates cover). recall = hits/exact on
-    the consumer side; at this config the banding theory gives
-    P[candidate | J>=0.8] = 1-(1-0.8^4)^32 ~ 1-5e-8.
-
-    Scale shape: the exact-pair set is answer-sized -> broadcast as
-    packed u64s; candidate pairs expand per coarse bkey%64 group (bucket
-    sizes are near-dup cluster sizes, bounded), deduplicate globally per
-    pair%64 group, and only per-group COUNT scalars return to the
-    driver."""
-    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
-
-    # ---- exact side (already fully distributed) -------------------------
+def _exact_pairs_packed_ref(sf_dir: str, threshold: float = 0.8):
+    """Broadcast ref of the sorted packed-u64 exact-Jaccard pair set
+    (answer-sized by definition) plus its count."""
     ex_a, ex_b = [], []
     for b in ngram_jaccard_exact_pairs(sf_dir, threshold).iter_batches(
         batch_size=1 << 16, batch_format="pyarrow"
@@ -361,31 +346,20 @@ def lsh_recall_report(sf_dir: str, num_bands: int = 32, band_r: int = 4,
     exact_packed = np.unique(
         (ea.astype(np.uint64) << np.uint64(32)) | eb.astype(np.uint64)
     )
-    exact_ref = ray.put(exact_packed)
+    return ray.put(exact_packed), int(exact_packed.shape[0])
 
-    # ---- candidate side: band rows (shared kernel + banding config with
-    # minhash_band_clusters / minhash_sig_rows: functions/minhash) --------
-    from hg_dedup_ray.functions.minhash import make_band_rows
 
-    rows = (
-        _docs_sized(sf_dir, columns=["doc_id", "text"])
-        .map_batches(
-            make_band_rows(num_bands=num_bands, band_r=band_r),
-            batch_format="pyarrow",
-            batch_size=2048,
-        )
-        .materialize()
-    )
+def _lsh_candidate_counts(rows, exact_ref) -> tuple[int, int]:
+    """(n_candidate_pairs, n_hits) of a (bkey:u64, doc_id) band-row
+    Dataset against the broadcast packed exact-pair array: hot-key
+    prefilter, per-bkey%64-bucket vectorized pair expansion, global
+    dedup per pair%64 group, per-group COUNT scalars only."""
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+
     hot = hot_u64_keys(rows, "bkey")
     if hot.shape[0] == 0:
-        return pa.table(
-            {
-                "n_exact_pairs": pa.array([int(exact_packed.shape[0])], pa.int64()),
-                "n_candidate_pairs": pa.array([0], pa.int64()),
-                "n_hits": pa.array([0], pa.int64()),
-            }
-        )
-    hot_ref = ray.put(hot)
+        return 0, 0
+    hot_ref = ray.put(np.sort(hot))
 
     def hot_pairs(batch: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
@@ -457,11 +431,111 @@ def lsh_recall_report(sf_dir: str, num_bands: int = 32, band_r: int = 4,
         .map_groups(count_partial, batch_format="pyarrow")
         .take_all()
     )
-    n_cand = int(sum(r["n_cand"] for r in parts))
-    n_hit = int(sum(r["n_hit"] for r in parts))
+    return (
+        int(sum(r["n_cand"] for r in parts)),
+        int(sum(r["n_hit"] for r in parts)),
+    )
+
+
+LSH_SWEEP_CONFIGS = ((16, 8), (32, 4), (64, 2))
+
+
+def lsh_param_sweep(sf_dir: str, configs=LSH_SWEEP_CONFIGS,
+                    threshold: float = 0.8):
+    """Banding-parameter tuning report: candidate-pair count, exact-pair
+    hits, and therefore measured recall/precision pressure for several
+    (num_bands, band_r) partitions of the SAME 128-perm OPH signature —
+    the report that picks b/r before a web-scale LSH pass ((64,2) recalls
+    more but floods candidates; (16,8) is strict). The 128 signature
+    words are computed ONCE per batch; each config only re-folds them,
+    so the corpus is read exactly once for all configs plus once for the
+    exact side. Output one row per config, ordered by num_bands.
+
+    Scale shape: the multi-config band rows materialize once (cfg column
+    keeps key spaces separate); per config the shared hot-key prefilter
+    -> bucketed pair expansion -> count reduction of
+    _lsh_candidate_counts runs over a cheap column filter of that
+    materialized set."""
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+    from hg_dedup_ray.functions.minhash import (
+        batch_signatures_oph,
+        oph_band_keys,
+    )
+
+    exact_ref, n_exact = _exact_pairs_packed_ref(sf_dir, threshold)
+    cfgs = sorted(configs)
+
+    def multi_band_rows(batch: pa.Table) -> pa.Table:
+        buf, off = string_column_bytes(batch["text"])
+        sig = batch_signatures_oph(buf, off, 16, 128, 42)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cfg_col, bkey_col, doc_col = [], [], []
+        for ci, (b, r) in enumerate(cfgs):
+            key = oph_band_keys(sig, b, r)
+            cfg_col.append(np.full(ids.shape[0] * b, ci, np.int8))
+            bkey_col.append(key.reshape(-1))
+            doc_col.append(np.repeat(ids, b))
+        return pa.table(
+            {
+                "cfg": pa.array(np.concatenate(cfg_col), pa.int8()),
+                "bkey": pa.array(np.concatenate(bkey_col), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(doc_col), pa.int64()),
+            }
+        )
+
+    rows = (
+        _docs_sized(sf_dir, columns=["doc_id", "text"])
+        .map_batches(multi_band_rows, batch_format="pyarrow", batch_size=2048)
+        .materialize()
+    )
+    nb, br, ncs, nhs = [], [], [], []
+    for ci, (b, r) in enumerate(cfgs):
+        n_cand, n_hit = _lsh_candidate_counts(
+            rows.filter(expr=f"cfg == {ci}"), exact_ref
+        )
+        nb.append(b)
+        br.append(r)
+        ncs.append(n_cand)
+        nhs.append(n_hit)
     return pa.table(
         {
-            "n_exact_pairs": pa.array([int(exact_packed.shape[0])], pa.int64()),
+            "num_bands": pa.array(nb, pa.int64()),
+            "band_r": pa.array(br, pa.int64()),
+            "n_exact_pairs": pa.array([n_exact] * len(cfgs), pa.int64()),
+            "n_candidate_pairs": pa.array(ncs, pa.int64()),
+            "n_hits": pa.array(nhs, pa.int64()),
+        }
+    )
+
+
+def lsh_recall_report(sf_dir: str, num_bands: int = 32, band_r: int = 4,
+                      threshold: float = 0.8):
+    """LSH quality evaluation — ONE row of integer counts quantifying the
+    north-star's recall criterion on this fixture: n_exact_pairs (exact
+    k=8-shingle Jaccard >= 0.8, the PPJoin cascade), n_candidate_pairs
+    (distinct doc pairs sharing any MinHash band bucket at b=32/r=4), and
+    n_hits (exact pairs the LSH candidates cover). recall = hits/exact on
+    the consumer side; at this config the banding theory gives
+    P[candidate | J>=0.8] = 1-(1-0.8^4)^32 ~ 1-5e-8.
+
+    Scale shape: see _exact_pairs_packed_ref / _lsh_candidate_counts
+    (shared with lsh_param_sweep)."""
+    from hg_dedup_ray.functions.minhash import make_band_rows
+
+    exact_ref, n_exact = _exact_pairs_packed_ref(sf_dir, threshold)
+    rows = (
+        _docs_sized(sf_dir, columns=["doc_id", "text"])
+        .map_batches(
+            make_band_rows(num_bands=num_bands, band_r=band_r),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+        .materialize()
+    )
+    n_cand, n_hit = _lsh_candidate_counts(rows, exact_ref)
+    return pa.table(
+        {
+            "n_exact_pairs": pa.array([n_exact], pa.int64()),
             "n_candidate_pairs": pa.array([n_cand], pa.int64()),
             "n_hits": pa.array([n_hit], pa.int64()),
         }
@@ -4026,6 +4100,7 @@ QUERIES = {
     "word_doc_freq": word_doc_freq,
     "minhash_band_clusters": minhash_band_clusters,
     "lsh_recall_report": lsh_recall_report,
+    "lsh_param_sweep": lsh_param_sweep,
     "jaccard_dup_clusters": jaccard_dup_clusters,
     "incremental_dedup": incremental_dedup,
     "bloom_dedup_report": bloom_dedup_report,

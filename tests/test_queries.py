@@ -187,3 +187,28 @@ def test_dedup_pressure_curve_matches_oracle(ray_session):
     assert (np.diff(got["n_pairs"].to_numpy()) <= 0).all()
     assert (np.diff(got["n_dropped_docs"].to_numpy()) <= 0).all()
     assert int(got["n_pairs"].iloc[0]) > 0  # tau_min must be non-vacuous
+
+
+def test_lsh_param_sweep_consistent(ray_session):
+    """The (32,4) sweep row equals lsh_recall_report's counts (same sigs,
+    same fold); candidates grow with num_bands (smaller bands = looser);
+    matches the DuckDB oracle."""
+    import duckdb
+    import numpy as np
+
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.queries import lsh_param_sweep, lsh_recall_report
+
+    got = lsh_param_sweep(SF_DIR).to_pandas()
+    rep = lsh_recall_report(SF_DIR).to_pandas()
+    row = got[got["num_bands"] == 32].iloc[0]
+    assert int(row["n_exact_pairs"]) == int(rep["n_exact_pairs"][0])
+    assert int(row["n_candidate_pairs"]) == int(rep["n_candidate_pairs"][0])
+    assert int(row["n_hits"]) == int(rep["n_hits"][0])
+    assert (np.diff(got["n_candidate_pairs"].to_numpy()) >= 0).all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = con.sql(ORACLE_SQL["lsh_param_sweep"]).df()
+    assert (got.to_numpy() == want.to_numpy()).all()
