@@ -467,6 +467,90 @@ def near_dedup_keep_first(sf_dir: str):
     ).map_batches(keep, batch_format="pyarrow", batch_size=4096)
 
 
+def near_dedup_keep_longest(sf_dir: str):
+    """Keep-BEST near dedup, the production sibling of
+    near_dedup_keep_first: within every MinHash-LSH cluster keep the
+    member with the MOST characters (tie: smallest doc_id) — among
+    near-duplicate crawls the longest copy usually supersets the
+    boilerplate-trimmed ones, so "keep longest" preserves more signal
+    than "keep first". Unclustered docs always survive.
+
+    Scale shape: cluster labels are dup-bounded; member n_chars come
+    back via ONE broadcast-membership-filtered column scan (only member
+    rows return to the driver — the dup-set budget); the per-cluster
+    argmax is a single lexsort over that bounded set; the drop set
+    broadcasts as a sorted int64 array and the kept corpus streams
+    through one filter map_batches."""
+    from hg_dedup_ray.pipelines.queries import minhash_band_clusters
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    labels = minhash_band_clusters(sf_dir)
+    chunks = [
+        b
+        for b in labels.iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+        if len(b)
+    ]
+    if chunks:
+        did = np.concatenate(
+            [t["doc_id"].to_numpy(zero_copy_only=False) for t in chunks]
+        )
+        lab = np.concatenate(
+            [t["cluster_id"].to_numpy(zero_copy_only=False) for t in chunks]
+        )
+    else:
+        did = lab = np.empty(0, np.int64)
+
+    if did.shape[0]:
+        mem_sorted = np.sort(did)
+        mem_ref = ray.put(mem_sorted)
+
+        def member_lens(batch: pa.Table) -> pa.Table:
+            mem = get_broadcast(mem_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(mem, ids)
+            hit = (pos < mem.shape[0]) & (
+                mem[np.minimum(pos, mem.shape[0] - 1)] == ids
+            )
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].filter(pa.array(hit)),
+                    "n_chars": batch["n_chars"].filter(pa.array(hit)),
+                }
+            )
+
+        rows = (
+            _docs(sf_dir, columns=["doc_id", "n_chars"])
+            .map_batches(member_lens, batch_format="pyarrow", batch_size=8192)
+            .take_all()
+        )
+        nch_by_id = {r["doc_id"]: r["n_chars"] for r in rows}
+        nch = np.array([nch_by_id[i] for i in did], np.int64)
+        # within each cluster: longest first, then smallest doc_id
+        order = np.lexsort((did, -nch, lab))
+        l_s, d_s = lab[order], did[order]
+        first = np.concatenate(([True], l_s[1:] != l_s[:-1]))
+        drop = np.sort(d_s[~first])
+    else:
+        drop = np.empty(0, np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dr = get_broadcast(drop_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if dr.shape[0]:
+            pos = np.searchsorted(dr, d)
+            dropped = (pos < dr.shape[0]) & (
+                dr[np.minimum(pos, dr.shape[0] - 1)] == d
+            )
+        else:
+            dropped = np.zeros(d.shape[0], bool)
+        return batch.filter(pa.array(~dropped))
+
+    return _docs(
+        sf_dir, columns=["doc_id", "lang", "source", "n_chars"]
+    ).map_batches(keep, batch_format="pyarrow", batch_size=4096)
+
+
 # -------------------------------------- MinHash Jaccard estimates per pair
 
 

@@ -1451,6 +1451,41 @@ ORACLE_SQL = {
     # Near-dup REMOVAL: keep only the min-doc_id member of every LSH
     # band cluster (same CTE chain as minhash_band_clusters) plus all
     # unclustered docs.
+    "near_dedup_keep_longest": f"""
+        WITH RECURSIVE sigs AS ({_oph_sql()}),
+        bands AS (
+          SELECT doc_id, perm // 4 AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY perm) AS bkey
+          FROM sigs GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS ua, b.doc_id AS ub
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        edges AS (SELECT ua AS u, ub AS v FROM pairs
+                  UNION SELECT ub, ua FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.u, w.lab FROM walk w JOIN edges e ON e.v = w.n
+          WHERE w.lab < e.u
+        ),
+        labels AS (SELECT n AS doc_id, min(lab) AS cluster_id
+                   FROM walk GROUP BY n),
+        ranked AS (
+          SELECT l.doc_id,
+                 row_number() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY d.n_chars DESC, l.doc_id
+                 ) AS rn
+          FROM labels l JOIN documents d USING (doc_id)
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d LEFT JOIN ranked r USING (doc_id)
+        WHERE r.doc_id IS NULL OR r.rn = 1
+    """,
     "near_dedup_keep_first": f"""
         WITH RECURSIVE sigs AS ({_oph_sql()}),
         bands AS (

@@ -3973,6 +3973,7 @@ from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
     dup_rate_by_source,
     minhash_jaccard_estimate_pairs,
     near_dedup_keep_first,
+    near_dedup_keep_longest,
     next_token_distribution,
     source_overlap_matrix,
     normalize_texts,
@@ -4111,6 +4112,7 @@ QUERIES = {
     "prefix_dup_docs": prefix_dup_docs,
     "minhash_jaccard_estimate_pairs": minhash_jaccard_estimate_pairs,
     "near_dedup_keep_first": near_dedup_keep_first,
+    "near_dedup_keep_longest": near_dedup_keep_longest,
     "normalize_texts": normalize_texts,
     "substring_counts": substring_counts,
     "gopher_quality_filter": gopher_quality_filter,

@@ -204,3 +204,46 @@ def test_source_overlap_matrix_planted(ray_session, tmp_path):
     )
     want = con.sql(ORACLE_SQL["source_overlap_matrix"]).df()
     assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_near_dedup_keep_longest_crafted(ray_session, tmp_path):
+    """In a near-dup cluster the LONGEST member wins even when it is not
+    the first: docs {3, 7, 10} cluster; 7 has an extra tail -> keep 7,
+    drop 3 and 10; unclustered 99 survives. Matches the DuckDB oracle."""
+    import duckdb
+
+    from hg_dedup_ray.pipelines.corpus_ops import near_dedup_keep_longest
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+
+    dup = "the quick brown fox jumps over the lazy dog " * 8
+    longest = dup + "plus an extra trailing sentence"
+    other = "completely different content with no overlap at all " * 8
+    texts = {10: dup, 3: dup, 7: longest, 99: other}
+    ids = sorted(texts)
+    tab = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        near_dedup_keep_longest(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["doc_id"].tolist() == [7, 99]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.sql(ORACLE_SQL["near_dedup_keep_longest"])
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert (got.to_numpy() == want.to_numpy()).all()
