@@ -408,147 +408,177 @@ def normalize_texts(sf_dir: str):
     )
 
 
-# ------------------------------------------------- near-dup keep-first
+# ----------------------------------------- near-dup removal (keep policies)
+#
+# Three keep policies over the SAME MinHash-LSH clusters (b=32/r=4
+# banding over cell-exact OPH signatures — the minhash_band_clusters
+# machinery), sharing one scale shape: cluster labels are dup-bounded
+# (only docs in >=1 hot band bucket get a row); any per-member rank
+# attribute comes back via ONE broadcast-membership-filtered column
+# scan (only member rows return to the driver — the dup-set budget);
+# the per-cluster winner is a single lexsort over that bounded set;
+# the drop set broadcasts as a sorted int64 array and the kept corpus
+# streams through one filter map_batches. The oracles recompute
+# signatures, bands, min-label closure AND the keep rule in SQL, so
+# the final kept set — not just the cluster labels — is value-checked.
+
+
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Boolean membership mask of vals against a SORTED array."""
+    if sorted_arr.shape[0] == 0 or vals.shape[0] == 0:
+        return np.zeros(vals.shape[0], bool)
+    pos = np.searchsorted(sorted_arr, vals)
+    return (pos < sorted_arr.shape[0]) & (
+        sorted_arr[np.minimum(pos, sorted_arr.shape[0] - 1)] == vals
+    )
+
+
+def _cluster_labels_arrays(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id, cluster_id) arrays for every LSH cluster member —
+    dup-bounded driver state (unclustered docs have no row)."""
+    from hg_dedup_ray.pipelines.queries import minhash_band_clusters
+
+    chunks = [
+        b
+        for b in minhash_band_clusters(sf_dir).iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow"
+        )
+        if len(b)
+    ]
+    if not chunks:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    did = np.concatenate(
+        [t["doc_id"].to_numpy(zero_copy_only=False) for t in chunks]
+    )
+    lab = np.concatenate(
+        [t["cluster_id"].to_numpy(zero_copy_only=False) for t in chunks]
+    )
+    return did, lab
+
+
+def _member_rank_drop(sf_dir, did, lab, rank_col, rank_fn) -> np.ndarray:
+    """Drop set for a keep-best policy: fetch ``rank_col`` for member
+    rows via one broadcast-membership-filtered column scan, rank
+    members by ``rank_fn(values)`` (LOWER wins, ties by doc_id), keep
+    the winner per cluster, return the sorted losers."""
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    if not did.shape[0]:
+        return np.empty(0, np.int64)
+    mem_ref = ray.put(np.sort(did))
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        hit = pa.array(
+            _in_sorted(
+                get_broadcast(mem_ref),
+                batch["doc_id"].to_numpy(zero_copy_only=False),
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(hit),
+                rank_col: batch[rank_col].filter(hit),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir, columns=["doc_id", rank_col])
+        .map_batches(member_rows, batch_format="pyarrow", batch_size=8192)
+        .take_all()
+    )
+    by_id = {r["doc_id"]: r[rank_col] for r in rows}
+    rank = rank_fn(np.array([by_id[i] for i in did]))
+    order = np.lexsort((did, rank, lab))
+    l_s, d_s = lab[order], did[order]
+    first = np.concatenate(([True], l_s[1:] != l_s[:-1]))
+    return np.sort(d_s[~first])
+
+
+def _drop_filter_stream(sf_dir, drop: np.ndarray, columns, post=None):
+    """Stream the corpus through one sorted-drop-set filter
+    map_batches; ``post`` optionally appends computed columns."""
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = _in_sorted(
+            get_broadcast(drop_ref),
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+        )
+        out = batch.filter(pa.array(~dropped))
+        return post(out) if post is not None else out
+
+    return _docs(sf_dir, columns=columns).map_batches(
+        keep, batch_format="pyarrow", batch_size=4096
+    )
 
 
 def near_dedup_keep_first(sf_dir: str):
     """The near-dup REMOVAL deliverable: keep only the min-doc_id member
-    of every MinHash-LSH cluster (b=32/r=4 banding over the cell-exact
-    OPH signatures — the minhash_band_clusters machinery) plus every
-    unclustered doc. The oracle recomputes signatures, bands, and the
-    min-label closure in SQL and applies the same keep rule, so the
-    final kept set — not just the cluster labels — is value-checked.
-
-    Scale shape: cluster labels are dup-bounded (only docs in >=1 hot
-    band bucket get a row); the drop set (cluster members that are not
-    their cluster's min) broadcasts as a sorted int64 array and the kept
-    corpus streams through one filter map_batches."""
-    from hg_dedup_ray.pipelines.queries import minhash_band_clusters
-
-    labels = minhash_band_clusters(sf_dir)
-    drop_chunks = [
-        t
-        for t in (
-            b
-            for b in labels.iter_batches(
-                batch_size=1 << 16, batch_format="pyarrow"
-            )
-        )
-        if len(t)
-    ]
-    if drop_chunks:
-        did = np.concatenate(
-            [t["doc_id"].to_numpy(zero_copy_only=False) for t in drop_chunks]
-        )
-        lab = np.concatenate(
-            [t["cluster_id"].to_numpy(zero_copy_only=False) for t in drop_chunks]
-        )
-        drop = np.sort(did[did != lab])
-    else:
-        drop = np.empty(0, np.int64)
-    drop_ref = ray.put(drop)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        from hg_dedup_ray.stages.broadcast import get_broadcast
-
-        dr = get_broadcast(drop_ref)
-        d = batch["doc_id"].to_numpy(zero_copy_only=False)
-        if dr.shape[0]:
-            pos = np.searchsorted(dr, d)
-            dropped = (pos < dr.shape[0]) & (
-                dr[np.minimum(pos, dr.shape[0] - 1)] == d
-            )
-        else:
-            dropped = np.zeros(d.shape[0], bool)
-        return batch.filter(pa.array(~dropped))
-
-    return _docs(
-        sf_dir, columns=["doc_id", "lang", "source", "n_chars"]
-    ).map_batches(keep, batch_format="pyarrow", batch_size=4096)
+    of every MinHash-LSH cluster plus every unclustered doc. No member
+    scan needed — cluster_id IS the min member, so the losers are
+    exactly the rows where doc_id != cluster_id."""
+    did, lab = _cluster_labels_arrays(sf_dir)
+    drop = np.sort(did[did != lab]) if did.shape[0] else np.empty(0, np.int64)
+    return _drop_filter_stream(
+        sf_dir, drop, ["doc_id", "lang", "source", "n_chars"]
+    )
 
 
 def near_dedup_keep_longest(sf_dir: str):
-    """Keep-BEST near dedup, the production sibling of
-    near_dedup_keep_first: within every MinHash-LSH cluster keep the
+    """Keep-BEST near dedup: within every MinHash-LSH cluster keep the
     member with the MOST characters (tie: smallest doc_id) — among
     near-duplicate crawls the longest copy usually supersets the
     boilerplate-trimmed ones, so "keep longest" preserves more signal
-    than "keep first". Unclustered docs always survive.
+    than "keep first". Unclustered docs always survive."""
+    did, lab = _cluster_labels_arrays(sf_dir)
+    drop = _member_rank_drop(
+        sf_dir, did, lab, "n_chars", lambda v: -v.astype(np.int64)
+    )
+    return _drop_filter_stream(
+        sf_dir, drop, ["doc_id", "lang", "source", "n_chars"]
+    )
 
-    Scale shape: cluster labels are dup-bounded; member n_chars come
-    back via ONE broadcast-membership-filtered column scan (only member
-    rows return to the driver — the dup-set budget); the per-cluster
-    argmax is a single lexsort over that bounded set; the drop set
-    broadcasts as a sorted int64 array and the kept corpus streams
-    through one filter map_batches."""
-    from hg_dedup_ray.pipelines.queries import minhash_band_clusters
-    from hg_dedup_ray.stages.broadcast import get_broadcast
 
-    labels = minhash_band_clusters(sf_dir)
-    chunks = [
-        b
-        for b in labels.iter_batches(batch_size=1 << 16, batch_format="pyarrow")
-        if len(b)
-    ]
-    if chunks:
-        did = np.concatenate(
-            [t["doc_id"].to_numpy(zero_copy_only=False) for t in chunks]
-        )
-        lab = np.concatenate(
-            [t["cluster_id"].to_numpy(zero_copy_only=False) for t in chunks]
-        )
-    else:
-        did = lab = np.empty(0, np.int64)
+def _source_tier(source_col, n_tiers: int) -> np.ndarray:
+    """Provenance tier of each source name: trailing digits mod
+    n_tiers; sources with no digits land in the lowest-priority tier
+    (n_tiers - 1). Deterministic and SQL-replicated (regexp_extract +
+    try_cast), so the tiered keep rule is value-checkable."""
+    ex = pc.extract_regex(source_col, r"(?P<d>[0-9]{1,9})$")
+    d = pc.coalesce(
+        pc.cast(pc.struct_field(ex, "d"), pa.int64()),
+        pa.scalar(n_tiers - 1, pa.int64()),
+    )
+    return np.mod(d.to_numpy(zero_copy_only=False), n_tiers)
 
-    if did.shape[0]:
-        mem_sorted = np.sort(did)
-        mem_ref = ray.put(mem_sorted)
 
-        def member_lens(batch: pa.Table) -> pa.Table:
-            mem = get_broadcast(mem_ref)
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(mem, ids)
-            hit = (pos < mem.shape[0]) & (
-                mem[np.minimum(pos, mem.shape[0] - 1)] == ids
-            )
-            return pa.table(
-                {
-                    "doc_id": batch["doc_id"].filter(pa.array(hit)),
-                    "n_chars": batch["n_chars"].filter(pa.array(hit)),
-                }
-            )
+def near_dedup_keep_tiered(sf_dir: str, n_tiers: int = 4):
+    """TIERED near dedup — the provenance-priority keep policy of a
+    multi-source web corpus: within every MinHash-LSH cluster keep the
+    member from the highest-priority source TIER (lowest tier number;
+    ties: smallest doc_id), so a curated-tier copy always beats a
+    crawl-tier copy of the same near-duplicate content. Unclustered
+    docs always survive. Output adds the computed ``tier`` column.
+    The tier map is the deterministic _source_tier rule; a production
+    run swaps in its own source→tier table (broadcast the same way)."""
+    did, lab = _cluster_labels_arrays(sf_dir)
+    drop = _member_rank_drop(
+        sf_dir,
+        did,
+        lab,
+        "source",
+        lambda v: _source_tier(pa.array(v), n_tiers),
+    )
 
-        rows = (
-            _docs(sf_dir, columns=["doc_id", "n_chars"])
-            .map_batches(member_lens, batch_format="pyarrow", batch_size=8192)
-            .take_all()
-        )
-        nch_by_id = {r["doc_id"]: r["n_chars"] for r in rows}
-        nch = np.array([nch_by_id[i] for i in did], np.int64)
-        # within each cluster: longest first, then smallest doc_id
-        order = np.lexsort((did, -nch, lab))
-        l_s, d_s = lab[order], did[order]
-        first = np.concatenate(([True], l_s[1:] != l_s[:-1]))
-        drop = np.sort(d_s[~first])
-    else:
-        drop = np.empty(0, np.int64)
-    drop_ref = ray.put(drop)
+    def add_tier(batch: pa.Table) -> pa.Table:
+        tier = _source_tier(batch["source"], n_tiers)
+        return batch.append_column("tier", pa.array(tier, pa.int64()))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        dr = get_broadcast(drop_ref)
-        d = batch["doc_id"].to_numpy(zero_copy_only=False)
-        if dr.shape[0]:
-            pos = np.searchsorted(dr, d)
-            dropped = (pos < dr.shape[0]) & (
-                dr[np.minimum(pos, dr.shape[0] - 1)] == d
-            )
-        else:
-            dropped = np.zeros(d.shape[0], bool)
-        return batch.filter(pa.array(~dropped))
-
-    return _docs(
-        sf_dir, columns=["doc_id", "lang", "source", "n_chars"]
-    ).map_batches(keep, batch_format="pyarrow", batch_size=4096)
+    return _drop_filter_stream(
+        sf_dir, drop, ["doc_id", "source", "n_chars"], post=add_tier
+    )
 
 
 # -------------------------------------- MinHash Jaccard estimates per pair

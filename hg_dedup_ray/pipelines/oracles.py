@@ -1132,6 +1132,34 @@ ORACLE_SQL = {
                         chr(10) ORDER BY idx), '') AS kept_text
         FROM r GROUP BY doc_id
     """,
+    # C4-style boilerplate removal: non-empty lines present in >=3
+    # DISTINCT docs are stripped from every doc (first occurrence too);
+    # empty lines always survive.
+    "boilerplate_line_strip": """
+        WITH ps AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, unnest(ls) AS l,
+                   unnest(range(1, len(ls) + 1)) AS idx
+            FROM ps
+        ),
+        df AS (
+            SELECT l, count(DISTINCT doc_id) AS df FROM lines
+            WHERE l <> '' GROUP BY l
+        ),
+        flagged AS (
+            SELECT li.doc_id, li.idx, li.l,
+                   CASE WHEN li.l <> '' AND d.df >= 3 THEN 1 ELSE 0 END AS bp
+            FROM lines li LEFT JOIN df d USING (l)
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_lines,
+               sum(bp)::BIGINT AS n_boilerplate_lines,
+               coalesce(string_agg(CASE WHEN bp = 0 THEN l END,
+                        chr(10) ORDER BY idx), '') AS kept_text
+        FROM flagged GROUP BY doc_id
+    """,
     "ngram_novelty": r"""
         WITH words AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -1483,6 +1511,51 @@ ORACLE_SQL = {
           FROM labels l JOIN documents d USING (doc_id)
         )
         SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d LEFT JOIN ranked r USING (doc_id)
+        WHERE r.doc_id IS NULL OR r.rn = 1
+    """,
+    # Tiered keep: within each cluster the member from the
+    # highest-priority source tier wins (trailing digits of source mod
+    # 4; no digits -> tier 3), ties by doc_id — value-checks the
+    # provenance-priority policy end to end including the tier column.
+    "near_dedup_keep_tiered": f"""
+        WITH RECURSIVE sigs AS ({_oph_sql()}),
+        bands AS (
+          SELECT doc_id, perm // 4 AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY perm) AS bkey
+          FROM sigs GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS ua, b.doc_id AS ub
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        edges AS (SELECT ua AS u, ub AS v FROM pairs
+                  UNION SELECT ub, ua FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.u, w.lab FROM walk w JOIN edges e ON e.v = w.n
+          WHERE w.lab < e.u
+        ),
+        labels AS (SELECT n AS doc_id, min(lab) AS cluster_id
+                   FROM walk GROUP BY n),
+        ranked AS (
+          SELECT l.doc_id,
+                 row_number() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY coalesce(try_cast(regexp_extract(
+                              d.source, '([0-9]{{1,9}})$', 1) AS BIGINT),
+                            3) % 4,
+                            l.doc_id
+                 ) AS rn
+          FROM labels l JOIN documents d USING (doc_id)
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               (coalesce(try_cast(regexp_extract(
+                   d.source, '([0-9]{{1,9}})$', 1) AS BIGINT), 3)
+                % 4)::BIGINT AS tier
         FROM documents d LEFT JOIN ranked r USING (doc_id)
         WHERE r.doc_id IS NULL OR r.rn = 1
     """,

@@ -3974,6 +3974,7 @@ from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
     minhash_jaccard_estimate_pairs,
     near_dedup_keep_first,
     near_dedup_keep_longest,
+    near_dedup_keep_tiered,
     next_token_distribution,
     source_overlap_matrix,
     normalize_texts,
@@ -4017,6 +4018,7 @@ from hg_dedup_ray.pipelines.curation import (  # noqa: E402
 )
 from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     bloom_dedup_report,
+    boilerplate_line_strip,
     cap_per_source,
     decontaminate,
     dedup_aware_split,
@@ -4113,6 +4115,7 @@ QUERIES = {
     "minhash_jaccard_estimate_pairs": minhash_jaccard_estimate_pairs,
     "near_dedup_keep_first": near_dedup_keep_first,
     "near_dedup_keep_longest": near_dedup_keep_longest,
+    "near_dedup_keep_tiered": near_dedup_keep_tiered,
     "normalize_texts": normalize_texts,
     "substring_counts": substring_counts,
     "gopher_quality_filter": gopher_quality_filter,
@@ -4139,4 +4142,5 @@ QUERIES = {
     "dedup_aware_split": dedup_aware_split,
     "split_leakage_report": split_leakage_report,
     "paragraph_dedup": paragraph_dedup,
+    "boilerplate_line_strip": boilerplate_line_strip,
 }

@@ -1375,3 +1375,96 @@ def paragraph_dedup(sf_dir: str):
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         flag, batch_format="pyarrow", batch_size=4096
     )
+
+
+def boilerplate_line_strip(sf_dir: str, min_df: int = 3):
+    """C4-style global boilerplate removal: a non-empty line that
+    occurs in >= min_df DISTINCT documents is boilerplate (cookie
+    banners, nav bars, license footers) and is stripped from EVERY doc
+    — including its first occurrence, which is what distinguishes this
+    from paragraph_dedup's keep-first rule. Empty lines are structure
+    and always survive. Returns per doc (doc_id, n_lines,
+    n_boilerplate_lines, kept_text) with kept_text re-joined by '\\n'
+    in original order.
+
+    Shape: pass 1 emits one u64 row per (doc, DISTINCT non-empty line
+    hash) — the per-doc distinct is a batch-local lexsort, so a line
+    repeated inside one doc counts once toward df; hot_u64_keys_counts
+    returns (key, df) for keys with df >= 2 only (the dup-bounded
+    driver set), thresholded at min_df; the boilerplate hash set
+    broadcasts sorted and one stateless pass rebuilds kept_text via
+    ListArray binary_join. Text never shuffles; blake2b-8 stands in
+    for line identity with the same ~2^-64 collision stance as
+    paragraph_dedup."""
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys_counts
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    if min_df < 2:
+        raise ValueError("min_df >= 2 (df prefilter keeps only dup keys)")
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table({"lh": pa.array([], pa.uint64())})
+        flat, counts, ph = _paragraph_arrays(batch["text"])
+        seg = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        seg, ph = seg[ne], ph[ne]
+        order = np.lexsort((ph, seg))
+        seg_s, ph_s = seg[order], ph[order]
+        first = (
+            np.concatenate(
+                ([True], (seg_s[1:] != seg_s[:-1]) | (ph_s[1:] != ph_s[:-1]))
+            )
+            if seg_s.shape[0]
+            else np.zeros(0, bool)
+        )
+        return pa.table({"lh": pa.array(ph_s[first], pa.uint64())})
+
+    rows = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(line_rows, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+    keys, dfs = hot_u64_keys_counts(rows, "lh")
+    bp = keys[dfs >= min_df]  # keys come back sorted from np.unique
+    bp_ref = ray.put(bp)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "n_boilerplate_lines": pa.array([], pa.int64()),
+                "kept_text": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        hot = get_broadcast(bp_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, counts, ph = _paragraph_arrays(batch["text"])
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if hot.shape[0] and ph.shape[0]:
+            pos = np.minimum(np.searchsorted(hot, ph), hot.shape[0] - 1)
+            bp_hit = (hot[pos] == ph) & ne
+        else:
+            bp_hit = np.zeros(ph.shape[0], bool)
+        seg = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+        n_bp = np.zeros(counts.shape[0], np.int64)
+        np.add.at(n_bp, seg, bp_hit.astype(np.int64))
+        new_off = np.concatenate(([0], np.cumsum(counts - n_bp)))
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), flat.filter(pa.array(~bp_hit))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_lines": pa.array(counts, pa.int64()),
+                "n_boilerplate_lines": pa.array(n_bp, pa.int64()),
+                "kept_text": pc.binary_join(kept_list, "\n"),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        strip, batch_format="pyarrow", batch_size=4096
+    )

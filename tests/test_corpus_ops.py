@@ -247,3 +247,53 @@ def test_near_dedup_keep_longest_crafted(ray_session, tmp_path):
         .sort_values("doc_id", ignore_index=True)
     )
     assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_near_dedup_keep_tiered_crafted(ray_session, tmp_path):
+    """Within a near-dup cluster the highest-priority source TIER wins
+    even when it is neither first nor longest: docs {3, 7, 10} cluster;
+    doc 10 comes from src4 (tier 0) while 3 and 7 are src3/src7 (tiers
+    3) -> keep 10; a digitless source lands in tier 3; unclustered 99
+    survives. Matches the DuckDB oracle including the tier column."""
+    import duckdb
+
+    from hg_dedup_ray.pipelines.corpus_ops import near_dedup_keep_tiered
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+
+    dup = "the quick brown fox jumps over the lazy dog " * 8
+    other = "completely different content with no overlap at all " * 8
+    rows = {
+        3: (dup, "src3"),
+        7: (dup + "tail", "src7"),
+        10: (dup, "src4"),
+        99: (other, "curated"),
+    }
+    ids = sorted(rows)
+    tab = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([rows[i][0] for i in ids]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array([rows[i][1] for i in ids]),
+            "n_chars": pa.array([len(rows[i][0]) for i in ids], pa.int64()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        near_dedup_keep_tiered(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["doc_id"].tolist() == [10, 99]
+    assert got["tier"].tolist() == [0, 3]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.sql(ORACLE_SQL["near_dedup_keep_tiered"])
+        .df()
+        .sort_values("doc_id", ignore_index=True)[got.columns]
+    )
+    assert (got.to_numpy() == want.to_numpy()).all()

@@ -546,3 +546,60 @@ def test_paragraph_dedup_planted(ray_session, tmp_path):
         .set_index("doc_id")
     )
     assert (got.to_numpy() == exp.to_numpy()).all()
+
+
+def test_boilerplate_line_strip_planted(ray_session, tmp_path):
+    """Global line-df strip: a line in >=3 DISTINCT docs vanishes from
+    EVERY doc (first occurrence too, twice within one doc); a df=2 line
+    survives; a within-doc-only repeat counts once toward df and
+    survives; empty lines are kept as structure. Matches the DuckDB
+    oracle on the planted fixture."""
+    import duckdb
+
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.webclean import boilerplate_line_strip
+
+    bp = "(c) example corp all rights reserved"
+    duo = "subscribe now"
+    texts = [
+        "intro zero\n" + bp + "\nbody zero",          # one bp instance
+        bp + "\n" + duo + "\n" + bp,                  # bp twice in one doc
+        duo + "\n\nbody two\n" + bp,                  # empty line kept
+        "self\nself\nself",                           # df=1 despite 3 copies
+        bp,                                           # whole doc is boilerplate
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    got = (
+        boilerplate_line_strip(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert got.loc[0, "kept_text"] == "intro zero\nbody zero"
+    assert int(got.loc[0, "n_boilerplate_lines"]) == 1
+    assert got.loc[1, "kept_text"] == duo                 # both bp copies gone
+    assert int(got.loc[1, "n_boilerplate_lines"]) == 2
+    assert got.loc[2, "kept_text"] == duo + "\n\nbody two"
+    assert got.loc[3, "kept_text"] == texts[3]            # within-doc df=1
+    assert got.loc[4, "kept_text"] == ""                  # fully stripped
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = (
+        con.sql(ORACLE_SQL["boilerplate_line_strip"])
+        .df()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert (got[exp.columns].to_numpy() == exp.to_numpy()).all()
