@@ -285,17 +285,15 @@ def semantic_dedup(sf_dir: str, k: int = KMEANS_K, cos: float = SEMDEDUP_COS):
 # ----------------------------------------------------- unigram_logprob
 
 
-def unigram_logprob(sf_dir: str):
-    """CCNet-style unigram cross-entropy scoring: score each doc by the
-    mean -log2 p(w) of its tokens under the CORPUS unigram distribution
-    (high = improbable/garbage text, the perplexity-filter signal).
-
-    Two streaming passes: (1) the standard word-count reduction
-    (per-batch dictionary counts, vocabulary-sized groupby) whose result
-    broadcasts once via ``ray.put`` — web-scale vocabularies are ~10^7
-    rows / ~100 MB, a broadcast-class table; (2) a per-batch lookup +
-    segment sum. Output: (doc_id, n_words, xent). Both engines compute
-    -log2(cnt / tot) with the same IEEE ops so 6-dp rounding agrees."""
+def _unigram_scored(sf_dir: str, carry_cols: list[str]):
+    """Shared unigram cross-entropy scorer: per-doc mean -log2 p(w)
+    under the CORPUS unigram distribution, with ``carry_cols`` passed
+    through untouched. Two streaming passes: (1) the standard
+    word-count reduction (per-batch dictionary counts,
+    vocabulary-sized groupby) whose result broadcasts once via
+    ``ray.put`` — web-scale vocabularies are ~10^7 rows / ~100 MB, a
+    broadcast-class table; (2) a per-batch lookup + segment sum.
+    Output columns: carry_cols + (n_words, xent)."""
     from ray.data.aggregate import Sum
 
     def partial_counts(batch: pa.Table) -> pa.Table:
@@ -331,17 +329,126 @@ def unigram_logprob(sf_dir: str):
         n_words = np.bincount(parents, minlength=n).astype(np.int64)
         s = np.bincount(parents, weights=w, minlength=n)
         xent = np.where(n_words > 0, s / np.maximum(n_words, 1), 0.0)
+        cols = {c: batch[c] for c in carry_cols}
+        cols["n_words"] = pa.array(n_words, pa.int64())
+        cols["xent"] = pa.array(xent, pa.float64())
+        return pa.table(cols)
+
+    return _docs(sf_dir, columns=carry_cols + ["text"]).map_batches(
+        score, batch_format="pyarrow", batch_size=8192
+    )
+
+
+def unigram_logprob(sf_dir: str):
+    """CCNet-style unigram cross-entropy scoring: score each doc by the
+    mean -log2 p(w) of its tokens under the CORPUS unigram distribution
+    (high = improbable/garbage text, the perplexity-filter signal).
+    Output: (doc_id, n_words, xent). Both engines compute
+    -log2(cnt / tot) with the same IEEE ops so 6-dp rounding agrees."""
+    return _unigram_scored(sf_dir, ["doc_id"])
+
+
+def perplexity_buckets(sf_dir: str):
+    """CCNet's head/middle/tail split: per lang, rank docs by unigram
+    cross-entropy (lowest = most fluent = head) and cut into three
+    NTILE(3) buckets — the standard quality-stratification step before
+    sampling a web corpus. Output: (doc_id, lang, xent, bucket) with
+    bucket in {1, 2, 3} and xent rounded to 6 dp BEFORE ranking on
+    both sides, so the order is robust to last-ulp summation
+    differences (the tfidf_top_terms convention).
+
+    Shape: the scored rows are numeric-only (doc_id, lang, xent) —
+    text never leaves the scoring pass. Per-lang NTILE boundaries come
+    from one groupby(lang) map_groups sort over those numeric rows
+    (bounded lang enum, same stance as lang_len_percentiles; a
+    10^12-doc run swaps in a sampled distributed quantile for the
+    boundary step), and one broadcast assignment pass buckets every
+    doc against its lang's two boundary (xent, doc_id) pairs."""
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "xent" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "xent": pa.array([], pa.float64()),
+                }
+            )
+        x = np.round(batch["xent"].to_numpy(zero_copy_only=False), 6)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_words": pa.array(n_words, pa.int64()),
-                "xent": pa.array(xent, pa.float64()),
+                "lang": batch["lang"],
+                "xent": pa.array(x, pa.float64()),
             }
         )
 
-    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        score, batch_format="pyarrow", batch_size=8192
+    scored = (
+        _unigram_scored(sf_dir, ["doc_id", "lang"])
+        .map_batches(rounded, batch_format="pyarrow", batch_size=8192)
+        .materialize()
     )
+
+    def bounds(group: pa.Table) -> pa.Table:
+        x = group["xent"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, x))
+        x, d = x[order], d[order]
+        n = x.shape[0]
+        base, rem = divmod(n, 3)
+        b1 = base + (1 if rem > 0 else 0)
+        b2 = b1 + base + (1 if rem > 1 else 0)
+        # NTILE boundary = last (xent, doc_id) pair of buckets 1 and 2;
+        # an empty bucket (n < 3) degenerates to the previous boundary.
+        i1, i2 = max(b1 - 1, 0), max(b2 - 1, 0)
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "t1x": pa.array([x[i1]], pa.float64()),
+                "t1d": pa.array([d[i1]], pa.int64()),
+                "t2x": pa.array([x[i2]], pa.float64()),
+                "t2d": pa.array([d[i2]], pa.int64()),
+                "b1": pa.array([b1], pa.int64()),
+                "b2": pa.array([b2], pa.int64()),
+            }
+        )
+
+    brows = scored.groupby("lang").map_groups(
+        bounds, batch_format="pyarrow"
+    ).take_all()
+    langs = np.array([r["lang"] for r in brows])
+    order = np.argsort(langs)
+    bt = {
+        k: np.array([r[k] for r in brows])[order]
+        for k in ("t1x", "t1d", "t2x", "t2d", "b1", "b2")
+    }
+    bt["langs"] = langs[order]
+    bref = ray.put(bt)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "xent" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "xent": pa.array([], pa.float64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        b = get_broadcast(bref)
+        li = np.searchsorted(b["langs"], batch["lang"].to_numpy(zero_copy_only=False))
+        x = batch["xent"].to_numpy(zero_copy_only=False)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        le1 = (x < b["t1x"][li]) | ((x == b["t1x"][li]) & (d <= b["t1d"][li]))
+        le2 = (x < b["t2x"][li]) | ((x == b["t2x"][li]) & (d <= b["t2d"][li]))
+        # an empty NTILE bucket never receives rows
+        le1 &= b["b1"][li] > 0
+        le2 &= b["b2"][li] > 0
+        bucket = np.where(le1, 1, np.where(le2, 2, 3)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    return scored.map_batches(assign, batch_format="pyarrow", batch_size=8192)
 
 
 # ----------------------------------------------------- bigram_logprob

@@ -1805,6 +1805,32 @@ ORACLE_SQL = {
                CASE WHEN n IS NULL THEN 0.0 ELSE s / n END AS xent
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
+    # CCNet head/middle/tail: per-lang NTILE(3) over the 6-dp-rounded
+    # unigram cross-entropy (round BEFORE rank — the tfidf_top_terms
+    # convention), ties broken by doc_id.
+    "perplexity_buckets": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        uc AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY w),
+        tot AS (SELECT sum(cnt)::BIGINT AS t FROM uc),
+        per AS (
+          SELECT t.doc_id, count(*)::BIGINT AS n,
+                 sum(-log2(uc.cnt::DOUBLE / tot.t)) AS s
+          FROM toks t JOIN uc ON t.w = uc.w CROSS JOIN tot
+          GROUP BY t.doc_id
+        ),
+        scored AS (
+          SELECT d.doc_id, d.lang,
+                 round(CASE WHEN n IS NULL THEN 0.0 ELSE s / n END, 6) AS xent
+          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        )
+        SELECT doc_id, lang, xent,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY xent, doc_id)::BIGINT AS bucket
+        FROM scored
+    """,
     # Bigram-LM cross-entropy: P(w|v) = c2(v,w) / c1(v) where c1 counts
     # v as a bigram LEFT element (so P sums to 1 per context and the
     # self-trained model needs no smoothing). Bigram identity = the

@@ -4004,6 +4004,7 @@ from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     gopher_quality_filter,
     kmeans_assign,
     kmeans_lloyd,
+    perplexity_buckets,
     semantic_dedup,
     token_entropy,
     unigram_logprob,
@@ -4124,6 +4125,7 @@ QUERIES = {
     "kmeans_assign": kmeans_assign,
     "semantic_dedup": semantic_dedup,
     "unigram_logprob": unigram_logprob,
+    "perplexity_buckets": perplexity_buckets,
     "bigram_logprob": bigram_logprob,
     "bigram_pmi": bigram_pmi,
     "dsir_importance_weights": dsir_importance_weights,

@@ -238,3 +238,58 @@ def test_segment_dedup_apply_keep_first(ray_session, tmp_path):
     assert out.loc[2, "text_deduped"] == "c1 c2 c3 c4"
     assert out.loc[3, "text_deduped"] == ""
     assert out["n_kept_segments"].tolist() == [2, 1, 1, 0]
+
+
+def test_perplexity_buckets_ntile_edges(ray_session, tmp_path):
+    """NTILE(3) parity on crafted langs: a 5-doc lang splits 2/2/1 with
+    the lowest-xent docs in bucket 1; a 2-doc lang fills buckets 1 and
+    2 only; a 1-doc lang is all bucket 1; an empty-text doc scores
+    xent 0.0. Matches the DuckDB oracle row for row."""
+    import duckdb
+
+    from hg_dedup_ray.pipelines.curation import perplexity_buckets
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+
+    rows = [
+        # lang en: 5 docs with increasingly rare vocabulary
+        ("common common common common", "en"),
+        ("common common common rare1", "en"),
+        ("common common rare2 rare3", "en"),
+        ("common rare4 rare5 rare6", "en"),
+        ("rare7 rare8 rare9 rare10", "en"),
+        # lang fr: 2 docs
+        ("chat chat chat", "fr"),
+        ("chien unique mot", "fr"),
+        # lang de: 1 doc, empty text -> xent 0.0
+        ("", "de"),
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(rows), dtype=np.int64),
+            "text": [r[0] for r in rows],
+            "lang": [r[1] for r in rows],
+            "source": "s",
+            "n_chars": [len(r[0]) for r in rows],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df), str(sf / "documents.parquet"))
+    got = (
+        perplexity_buckets(str(sf))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["bucket"].tolist() == [1, 1, 2, 2, 3, 1, 2, 1]
+    assert got.loc[7, "xent"] == 0.0
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.sql(ORACLE_SQL["perplexity_buckets"])
+        .df()
+        .sort_values("doc_id", ignore_index=True)[got.columns]
+    )
+    assert (got.to_numpy() == want.to_numpy()).all()
