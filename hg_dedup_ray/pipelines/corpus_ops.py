@@ -433,16 +433,12 @@ def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
     )
 
 
-def _cluster_labels_arrays(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_id, cluster_id) arrays for every LSH cluster member —
+def _labels_arrays(labels) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id, cluster_id) arrays of a cluster-labels Dataset —
     dup-bounded driver state (unclustered docs have no row)."""
-    from hg_dedup_ray.pipelines.queries import minhash_band_clusters
-
     chunks = [
         b
-        for b in minhash_band_clusters(sf_dir).iter_batches(
-            batch_size=1 << 16, batch_format="pyarrow"
-        )
+        for b in labels.iter_batches(batch_size=1 << 16, batch_format="pyarrow")
         if len(b)
     ]
     if not chunks:
@@ -454,6 +450,13 @@ def _cluster_labels_arrays(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
         [t["cluster_id"].to_numpy(zero_copy_only=False) for t in chunks]
     )
     return did, lab
+
+
+def _cluster_labels_arrays(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """_labels_arrays over the full corpus's MinHash-LSH clusters."""
+    from hg_dedup_ray.pipelines.queries import minhash_band_clusters
+
+    return _labels_arrays(minhash_band_clusters(sf_dir))
 
 
 def _member_rank_drop(sf_dir, did, lab, rank_col, rank_fn) -> np.ndarray:
@@ -578,6 +581,59 @@ def near_dedup_keep_tiered(sf_dir: str, n_tiers: int = 4):
 
     return _drop_filter_stream(
         sf_dir, drop, ["doc_id", "source", "n_chars"], post=add_tier
+    )
+
+
+def dedup_drop_tiers(sf_dir: str):
+    """Per-doc drop provenance of the SEQUENTIAL dedup cascade — the
+    explainability report behind dedup_tier_cascade's counts: drop_tier
+    1 = removed by exact keep-first text dedup; 2 = an exact SURVIVOR
+    removed by MinHash-LSH keep-first near dedup (clusters computed
+    over the survivors only, so tier 2 is what tier 1 left behind, not
+    an independent flag); 0 = kept. Oracle-checked end to end: the SQL
+    chains the exact keeper rule with the OPH/band/min-label closure
+    scoped to the survivor CTE.
+
+    Shape: the exact tier reuses _exact_keeper_ids (coarse fp%64
+    shuffle, keeper ids broadcast); survivors stream through a
+    broadcast semi-join into the standard band machinery; both drop
+    sets broadcast sorted and one stateless pass labels every doc."""
+    from hg_dedup_ray.functions.readers import read_parquet_sized
+    from hg_dedup_ray.pipelines.queries import (
+        _exact_keeper_ids,
+        _filter_by_ids,
+        minhash_band_clusters,
+    )
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    keep1 = _exact_keeper_ids(docs)
+    keep1_ref = ray.put(keep1)
+    survivors = docs.map_batches(
+        _filter_by_ids(keep1_ref), batch_format="pyarrow"
+    )
+    did, lab = _labels_arrays(minhash_band_clusters(sf_dir, docs=survivors))
+    drop2 = np.sort(did[did != lab]) if did.shape[0] else np.empty(0, np.int64)
+    drop2_ref = ray.put(drop2)
+
+    def tier(batch: pa.Table) -> pa.Table:
+        k1 = get_broadcast(keep1_ref)
+        d2 = get_broadcast(drop2_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t1 = ~_in_sorted(k1, d)
+        t2 = _in_sorted(d2, d)
+        drop_tier = np.where(t1, 1, np.where(t2, 2, 0)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "drop_tier": pa.array(drop_tier, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(
+        tier, batch_format="pyarrow", batch_size=8192
     )
 
 

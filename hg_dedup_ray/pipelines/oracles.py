@@ -131,7 +131,10 @@ def _xorconst(a: str, c: int) -> str:
     return f"CAST(xor(CAST({a} AS UBIGINT), CAST({c} AS UBIGINT)) AS HUGEINT)"
 
 
-def _oph_sql(k: int = 16, num_perm: int = 128, seed: int = 42) -> str:
+def _oph_sql(
+    k: int = 16, num_perm: int = 128, seed: int = 42,
+    src: str = "documents",
+) -> str:
     """DuckDB replication of functions/minhash.batch_signatures_oph at
     the production config: FNV k-byte window fold -> xor seed-mix ->
     splitmix64 -> bin = top-7-bits -> per-(doc, bin) min -> rotation
@@ -156,7 +159,7 @@ def _oph_sql(k: int = 16, num_perm: int = 128, seed: int = 42) -> str:
     return f"""
         WITH pos AS (
           SELECT doc_id, text, unnest(range(1, length(text) - {k - 2})) AS i
-          FROM documents
+          FROM {src}
         ),
         raw AS (SELECT doc_id, CAST(NULL AS BIGINT) AS bin0,
                        {_xorconst(f'(({fold}))', seed_mix)} AS x FROM pos),
@@ -168,7 +171,7 @@ def _oph_sql(k: int = 16, num_perm: int = 128, seed: int = 42) -> str:
         ),
         grid AS (
           SELECT d.doc_id, g.bin
-          FROM (SELECT DISTINCT doc_id FROM documents) d,
+          FROM (SELECT DISTINCT doc_id FROM {src}) d,
                (SELECT unnest(range(0, {num_perm})) AS bin) g
         ),
         holes AS (
@@ -1513,6 +1516,45 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, d.source, d.n_chars
         FROM documents d LEFT JOIN ranked r USING (doc_id)
         WHERE r.doc_id IS NULL OR r.rn = 1
+    """,
+    # Sequential-cascade drop provenance: tier 1 = exact keep-first
+    # loser; tier 2 = exact survivor dropped by LSH keep-first over the
+    # SURVIVORS (sigs/bands scoped to the surv CTE); 0 = kept.
+    "dedup_drop_tiers": f"""
+        WITH RECURSIVE surv AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        ),
+        sigs AS ({_oph_sql(src='surv')}),
+        bands AS (
+          SELECT doc_id, perm // 4 AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY perm) AS bkey
+          FROM sigs GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS ua, b.doc_id AS ub
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        edges AS (SELECT ua AS u, ub AS v FROM pairs
+                  UNION SELECT ub, ua FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.u, w.lab FROM walk w JOIN edges e ON e.v = w.n
+          WHERE w.lab < e.u
+        ),
+        labels AS (SELECT n AS doc_id, min(lab) AS cluster_id
+                   FROM walk GROUP BY n)
+        SELECT d.doc_id,
+               (CASE WHEN s.doc_id IS NULL THEN 1
+                     WHEN l.cluster_id IS NOT NULL
+                          AND l.cluster_id <> d.doc_id THEN 2
+                     ELSE 0 END)::BIGINT AS drop_tier
+        FROM documents d
+        LEFT JOIN surv s USING (doc_id)
+        LEFT JOIN labels l ON l.doc_id = d.doc_id
     """,
     # Tiered keep: within each cluster the member from the
     # highest-priority source tier wins (trailing digits of source mod

@@ -230,7 +230,9 @@ def minhash_sig_rows(sf_dir: str):
     )
 
 
-def minhash_band_clusters(sf_dir: str, num_bands: int = 32, band_r: int = 4):
+def minhash_band_clusters(
+    sf_dir: str, num_bands: int = 32, band_r: int = 4, docs=None
+):
     """Textbook MinHash-LSH clustering, DuckDB-hash-checked end to end:
     OPH signatures (the cell-exact ``minhash_sig_rows`` kernel) -> b=32
     bands of r=4 perms -> docs sharing any band bucket are edges ->
@@ -254,9 +256,10 @@ def minhash_band_clusters(sf_dir: str, num_bands: int = 32, band_r: int = 4):
         union_find_clusters,
     )
 
+    if docs is None:
+        docs = _docs_sized(sf_dir, columns=["doc_id", "text"])
     rows = (
-        _docs_sized(sf_dir, columns=["doc_id", "text"])
-        .map_batches(
+        docs.map_batches(
             make_band_rows(num_bands=num_bands, band_r=band_r),
             batch_format="pyarrow",
             batch_size=2048,
@@ -3970,6 +3973,7 @@ def pricing_summary(sf_dir: str):
 
 from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
     bm25_topk,
+    dedup_drop_tiers,
     dup_rate_by_source,
     minhash_jaccard_estimate_pairs,
     near_dedup_keep_first,
@@ -4117,6 +4121,7 @@ QUERIES = {
     "near_dedup_keep_first": near_dedup_keep_first,
     "near_dedup_keep_longest": near_dedup_keep_longest,
     "near_dedup_keep_tiered": near_dedup_keep_tiered,
+    "dedup_drop_tiers": dedup_drop_tiers,
     "normalize_texts": normalize_texts,
     "substring_counts": substring_counts,
     "gopher_quality_filter": gopher_quality_filter,

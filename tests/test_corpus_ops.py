@@ -297,3 +297,50 @@ def test_near_dedup_keep_tiered_crafted(ray_session, tmp_path):
         .sort_values("doc_id", ignore_index=True)[got.columns]
     )
     assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_dedup_drop_tiers_planted(ray_session, tmp_path):
+    """Cascade provenance: an exact duplicate is tier 1 even though its
+    text also near-dups the cluster (tier 1 wins); the near-dup
+    survivor with a tail is tier 2; the exact keeper and the unique doc
+    are tier 0. Matches the DuckDB oracle."""
+    import duckdb
+
+    from hg_dedup_ray.pipelines.corpus_ops import dedup_drop_tiers
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    texts = {
+        0: base,                    # exact keeper, near-cluster min
+        1: base,                    # exact dup of 0 -> tier 1
+        2: base + "extra tail",     # near-dup survivor -> tier 2
+        3: "completely different content with no overlap " * 8,  # tier 0
+    }
+    ids = sorted(texts)
+    tab = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        dedup_drop_tiers(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["drop_tier"].tolist() == [0, 1, 2, 0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.sql(ORACLE_SQL["dedup_drop_tiers"])
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert (got.to_numpy() == want.to_numpy()).all()
