@@ -1069,6 +1069,22 @@ ORACLE_SQL = {
                quantile_disc(n_chars, 0.9)::BIGINT AS p90_chars
         FROM documents GROUP BY lang
     """,
+    # TPC-H Q18: top-100 orders by total lineitem quantity > 250, with
+    # customer name; fully deterministic order (price DESC, date, key).
+    "large_volume_orders": """
+        WITH qual AS (
+          SELECT l_orderkey, sum(l_quantity)::DOUBLE AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, q.total_qty
+        FROM qual q
+        JOIN orders o ON o.o_orderkey = q.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        LIMIT 100
+    """,
     "revenue_by_segment": """
         SELECT c_mktsegment,
                count(DISTINCT l_orderkey)::BIGINT AS n_orders,

@@ -3988,6 +3988,7 @@ from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
 )
 from hg_dedup_ray.pipelines.relational import (  # noqa: E402
     customers_no_urgent_orders,
+    large_volume_orders,
     promo_revenue_share,
     revenue_by_segment,
     supplier_balance_by_region,
@@ -4088,6 +4089,7 @@ QUERIES = {
     "top_docs_per_lang": top_docs_per_lang,
     "lang_len_percentiles": lang_len_percentiles,
     "revenue_by_segment": revenue_by_segment,
+    "large_volume_orders": large_volume_orders,
     "customers_no_urgent_orders": customers_no_urgent_orders,
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "distinct_token_counts": distinct_token_counts,

@@ -420,3 +420,133 @@ def promo_revenue_share(sf_dir: str, broadcast_limit: int = 50_000_000):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def large_volume_orders(
+    sf_dir: str, min_qty: int = 250, num_buckets: int = 64, k: int = 100
+):
+    """TPC-H Q18 (large-volume customers): the top-k orders whose total
+    lineitem quantity exceeds min_qty, with the customer name attached.
+    Output (c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    total_qty), ordered by (o_totalprice DESC, o_orderdate, o_orderkey)
+    on both engines so the limit boundary is deterministic.
+
+    Scale shape: the ONLY wide step is the lineitem quantity sum at
+    l_orderkey cardinality — per-batch np.unique partials keyed by a
+    COARSE okey % num_buckets bucket with one vectorized segment-sum
+    combine per bucket (native per-key aggregation would pay Ray's
+    per-group Python cost on every order). Qualifying keys are
+    result-bounded (HAVING > min_qty), so they broadcast into one
+    orders scan and the matched custkeys broadcast into one customer
+    scan; final assembly joins only result rows on the driver.
+    Quantities are integral doubles, so float sums are exact and
+    order-independent (no cents trick needed)."""
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keys, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=q, minlength=keys.shape[0])
+        return pa.table(
+            {
+                "bucket": pa.array(keys % num_buckets, pa.int64()),
+                "okey": pa.array(keys, pa.int64()),
+                "q": pa.array(sums, pa.float64()),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        ok = group["okey"].to_numpy(zero_copy_only=False)
+        q = group["q"].to_numpy(zero_copy_only=False)
+        keys, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=q, minlength=keys.shape[0])
+        hot = sums > min_qty
+        return pa.table(
+            {
+                "okey": pa.array(keys[hot], pa.int64()),
+                "total_qty": pa.array(sums[hot], pa.float64()),
+            }
+        )
+
+    qual = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .take_all()
+    )
+    okeys = np.sort(np.array([r["okey"] for r in qual], np.int64))
+    qty_by_key = {r["okey"]: r["total_qty"] for r in qual}
+    okeys_ref = ray.put(okeys)
+
+    def pick_orders(batch: pa.Table) -> pa.Table:
+        ks = get_broadcast(okeys_ref)
+        d = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        if ks.shape[0]:
+            pos = np.minimum(np.searchsorted(ks, d), ks.shape[0] - 1)
+            hit = ks[pos] == d
+        else:
+            hit = np.zeros(d.shape[0], bool)
+        return batch.filter(pa.array(hit))
+
+    orows = (
+        _read(
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(pick_orders, batch_format="pyarrow", batch_size=65536)
+        .take_all()
+    )
+    ckeys = (
+        np.unique(np.array([r["o_custkey"] for r in orows], np.int64))
+        if orows
+        else np.empty(0, np.int64)
+    )
+    ckeys_ref = ray.put(ckeys)
+
+    def pick_cust(batch: pa.Table) -> pa.Table:
+        ks = get_broadcast(ckeys_ref)
+        d = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        if ks.shape[0]:
+            pos = np.minimum(np.searchsorted(ks, d), ks.shape[0] - 1)
+            hit = ks[pos] == d
+        else:
+            hit = np.zeros(d.shape[0], bool)
+        return batch.filter(pa.array(hit))
+
+    crows = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(pick_cust, batch_format="pyarrow", batch_size=65536)
+        .take_all()
+    )
+    name_by_ck = {r["c_custkey"]: r["c_name"] for r in crows}
+    rows = sorted(
+        orows,
+        key=lambda r: (-r["o_totalprice"], r["o_orderdate"], r["o_orderkey"]),
+    )[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "c_name": pa.array(
+                    [name_by_ck[r["o_custkey"]] for r in rows], pa.string()
+                ),
+                "c_custkey": pa.array(
+                    [r["o_custkey"] for r in rows], pa.int64()
+                ),
+                "o_orderkey": pa.array(
+                    [r["o_orderkey"] for r in rows], pa.int64()
+                ),
+                "o_orderdate": pa.array(
+                    [r["o_orderdate"] for r in rows], pa.timestamp("us")
+                ),
+                "o_totalprice": pa.array(
+                    [r["o_totalprice"] for r in rows], pa.float64()
+                ),
+                "total_qty": pa.array(
+                    [qty_by_key[r["o_orderkey"]] for r in rows], pa.float64()
+                ),
+            }
+        )
+    )
