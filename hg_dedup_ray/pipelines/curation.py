@@ -1216,3 +1216,77 @@ def curation_cascade(sf_dir: str):
         )
 
     return rows.map_batches(label, batch_format="pyarrow")
+
+
+# --------------------------------------------- hashed_classifier_score
+
+CLASSIFIER_DIM = 4096  # feature-hash buckets (power of two, 12-bit lanes)
+
+
+def _classifier_weights() -> np.ndarray:
+    """Deterministic int64 weight table for the hashed linear scorer:
+    weight[i] = splitmix64(i) % 2001 - 1000, i.e. ~uniform in
+    [-1000, 1000]. Integer weights make the per-doc score an EXACT
+    int64 sum — no float accumulation order to diverge between the
+    distributed Ray sum and the DuckDB oracle. Built once per process
+    (4096 * 8 bytes; cheaper to recompute per actor than to broadcast)."""
+    from hg_dedup_ray.functions.wordgrams import _splitmix
+
+    idx = np.arange(CLASSIFIER_DIM, dtype=np.uint64)
+    return (_splitmix(idx) % np.uint64(2001)).astype(np.int64) - 1000
+
+
+def hashed_classifier_score(sf_dir: str):
+    """Feature-hashing linear text classifier INFERENCE as a streaming
+    map stage — the shape of a fastText-style quality/domain classifier
+    applied corpus-wide (Joulin et al. 2016: hashed bag-of-words ->
+    linear layer): token -> 12-bit feature id -> weight lookup ->
+    per-doc sum. The model here is a deterministic splitmix weight
+    table so the whole inference pass is DuckDB-replicable and
+    value-checked end-to-end, but the execution shape is the real one:
+    weights resolved once per process, per-batch vectorized hashing
+    (sketches.kmv_token_hashes, the oracle-replicated chain) + one
+    bincount dot product, no shuffle, no driver state.
+
+    Output per doc: (doc_id, n_tokens, score); a production filter
+    thresholds score (see curation_cascade for gate composition)."""
+    from hg_dedup_ray.pipelines.sketches import kmv_token_hashes
+
+    weights = _classifier_weights()
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        nb = len(batch)
+        toks = pc.ascii_split_whitespace(
+            pc.utf8_trim_whitespace(batch["text"])
+        )
+        flat = pc.list_flatten(toks)
+        per_doc = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docs_rep = np.repeat(np.arange(nb, dtype=np.int64), per_doc)
+        n_tokens = np.zeros(nb, np.int64)
+        sc = np.zeros(nb, np.int64)
+        if len(flat):
+            lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+            keep = lens > 0  # split('') yields [''] — drop phantom tokens
+            if keep.any():
+                h = kmv_token_hashes(flat.filter(pa.array(keep)))
+                idx = (h % np.uint64(CLASSIFIER_DIM)).astype(np.int64)
+                kept_docs = docs_rep[keep]
+                n_tokens = np.bincount(kept_docs, minlength=nb).astype(
+                    np.int64
+                )
+                # |score| < n_tokens * 1000 << 2^53: float64 bincount
+                # accumulation is exact, cast back losslessly.
+                sc = np.bincount(
+                    kept_docs, weights=weights[idx], minlength=nb
+                ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "score": pa.array(sc, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score_batch, batch_format="pyarrow", batch_size=8192
+    )

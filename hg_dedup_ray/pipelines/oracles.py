@@ -250,6 +250,110 @@ def _kmv_sql(k: int = 16) -> str:
     """
 
 
+def _hashed_classifier_sql(dim: int = 4096) -> str:
+    """DuckDB replication of curation.hashed_classifier_score: the KMV
+    token-hash chain (prefix8+length Horner fold -> splitmix64) gives
+    the feature id sm % dim, a SECOND splitmix64 chain over the feature
+    id gives the integer weight (% 2001 - 1000), and the per-doc score
+    is the exact BIGINT sum over token occurrences."""
+    fold = (
+        "CAST(CASE WHEN length(token) >= 1"
+        " THEN ord(substr(token, 1, 1)) ELSE 0 END AS HUGEINT)"
+    )
+    for j in range(2, 9):
+        fold = (
+            f"(({fold}) * {_FNV_C} + CASE WHEN length(token) >= {j}"
+            f" THEN ord(substr(token, {j}, 1)) ELSE 0 END) % {_M64}"
+        )
+    fold = f"(({fold}) * {_FNV_C} + length(token)) % {_M64}"
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) <> ''
+        ),
+        raw AS (SELECT doc_id, ({fold}) AS x FROM toks),
+        h1 AS (SELECT doc_id, {_xorshift('x', 30)} AS x FROM raw),
+        h2 AS (SELECT doc_id, {_mulmod64('x', _SM1)} AS x FROM h1),
+        h3 AS (SELECT doc_id, {_xorshift('x', 27)} AS x FROM h2),
+        h4 AS (SELECT doc_id, {_mulmod64('x', _SM2)} AS x FROM h3),
+        feat AS (SELECT doc_id,
+                        CAST({_xorshift('x', 31)} AS HUGEINT) % {dim} AS x
+                 FROM h4),
+        w1 AS (SELECT doc_id, {_xorshift('x', 30)} AS x FROM feat),
+        w2 AS (SELECT doc_id, {_mulmod64('x', _SM1)} AS x FROM w1),
+        w3 AS (SELECT doc_id, {_xorshift('x', 27)} AS x FROM w2),
+        w4 AS (SELECT doc_id, {_mulmod64('x', _SM2)} AS x FROM w3),
+        wv AS (SELECT doc_id,
+                      CAST(CAST({_xorshift('x', 31)} AS HUGEINT) % 2001
+                           AS BIGINT) - 1000 AS w
+               FROM w4),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                       sum(w)::BIGINT AS score
+                FROM wv GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(a.score, 0)::BIGINT AS score
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def _dup_ngram_coverage_sql(n: int = 3) -> str:
+    """DuckDB replication of queries.dup_ngram_coverage: word-n-grams
+    via lead() windows, duplicate starts via count() over (doc, gram),
+    occurrence UNION via DISTINCT covered word positions (pos is 1-based
+    from generate_subscripts on both the toks and covered sides). n must
+    match the Ray-side default."""
+    leads = " || ' ' || ".join(
+        ["w"] + [f"lead(w, {k}) OVER win" for k in range(1, n)]
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+                 generate_subscripts(
+                     regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+          FROM documents WHERE trim(text) <> ''
+        ),
+        words AS (
+          SELECT doc_id, count(*)::BIGINT AS n_words,
+                 sum(length(w))::BIGINT AS total_word_chars
+          FROM toks GROUP BY 1
+        ),
+        grams AS (
+          SELECT doc_id, pos, {leads} AS g
+          FROM toks
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY g IS NOT NULL
+        ),
+        dupstarts AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY doc_id, g) AS c
+            FROM grams
+          ) WHERE c >= 2
+        ),
+        covered AS (
+          SELECT DISTINCT s.doc_id, s.pos + k.range AS cpos
+          FROM dupstarts s CROSS JOIN range({n}) k
+        ),
+        cov AS (
+          SELECT t.doc_id, count(*)::BIGINT AS covered_words,
+                 sum(length(t.w))::BIGINT AS covered_chars
+          FROM toks t JOIN covered c
+            ON t.doc_id = c.doc_id AND t.pos = c.cpos
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(w.n_words, 0)::BIGINT AS n_words,
+               coalesce(cv.covered_words, 0)::BIGINT AS covered_words,
+               coalesce(cv.covered_chars, 0)::BIGINT AS covered_chars,
+               coalesce(w.total_word_chars, 0)::BIGINT AS total_word_chars
+        FROM documents d
+        LEFT JOIN words w USING (doc_id) LEFT JOIN cov cv USING (doc_id)
+    """
+
+
 def _cms_sql(depth: int = 4, width: int = 1024, topk: int = 20) -> str:
     """DuckDB replication of sketches.approx_counts_cms: the same
     token-hash chain as the KMV oracle, cells = depth 10-bit lanes of
@@ -1259,6 +1363,8 @@ ORACLE_SQL = {
         FROM documents d
         LEFT JOIN words w USING (doc_id) LEFT JOIN bgtop b USING (doc_id)
     """,
+    "dup_ngram_coverage": _dup_ngram_coverage_sql(),
+    "hashed_classifier_score": _hashed_classifier_sql(),
     "word_doc_freq": r"""
         SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM (
           SELECT doc_id,

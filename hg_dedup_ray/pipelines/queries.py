@@ -1813,6 +1813,85 @@ def repetition_stats(sf_dir: str):
     )
 
 
+def dup_ngram_coverage(sf_dir: str, n: int = 3):
+    """Gopher/MassiveText duplicate-n-gram CHARACTER COVERAGE per doc
+    (the signal behind the "fraction of characters in duplicate n-grams"
+    repetition filters, n=5..10 in Rae et al. 2021 table A1): a word
+    position is covered iff it lies inside at least one occurrence of a
+    word-n-gram that appears >= 2 times within the same document. Emits
+    the ratio-free integer counts (covered words / covered word chars /
+    totals) so the DuckDB oracle hashes exactly; the filter thresholds
+    covered_chars / total_word_chars. Default n=3 so the signal is
+    non-vacuous on the short synthetic fixtures (~25-word docs have no
+    repeated 5-grams); the kernel is n-generic.
+
+    Unlike ``repetition_stats``'s top-gram multiplicity, coverage needs
+    the UNION of overlapping duplicate-gram occurrences — computed here
+    with a difference array over the flattened word-position space
+    (+1 at each duplicate-gram start, -1 at start+n, one cumsum), so the
+    whole stage is one lexsort + two bincounts per batch, no shuffle
+    (per-doc stats never leave their batch). u64 gram-hash identity
+    stands in for string identity (see functions/wordgrams)."""
+    from hg_dedup_ray.functions.wordgrams import doc_tokens_full, word_gram_hashes
+
+    def cov_stats(batch: pa.Table) -> pa.Table:
+        nb = len(batch)
+        th, lens, off = doc_tokens_full(batch["text"])
+        counts = np.diff(off)
+        total_words = int(th.shape[0])
+        covered = np.zeros(total_words, bool)
+        gh, goff = word_gram_hashes(th, off, n)
+        if gh.shape[0]:
+            gcounts = np.diff(goff)
+            gdocs = np.repeat(np.arange(nb, dtype=np.int64), gcounts)
+            gpos = np.arange(gh.shape[0], dtype=np.int64) - np.repeat(
+                goff[:-1], gcounts
+            )
+            order = np.lexsort((gh, gdocs))
+            g_s, d_s = gh[order], gdocs[order]
+            new = np.concatenate(
+                ([True], (g_s[1:] != g_s[:-1]) | (d_s[1:] != d_s[:-1]))
+            )
+            run_id = np.cumsum(new) - 1
+            run_len = np.bincount(run_id)
+            dup_occ = run_len[run_id] >= 2
+            if dup_occ.any():
+                # global word index of each duplicate-gram start; the
+                # gram never crosses its doc boundary (start + n <=
+                # off[doc+1]), so the difference array can't bleed
+                # coverage into the next doc.
+                starts = off[:-1][d_s[dup_occ]] + gpos[order][dup_occ]
+                diff = np.bincount(
+                    starts, minlength=total_words + 1
+                ).astype(np.int64) - np.bincount(
+                    starts + n, minlength=total_words + 1
+                ).astype(np.int64)
+                covered = np.cumsum(diff[:total_words]) > 0
+        docs_rep = np.repeat(np.arange(nb, dtype=np.int64), counts)
+        covered_words = np.bincount(
+            docs_rep, weights=covered, minlength=nb
+        ).astype(np.int64)
+        covered_chars = np.bincount(
+            docs_rep, weights=lens * covered, minlength=nb
+        ).astype(np.int64)
+        total_chars = np.bincount(
+            docs_rep, weights=lens, minlength=nb
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(counts, pa.int64()),
+                "covered_words": pa.array(covered_words, pa.int64()),
+                "covered_chars": pa.array(covered_chars, pa.int64()),
+                "total_word_chars": pa.array(total_chars, pa.int64()),
+            }
+        )
+
+    return _docs_sized(sf_dir, columns=["doc_id", "text"]).map_batches(
+        cov_stats, batch_format="pyarrow", batch_size=4096
+    )
+
+
 def jaccard_dup_clusters(sf_dir: str, threshold: float = 0.8):
     """Near-dup CLUSTER ASSIGNMENTS (doc_id -> cluster_id = min doc_id of
     its connected component) over the exact-Jaccard pair graph — the
@@ -4019,6 +4098,7 @@ from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     bigram_pmi,
     curation_cascade,
     dup_cluster_size_histogram,
+    hashed_classifier_score,
     soft_dedup_weights,
     source_mix_weights,
 )
@@ -4107,6 +4187,8 @@ QUERIES = {
     "json_props_stats": json_props_stats,
     "pack_sequences": pack_sequences,
     "repetition_stats": repetition_stats,
+    "dup_ngram_coverage": dup_ngram_coverage,
+    "hashed_classifier_score": hashed_classifier_score,
     "word_doc_freq": word_doc_freq,
     "minhash_band_clusters": minhash_band_clusters,
     "lsh_recall_report": lsh_recall_report,

@@ -151,3 +151,104 @@ def test_seg_max_trailing_empty_segments():
         3, 0, 5, 0,
     ]
     assert list(_seg_max(np.array([], np.int64), np.array([], np.int64), 2)) == [0, 0]
+
+
+# -------------------------------------------------- dup_ngram_coverage
+
+
+def test_dup_ngram_coverage_brute_force(ray_session, tmp_path):
+    """Coverage union vs a pure-Python re-derivation: for n=3, a word
+    position is covered iff it lies inside an occurrence of a trigram
+    seen >= 2 times in the same doc; covered occurrences OVERLAP (the
+    difference-array union must not double count)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import dup_ngram_coverage
+
+    texts = [
+        "a b c a b c a b c",      # overlapping repeats of 'a b c'
+        "x y z w",                # no repeated trigram
+        "p q p q p q p q",        # 'p q p' and 'q p q' both repeat
+        "",
+        "   ",
+        "one two",                # fewer than n words
+        "s s s s s",              # same-word runs: every trigram is 's s s'
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        dup_ngram_coverage(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    n = 3
+    for i, t in enumerate(texts):
+        words = t.split()
+        grams = [tuple(words[j : j + n]) for j in range(len(words) - n + 1)]
+        gc = Counter(grams)
+        covered = set()
+        for j, g in enumerate(grams):
+            if gc[g] >= 2:
+                covered.update(range(j, j + n))
+        row = got.iloc[i]
+        assert row["n_words"] == len(words)
+        assert row["covered_words"] == len(covered)
+        assert row["covered_chars"] == sum(len(words[j]) for j in covered)
+        assert row["total_word_chars"] == sum(len(w) for w in words)
+    # the fixture must exercise BOTH covered and uncovered docs
+    assert (got["covered_words"] > 0).any() and (got["covered_words"] == 0).any()
+
+
+def test_hashed_classifier_score_pure_python(ray_session, tmp_path):
+    """Score vs a pure-Python int reimplementation of the whole chain
+    (Horner prefix8+length fold, splitmix64, 12-bit bucket, second
+    splitmix for the weight) — independent of the numpy kernels."""
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.curation import hashed_classifier_score
+
+    M = 1 << 64
+    FNV = 1099511628211
+    SM1, SM2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def splitmix(x: int) -> int:
+        x = ((x ^ (x >> 30)) * SM1) % M
+        x = ((x ^ (x >> 27)) * SM2) % M
+        return x ^ (x >> 31)
+
+    def tok_hash(w: str) -> int:
+        h = 0
+        b = w.encode()
+        for j in range(8):
+            h = (h * FNV + (b[j] if len(b) > j else 0)) % M
+        h = (h * FNV + len(b)) % M
+        return splitmix(h)
+
+    def score(t: str) -> int:
+        return sum(
+            splitmix(tok_hash(w) % 4096) % 2001 - 1000 for w in t.split()
+        )
+
+    texts = ["the quick brown fox", "", "   ", "the the the", "zebra"]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        hashed_classifier_score(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    for i, t in enumerate(texts):
+        assert got.iloc[i]["n_tokens"] == len(t.split())
+        assert got.iloc[i]["score"] == score(t)
