@@ -592,6 +592,27 @@ _SAMPLE_RATE_CASE = """
               WHEN 'fr' THEN 5000 WHEN 'zh' THEN 5000 ELSE 1000 END
 """
 
+_EXACT_CONTAINMENT_PAIRS_SQL = """
+    WITH shingles AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+          range(1, greatest(length(text) - 7, 0) + 1),
+          i -> substr(text, i, 8)))) AS sh
+      FROM documents
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_id_a
+    JOIN counts cb ON cb.doc_id = doc_id_b
+    WHERE i * 1.0 / least(ca.n, cb.n) >= 0.6
+"""
+
 _EXACT_JACCARD_PAIRS_SQL = """
     WITH shingles AS (
       SELECT doc_id, UNNEST(list_distinct(list_transform(
@@ -944,6 +965,7 @@ ORACLE_SQL = {
         FROM cum
     """,
     "ngram_jaccard_exact_pairs": _EXACT_JACCARD_PAIRS_SQL,
+    "ngram_containment_pairs": _EXACT_CONTAINMENT_PAIRS_SQL,
     # The LSH-candidate variant verifies candidates EXACTLY, so its output
     # equals the exact answer whenever LSH recall is 1.0 — which holds
     # deterministically on the driver fixture (lsh_recall_report measures

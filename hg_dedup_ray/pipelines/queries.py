@@ -743,11 +743,28 @@ def ngram_jaccard_exact_pairs(
     verify_broadcast_limit: int = 8_000_000,
     bitset_byte_limit: int = 256 << 20,
     emit_jaccard: bool = False,
+    metric: str = "jaccard",
 ):
     """EXACT k=8-byte-shingle Jaccard pairs, DuckDB-green, via PPJoin
     prefix + positional filtering (Xiao et al., WWW'08): candidates come
     only from the RAREST ~(1-t) fraction of each doc's shingles, pruned
     further by match position, then verified exactly.
+
+    ``metric="containment"`` switches the WHOLE cascade to exact
+    max-containment pairs: C(A,B) = |A∩B| / min(|A|,|B|) >= t — the
+    subset-inclusion duplicates (a page quoted whole inside a longer
+    page) that Jaccard structurally misses when the size ratio is
+    large. Filter changes, each still enlarging-only: the length filter
+    is DROPPED (any size ratio can contain), the inverted index holds
+    ALL hot rows (not just prefixes) because only the pair's SMALLER
+    side is guaranteed a prefix hit — candidate expansion is anchored
+    on prefix rows (pref x run, never all-pairs, so stop-shingle runs
+    stay linear in df per prefix row), a pair is probed only from its
+    <=-size side, and the positional bound must reach
+    ceil(t*min(n_a,n_b)). Discovery proof mirrors the Jaccard one: the
+    pair's globally-FIRST shared shingle has rank <= n_small - i <
+    prefix(n_small) in the smaller doc, and the overlap bound at that
+    occurrence is exact.
 
     k is fixed at 8 so each shingle packs EXACTLY into one u64 word
     (big-endian): shingle identity is collision-free and bijective with
@@ -793,6 +810,9 @@ def ngram_jaccard_exact_pairs(
     from hg_dedup_ray.functions.arrow_utils import string_column_bytes
     from hg_dedup_ray.functions.pair_distinct import hot_u64_keys_counts
 
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
+    is_cont = metric == "containment"
     K = 8
     EPS = 1e-9
     n_verify_buckets = 16
@@ -840,7 +860,7 @@ def ngram_jaccard_exact_pairs(
         .materialize()
     )
     def _pairs_table(keepp: np.ndarray, jv: np.ndarray) -> pa.Table:
-        """Verified pairs (+ the exact Jaccard value when emit_jaccard —
+        """Verified pairs (+ the exact metric value when emit_jaccard —
         the pressure-curve/report consumer; the plain query keeps its
         2-column oracle schema)."""
         cols = {
@@ -850,7 +870,7 @@ def ngram_jaccard_exact_pairs(
             ),
         }
         if emit_jaccard:
-            cols["jaccard"] = pa.array(jv, pa.float64())
+            cols[metric] = pa.array(jv, pa.float64())
         return pa.table(cols)
 
     # same result type on every branch: callers use Dataset-only APIs
@@ -879,6 +899,7 @@ def ngram_jaccard_exact_pairs(
                     "doc_id": pa.array([], pa.int64()),
                     "n": pa.array([], pa.int64()),
                     "rank": pa.array([], pa.int64()),
+                    "pref": pa.array([], pa.bool_()),
                 }
             )
         pos = np.searchsorted(H, s_k)
@@ -891,7 +912,12 @@ def ngram_jaccard_exact_pairs(
         starts = np.searchsorted(d_o, np.arange(n_doc.shape[0]))
         rank = np.arange(d_o.shape[0]) - starts[d_o]
         p_doc = n_doc - np.ceil(threshold * n_doc - EPS).astype(np.int64) + 1
-        keep = (rank < p_doc[d_o]) & (df_o >= 2)
+        in_pref = rank < p_doc[d_o]
+        # jaccard indexes ONLY prefix rows (both sides of a pair are
+        # guaranteed a prefix hit); containment must index every hot
+        # row — only the smaller side is guaranteed one — with the
+        # prefix flag carried for the anchored expansion.
+        keep = (df_o >= 2) if is_cont else (in_pref & (df_o >= 2))
         d_f, s_f, r_f = d_o[keep], s_o[keep], rank[keep]
         return pa.table(
             {
@@ -900,6 +926,7 @@ def ngram_jaccard_exact_pairs(
                 "doc_id": pa.array(ids[d_f], pa.int64()),
                 "n": pa.array(n_doc[d_f], pa.int64()),
                 "rank": pa.array(r_f, pa.int64()),
+                "pref": pa.array(in_pref[keep], pa.bool_()),
             }
         )
 
@@ -915,6 +942,80 @@ def ngram_jaccard_exact_pairs(
         run_len = np.bincount(run_id)
         run_start = np.cumsum(run_len) - run_len
         local = np.arange(sh.shape[0]) - run_start[run_id]
+        if is_cont:
+            # prefix-ANCHORED expansion: re-sort each posting run by
+            # (n, doc_id) so an anchor's valid partners — the >=-size
+            # docs, which is the only direction the discovery guarantee
+            # needs (for n ties either side's prefix works, so the
+            # smaller-id side suffices) — are exactly the positions
+            # AFTER it. A stop-shingle run of length L then costs at
+            # most P*L/2 pair rows (P = its prefix rows), never L^2/2
+            # all-pairs, and na <= nb holds by construction.
+            order2 = np.lexsort((did, n, sh))
+            sh, did, n, rk = sh[order2], did[order2], n[order2], rk[order2]
+            # sh/did/n/rk were already permuted by `order` above — the
+            # raw column must go through BOTH permutations to stay
+            # row-aligned (order[order2], never order2 alone)
+            pref = group["pref"].to_numpy(zero_copy_only=False)[order][order2]
+            new2 = np.concatenate(([True], sh[1:] != sh[:-1]))
+            run_id = np.cumsum(new2) - 1
+            run_len = np.bincount(run_id)
+            run_start = np.cumsum(run_len) - run_len
+            local = np.arange(sh.shape[0]) - run_start[run_id]
+            ppos = np.flatnonzero(pref)
+            if ppos.shape[0] == 0:
+                return _empty_cand
+            # partner PRE-filter (enlarging-only): a row can be the
+            # larger side of SOME anchor in its run only if its rank
+            # leaves room for that anchor's required overlap; using the
+            # run's minimum anchor size gives the loosest such bound.
+            # This collapses stop-shingle runs BEFORE pair generation —
+            # a df-5000 shingle ranks near the end of most docs'
+            # df-order, so almost none of its postings survive as
+            # partners (the skew killer for this cascade).
+            na_min = np.full(run_len.shape[0], np.iinfo(np.int64).max)
+            np.minimum.at(na_min, run_id[ppos], n[ppos])
+            alpha_min = np.ceil(
+                np.minimum(na_min, 1 << 40) * threshold - EPS
+            ).astype(np.int64)
+            valid = rk <= n - alpha_min[run_id]
+            vpos = np.flatnonzero(valid)
+            if vpos.shape[0] == 0:
+                return _empty_cand
+            run_end = run_start + run_len
+            vcum = np.cumsum(valid)
+            rep_p = (vcum[run_end[run_id[ppos]] - 1] - vcum[ppos]).astype(
+                np.int64
+            )
+            tot = int(rep_p.sum())
+            if tot == 0:
+                return _empty_cand
+            a_idx = np.repeat(ppos, rep_p)
+            seg = np.cumsum(rep_p) - rep_p
+            k_off = np.arange(tot) - seg[
+                np.repeat(np.arange(ppos.shape[0]), rep_p)
+            ]
+            vstart = np.searchsorted(vpos, ppos, side="right")
+            b_idx = vpos[np.repeat(vstart, rep_p) + k_off]
+            na, nbv, ra, rb = n[a_idx], n[b_idx], rk[a_idx], rk[b_idx]
+            alpha_c = np.ceil(threshold * na - EPS).astype(np.int64)
+            ok = 1 + np.minimum(na - 1 - ra, nbv - 1 - rb) >= alpha_c
+            a_idx, b_idx = a_idx[ok], b_idx[ok]
+            if a_idx.shape[0] == 0:
+                return _empty_cand
+            ia, ib = did[a_idx], did[b_idx]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            pair = np.unique(
+                (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
+            )
+            return pa.table(
+                {
+                    "pbucket": pa.array(
+                        (pair % np.uint64(num_buckets)).astype(np.int64)
+                    ),
+                    "pair": pa.array(pair, pa.uint64()),
+                }
+            )
         rep = (run_len[run_id] - 1 - local).astype(np.int64)
         tot = int(rep.sum())
         if tot == 0:
@@ -949,9 +1050,18 @@ def ngram_jaccard_exact_pairs(
         pair = np.unique(group["pair"].to_numpy(zero_copy_only=False))
         return pa.table({"pair": pa.array(pair, pa.uint64())})
 
+    idx_rows = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        prefix_rows, batch_format="pyarrow", batch_size=4096
+    )
+    if is_cont:
+        # the all-hot-rows index packs into very few post-sort blocks
+        # (it's only keys+ids), which would serialize the pair expansion
+        # — the containment cascade's dominant stage — into 1-2 tasks.
+        # Pre-split so each shingle bucket's expansion runs in its own
+        # task across the CPU pool.
+        idx_rows = idx_rows.repartition(num_buckets)
     cand = (
-        _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(prefix_rows, batch_format="pyarrow", batch_size=4096)
+        idx_rows
         .groupby("bucket")
         .map_groups(expand_candidates, batch_format="pyarrow")
         .groupby("pbucket")
@@ -1078,9 +1188,13 @@ def ngram_jaccard_exact_pairs(
                     .sum(axis=1)
                     .astype(np.int64)
                 )
-                union = n_by_doc[pa_] + n_by_doc[pb_] - inter
+                denom = (
+                    np.minimum(n_by_doc[pa_], n_by_doc[pb_])
+                    if is_cont
+                    else n_by_doc[pa_] + n_by_doc[pb_] - inter
+                )
                 jac = np.divide(
-                    inter, union, out=np.zeros(pair.shape[0]), where=union > 0
+                    inter, denom, out=np.zeros(pair.shape[0]), where=denom > 0
                 )
                 okj = jac >= threshold
                 return _pairs_table(pair[okj], jac[okj])
@@ -1129,8 +1243,13 @@ def ngram_jaccard_exact_pairs(
             p_s, sh_s = p_all[o3], sh_all[o3]
             dup = (p_s[1:] == p_s[:-1]) & (sh_s[1:] == sh_s[:-1])
             inter = np.bincount(p_s[1:][dup], minlength=np_).astype(np.int64)
-            union = sum_n - inter
-            jac = np.divide(inter, union, out=np.zeros(np_), where=union > 0)
+            if is_cont:
+                denom = np.full(np_, np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(denom, pidx, n_by_doc[pos].astype(np.int64))
+                denom[mcount != 2] = 0
+            else:
+                denom = sum_n - inter
+            jac = np.divide(inter, denom, out=np.zeros(np_), where=denom > 0)
             okj = (jac >= threshold) & (mcount == 2)
             return _pairs_table(pair[okj], jac[okj])
 
@@ -1308,12 +1427,17 @@ def ngram_jaccard_exact_pairs(
         p_s, sh_s = p_all[o3], sh_all[o3]
         dup = (p_s[1:] == p_s[:-1]) & (sh_s[1:] == sh_s[:-1])
         inter = np.bincount(p_s[1:][dup], minlength=pu.shape[0]).astype(np.int64)
-        union = sum_n - inter
-        jac = np.divide(
-            inter, union, out=np.zeros(pu.shape[0]), where=union > 0
-        )
         # defensive: only pairs with BOTH docs' rows resolved may pass
         mcount = np.bincount(pidx, minlength=pu.shape[0])
+        if is_cont:
+            denom = np.full(pu.shape[0], np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(denom, pidx, n_by_doc[pos].astype(np.int64))
+            denom[mcount != 2] = 0
+        else:
+            denom = sum_n - inter
+        jac = np.divide(
+            inter, denom, out=np.zeros(pu.shape[0]), where=denom > 0
+        )
         okj = (jac >= threshold) & (mcount == 2)
         return _pairs_table(pu[okj], jac[okj])
 
@@ -1327,6 +1451,23 @@ def ngram_jaccard_exact_pairs(
         .map_groups(attach_docs, batch_format="pyarrow")
         .groupby("pbucket")
         .map_groups(verify_pairs, batch_format="pyarrow")
+    )
+
+
+def ngram_containment_pairs(sf_dir: str, threshold: float = 0.6):
+    """EXACT max-containment near-dup pairs, DuckDB-green:
+    C(A,B) = |A∩B| / min(|A|,|B|) >= t over distinct 8-byte shingles —
+    the dedup family member that catches SUBSET-INCLUSION duplicates
+    (boilerplate-wrapped reposts, quoted-whole pages) which Jaccard
+    structurally misses once the size ratio exceeds ~t. Runs the shared
+    PPJoin-style cascade (``ngram_jaccard_exact_pairs``) with the
+    containment filter set: no length filter, all-hot-rows index,
+    prefix-anchored candidate expansion probed from the smaller side,
+    ceil(t*min) positional bound, exact intersection verify. Default
+    t=0.6 exercises containment-only pairs on the synthetic fixtures
+    (34 of 290 pairs at sf0.1 are invisible to Jaccard at the same t)."""
+    return ngram_jaccard_exact_pairs(
+        sf_dir, threshold=threshold, metric="containment"
     )
 
 
@@ -4154,6 +4295,7 @@ QUERIES = {
     "video_framehash_near_dup": video_framehash_near_dup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_exact_pairs": ngram_jaccard_exact_pairs,
+    "ngram_containment_pairs": ngram_containment_pairs,
     "dedup_pressure_curve": dedup_pressure_curve,
     "token_counts": token_counts,
     "quality_scores": quality_scores,

@@ -212,3 +212,84 @@ def test_lsh_param_sweep_consistent(ray_session):
     )
     want = con.sql(ORACLE_SQL["lsh_param_sweep"]).df()
     assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_containment_three_verify_paths_agree(ray_session):
+    """The containment metric must be identical through the bitset,
+    broadcast-lexsort, and bucketed-join verify paths too."""
+    from hg_dedup_ray.pipelines.queries import ngram_jaccard_exact_pairs
+
+    def run(**kw):
+        return (
+            ngram_jaccard_exact_pairs(SF_DIR, metric="containment",
+                                      threshold=0.6, **kw)
+            .to_pandas()
+            .sort_values(["doc_id_a", "doc_id_b"])
+            .reset_index(drop=True)
+        )
+
+    bitset = run()
+    assert len(bitset) > 0
+    assert run(bitset_byte_limit=0).equals(bitset)
+    assert run(verify_broadcast_limit=0).equals(bitset)
+
+
+def test_containment_catches_subset_inclusion(ray_session, tmp_path):
+    """A short page quoted WHOLE inside a much longer page: containment
+    ~1.0 but Jaccard far below threshold — the pair class this metric
+    exists for. Brute-force distinct-8-byte-shingle sets pin the values."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import (
+        ngram_containment_pairs,
+        ngram_jaccard_exact_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i:03d}" for i in range(400)]
+    short = " ".join(rng.choice(words, 12))
+    long_host = (
+        " ".join(rng.choice(words, 60))
+        + " " + short + " "
+        + " ".join(rng.choice(words, 60))
+    )
+    fillers = [" ".join(rng.choice(words, 40)) for _ in range(6)]
+    texts = [short, long_host] + fillers
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+
+    def shingles(t: str) -> set:
+        return {t[i : i + 8] for i in range(len(t) - 7)}
+
+    s0, s1 = shingles(short), shingles(long_host)
+    inter = len(s0 & s1)
+    assert inter / min(len(s0), len(s1)) >= 0.9  # planted inclusion
+    assert inter / len(s0 | s1) < 0.6            # invisible to Jaccard
+
+    cont = ngram_containment_pairs(str(tmp_path), threshold=0.9).to_pandas()
+    got = set(zip(cont["doc_id_a"], cont["doc_id_b"]))
+    assert (0, 1) in got
+    jac = ngram_jaccard_exact_pairs(str(tmp_path), threshold=0.6).to_pandas()
+    # an all-empty Ray dataset may drop its column schema in to_pandas
+    jac_pairs = (
+        set(zip(jac["doc_id_a"], jac["doc_id_b"])) if len(jac) else set()
+    )
+    assert (0, 1) not in jac_pairs
+
+    # brute-force ALL pairs at the query default threshold
+    expect = set()
+    sh = [shingles(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter_ij = len(sh[i] & sh[j])
+            if inter_ij and inter_ij / min(len(sh[i]), len(sh[j])) >= 0.6:
+                expect.add((i, j))
+    got06 = ngram_containment_pairs(str(tmp_path)).to_pandas()
+    assert set(zip(got06["doc_id_a"], got06["doc_id_b"])) == expect
