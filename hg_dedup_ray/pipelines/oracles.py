@@ -1140,6 +1140,19 @@ ORACLE_SQL = {
                     THEN 'en' ELSE 'und' END AS lang_pred
         FROM documents
     """,
+    "lang_id_confusion": rf"""
+        WITH pred AS (
+          SELECT doc_id,
+                 CASE WHEN len(list_filter(
+                          regexp_split_to_array(trim(text), '\s+'),
+                          x -> x IN ({_stops}))) > 0
+                      THEN 'en' ELSE 'und' END AS lang_pred
+          FROM documents
+        )
+        SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n_docs
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2
+    """,
     "fingerprints": """
         SELECT doc_id, md5(text) AS fp FROM documents
     """,

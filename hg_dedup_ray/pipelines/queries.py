@@ -1813,6 +1813,38 @@ def fingerprints(sf_dir: str):
     )
 
 
+def lang_id_confusion(sf_dir: str):
+    """Detector EVALUATION: confusion matrix of the labeled ``lang``
+    column vs the stopword lang-ID prediction — (lang, lang_pred,
+    n_docs). The QA table a pipeline publishes before trusting a
+    detector to route documents. Per-batch partial cell counts
+    (cardinality = |langs| x |preds|, a handful) then one tiny groupby
+    Sum — per-doc rows never shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pred = textstats.lang_id(batch)["lang_pred"]
+        key = pc.binary_join_element_wise(
+            batch["lang"].cast(pa.string()), pred, "|"
+        )
+        vc = key.value_counts()
+        sp = pc.split_pattern(vc.field("values"), "|")
+        return pa.table(
+            {
+                "lang": pc.list_element(sp, 0),
+                "lang_pred": pc.list_element(sp, 1),
+                "partial": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        _docs_sized(sf_dir, columns=["doc_id", "text", "lang"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=4096)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("partial", alias_name="n_docs"))
+    )
+
+
 def unigram_counts(sf_dir: str):
     """token -> count over all docs. Pre-aggregated inside map_batches
     (one partial count row per token per batch), then a small
@@ -2572,6 +2604,62 @@ def sa_dedup_resumable(sf_dir: str):
             out_dir, columns=["url", "doc_seq", "n_bytes", "n_removed_bytes", "cluster_id"]
         )
         return t.sort_by("doc_seq")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def checkpoint_manifest_report(sf_dir: str):
+    """Per-partition LINEAGE + METRICS of a resumable flagship run,
+    surfaced as a queryable table — the artifact the north-star's
+    "checkpoints record lineage and metrics" clause is about: partition
+    id, input-file count, doc-seq range, doc/byte counts, scan results,
+    the order-sensitive content fingerprint a rerun validates against,
+    and completion status. Runs the checkpointing driver into /tmp and
+    reads back ONLY the manifests (a few hundred bytes per partition,
+    never the data)."""
+    import shutil
+    import tempfile
+
+    from hg_dedup_ray.pipelines.resumable import run_dedup_resumable
+    from hg_dedup_ray.state.checkpoint import load_completed_parts
+
+    out_dir = tempfile.mkdtemp(prefix="hgdr_manifest_")
+    try:
+        cfg = DedupConfig(
+            minlen=64, num_partitions=4, shingle_k=8,
+            seq_col="doc_id", id_col="doc_id", text_col="text",
+        )
+        run_dedup_resumable(f"{sf_dir}/documents.parquet", out_dir, cfg)
+        parts = load_completed_parts(f"{out_dir}/_ckpt", cfg)
+        rows = sorted(parts.values(), key=lambda m: m["part"])
+        return pa.table(
+            {
+                "part": pa.array([m["part"] for m in rows], pa.int64()),
+                "n_input_files": pa.array(
+                    [len(m["input_files"]) for m in rows], pa.int64()
+                ),
+                "doc_seq_min": pa.array(
+                    [m["doc_seq_min"] for m in rows], pa.int64()
+                ),
+                "doc_seq_max": pa.array(
+                    [m["doc_seq_max"] for m in rows], pa.int64()
+                ),
+                "n_docs": pa.array([m["n_docs"] for m in rows], pa.int64()),
+                "corpus_bytes": pa.array(
+                    [m["corpus_bytes"] for m in rows], pa.int64()
+                ),
+                "n_local_ranges": pa.array(
+                    [m["n_local_ranges"] for m in rows], pa.int64()
+                ),
+                "n_removed_bytes": pa.array(
+                    [m["n_removed_bytes"] for m in rows], pa.int64()
+                ),
+                "content_hash": pa.array(
+                    [m["content_hash"] for m in rows], pa.string()
+                ),
+                "status": pa.array([m["status"] for m in rows], pa.string()),
+            }
+        )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -4286,6 +4374,7 @@ QUERIES = {
     "simhash_sigs": simhash_sigs,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "sa_dedup_resumable": sa_dedup_resumable,
+    "checkpoint_manifest_report": checkpoint_manifest_report,
     "image_features": image_features,
     "audio_features": audio_features,
     "video_frame_sample": video_frame_sample,
@@ -4300,6 +4389,7 @@ QUERIES = {
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "lang_id": lang_id_pred,
+    "lang_id_confusion": lang_id_confusion,
     "fingerprints": fingerprints,
     "unigram_counts": unigram_counts,
     "corpus_stats": corpus_stats,

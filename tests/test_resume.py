@@ -141,3 +141,20 @@ def test_changed_input_invalidates_checkpoints(pages_dir, tmp_path):
     s2 = run_dedup_resumable(src2, out, cfg)
     assert sorted(s2["parts_processed_this_run"]) == [0, 1, 2, 3], s2
     assert s2["parts_skipped_this_run"] == []
+
+
+def test_checkpoint_manifest_report(ray_session):
+    """The lineage/metrics surfacing query: one row per partition,
+    doc counts summing to the corpus, non-empty lineage fingerprints,
+    all partitions complete."""
+    from hg_dedup_ray.pipelines.queries import checkpoint_manifest_report
+
+    t = checkpoint_manifest_report("/root/testdata/sf0.001").to_pandas()
+    assert len(t) == 4  # cfg num_partitions
+    assert t["n_docs"].sum() == 500
+    assert (t["status"] == "done").all()
+    assert (t["content_hash"].str.len() > 0).all()
+    assert (t["doc_seq_min"] <= t["doc_seq_max"]).all()
+    # order-contiguous partitioning: ranges must not overlap
+    s = t.sort_values("part")
+    assert (s["doc_seq_min"].values[1:] > s["doc_seq_max"].values[:-1]).all()

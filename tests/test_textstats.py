@@ -252,3 +252,12 @@ def test_hashed_classifier_score_pure_python(ray_session, tmp_path):
     for i, t in enumerate(texts):
         assert got.iloc[i]["n_tokens"] == len(t.split())
         assert got.iloc[i]["score"] == score(t)
+
+
+def test_lang_id_confusion_totals(ray_session):
+    from hg_dedup_ray.pipelines.queries import lang_id_confusion
+
+    t = lang_id_confusion("/root/testdata/sf0.001").to_pandas()
+    assert t["n_docs"].sum() == 500
+    assert set(t["lang_pred"]) <= {"en", "und"}
+    assert (t["n_docs"] > 0).all()
