@@ -1290,3 +1290,56 @@ def hashed_classifier_score(sf_dir: str):
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         score_batch, batch_format="pyarrow", batch_size=8192
     )
+
+
+# ---------------------------------------------- quality_gate_ablation
+
+
+def quality_gate_ablation(sf_dir: str):
+    """Gate-level ABLATION of the Gopher quality filter: per gate, how
+    many docs fail it at all (n_fail) and how many fail ONLY it
+    (n_fail_alone — the docs that exact gate uniquely removes). The
+    report a pipeline publishes before loosening or dropping a filter:
+    a gate with n_fail_alone == 0 is fully shadowed by the others.
+
+    Same integer cross-multiplication arithmetic as the keep flag
+    (engine-exact), per-batch 4x2 partial counters, one tiny groupby
+    Sum — per-doc rows never shuffle."""
+    from ray.data.aggregate import Sum
+
+    GATES = ("word_count", "mean_word_len", "alpha_ratio", "stopwords")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        st = _gopher_stats_batch(batch)
+        nw = st["n_words"].to_numpy(zero_copy_only=False)
+        ch = st["total_word_chars"].to_numpy(zero_copy_only=False)
+        al = st["n_alpha_words"].to_numpy(zero_copy_only=False)
+        sp = st["n_stop_types"].to_numpy(zero_copy_only=False)
+        ok = np.stack(
+            [
+                (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS),
+                (ch >= GOPHER_MIN_MEAN_WL * nw)
+                & (ch <= GOPHER_MAX_MEAN_WL * nw),
+                GOPHER_ALPHA_DEN * al >= GOPHER_ALPHA_NUM * nw,
+                sp >= GOPHER_MIN_STOP_TYPES,
+            ]
+        )
+        fail = ~ok
+        alone = fail & (ok.sum(axis=0) == len(GATES) - 1)
+        return pa.table(
+            {
+                "gate": pa.array(list(GATES), pa.string()),
+                "p_fail": pa.array(fail.sum(axis=1), pa.int64()),
+                "p_alone": pa.array(alone.sum(axis=1), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("gate")
+        .aggregate(
+            Sum("p_fail", alias_name="n_fail"),
+            Sum("p_alone", alias_name="n_fail_alone"),
+        )
+    )

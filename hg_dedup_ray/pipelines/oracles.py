@@ -1031,6 +1031,15 @@ ORACLE_SQL = {
                ))::BIGINT AS n_bpe_tokens
         FROM documents
     """,
+    "tokenizer_fertility": r"""
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(len(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+               )))::BIGINT AS sum_bpe_tokens,
+               sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS sum_words,
+               sum(length(text))::BIGINT AS sum_chars
+        FROM documents GROUP BY lang
+    """,
     "asof_join_events_orders": """
         WITH ranked AS (
           SELECT e.event_id, e.user_id,
@@ -1851,6 +1860,55 @@ ORACLE_SQL = {
                         >= {GOPHER_ALPHA_NUM} * n_words
                 AND n_stop_types >= {GOPHER_MIN_STOP_TYPES}) AS keep
         FROM st
+    """,
+    "quality_gate_ablation": rf"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+          FROM documents
+        ), st AS (
+          SELECT doc_id,
+                 len(ws)::BIGINT AS nw,
+                 coalesce(list_sum(list_transform(ws, x -> length(x))),
+                          0)::BIGINT AS ch,
+                 len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                     ::BIGINT AS al,
+                 len(list_filter({_gopher_stops},
+                                 s -> list_contains(ws, s)))::BIGINT AS sp
+          FROM w
+        ), g AS (
+          SELECT (nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                     AS g1,
+                 (ch >= {GOPHER_MIN_MEAN_WL} * nw
+                  AND ch <= {GOPHER_MAX_MEAN_WL} * nw) AS g2,
+                 ({GOPHER_ALPHA_DEN} * al >= {GOPHER_ALPHA_NUM} * nw) AS g3,
+                 (sp >= {GOPHER_MIN_STOP_TYPES}) AS g4
+          FROM st
+        )
+        SELECT 'word_count' AS gate,
+               sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END)::BIGINT AS n_fail,
+               sum(CASE WHEN NOT g1 AND g2 AND g3 AND g4
+                        THEN 1 ELSE 0 END)::BIGINT AS n_fail_alone
+        FROM g
+        UNION ALL
+        SELECT 'mean_word_len',
+               sum(CASE WHEN NOT g2 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN NOT g2 AND g1 AND g3 AND g4
+                        THEN 1 ELSE 0 END)::BIGINT
+        FROM g
+        UNION ALL
+        SELECT 'alpha_ratio',
+               sum(CASE WHEN NOT g3 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN NOT g3 AND g1 AND g2 AND g4
+                        THEN 1 ELSE 0 END)::BIGINT
+        FROM g
+        UNION ALL
+        SELECT 'stopwords',
+               sum(CASE WHEN NOT g4 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN NOT g4 AND g1 AND g2 AND g3
+                        THEN 1 ELSE 0 END)::BIGINT
+        FROM g
     """,
     # The cascade's dedup tier groups by full text among GATE SURVIVORS
     # only (the Ray side uses a u64 blake2b-8 fingerprint for the same

@@ -3783,6 +3783,63 @@ def bpe_token_counts(sf_dir: str):
     )
 
 
+def tokenizer_fertility(sf_dir: str):
+    """Tokenizer QA per language: (lang, n_docs, sum_bpe_tokens,
+    sum_words, sum_chars) — the integer numerators/denominators behind
+    fertility (BPE tokens per word) and compression (chars per token),
+    the table a multilingual pipeline publishes before fixing a token
+    budget per language. All-integer so the distributed sums hash
+    exactly; word count uses the \\S+ run count (== the oracles'
+    regexp_split_to_array on trimmed text, phantom-''-free by
+    construction). Per-batch per-lang partials, one tiny groupby Sum."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        nbpe = pc.count_substring_regex(
+            batch["text"], BPE_PATTERN
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = pc.count_substring_regex(batch["text"], r"\S+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nc = pc.utf8_length(batch["text"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        langs, inv = np.unique(
+            batch["lang"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        k = langs.shape[0]
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "p_docs": pa.array(np.bincount(inv, minlength=k), pa.int64()),
+                "p_bpe": pa.array(
+                    np.bincount(inv, weights=nbpe, minlength=k).astype(np.int64),
+                    pa.int64(),
+                ),
+                "p_words": pa.array(
+                    np.bincount(inv, weights=nw, minlength=k).astype(np.int64),
+                    pa.int64(),
+                ),
+                "p_chars": pa.array(
+                    np.bincount(inv, weights=nc, minlength=k).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        _docs_sized(sf_dir, columns=["text", "lang"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=4096)
+        .groupby("lang")
+        .aggregate(
+            Sum("p_docs", alias_name="n_docs"),
+            Sum("p_bpe", alias_name="sum_bpe_tokens"),
+            Sum("p_words", alias_name="sum_words"),
+            Sum("p_chars", alias_name="sum_chars"),
+        )
+    )
+
+
 def asof_join_events_orders(sf_dir: str, num_buckets: int = 32):
     """AS-OF JOIN — an operator Ray Data lacks, built as the scalable
     bucketed merge-join composition: for every event, the latest order of
@@ -4328,6 +4385,7 @@ from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     curation_cascade,
     dup_cluster_size_histogram,
     hashed_classifier_score,
+    quality_gate_ablation,
     soft_dedup_weights,
     source_mix_weights,
 )
@@ -4441,6 +4499,8 @@ QUERIES = {
     "normalize_texts": normalize_texts,
     "substring_counts": substring_counts,
     "gopher_quality_filter": gopher_quality_filter,
+    "quality_gate_ablation": quality_gate_ablation,
+    "tokenizer_fertility": tokenizer_fertility,
     "curation_cascade": curation_cascade,
     "token_entropy": token_entropy,
     "kmeans_assign": kmeans_assign,

@@ -293,3 +293,76 @@ def test_perplexity_buckets_ntile_edges(ray_session, tmp_path):
         .sort_values("doc_id", ignore_index=True)[got.columns]
     )
     assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_quality_gate_ablation_brute_force(ray_session, tmp_path):
+    """Ablation counts vs a per-doc pure-Python gate evaluation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.curation import (
+        GOPHER_ALPHA_DEN,
+        GOPHER_ALPHA_NUM,
+        GOPHER_MAX_MEAN_WL,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WL,
+        GOPHER_MIN_STOP_TYPES,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPS,
+        quality_gate_ablation,
+    )
+
+    texts = [
+        " ".join(["the cat sat on mats"] * 12),        # passes all
+        "the of and to",                               # too few words
+        " ".join(["a"] * 60),                          # mean wl too low
+        " ".join(["12345 678"] * 30),                  # alpha + no stops
+        " ".join(["word"] * 60),                       # no stopwords only
+        "",
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        quality_gate_ablation(str(tmp_path))
+        .to_pandas()
+        .set_index("gate")
+        .sort_index()
+    )
+    import numpy as np
+
+    fails = {g: [] for g in ("word_count", "mean_word_len", "alpha_ratio", "stopwords")}
+    for t in texts:
+        ws = t.split()
+        nw, ch = len(ws), sum(len(w) for w in ws)
+        al = sum(1 for w in ws if any(c.isalpha() and c.isascii() for c in w))
+        sp = sum(1 for s in GOPHER_STOPS if s in ws)
+        ok = {
+            "word_count": GOPHER_MIN_WORDS <= nw <= GOPHER_MAX_WORDS,
+            "mean_word_len": GOPHER_MIN_MEAN_WL * nw <= ch <= GOPHER_MAX_MEAN_WL * nw,
+            "alpha_ratio": GOPHER_ALPHA_DEN * al >= GOPHER_ALPHA_NUM * nw,
+            "stopwords": sp >= GOPHER_MIN_STOP_TYPES,
+        }
+        for g in fails:
+            fails[g].append(not ok[g])
+    for g in fails:
+        f = np.array(fails[g])
+        others = np.array(
+            [all(not fails[h][i] for h in fails if h != g) for i in range(len(texts))]
+        )
+        assert got.loc[g, "n_fail"] == f.sum(), g
+        assert got.loc[g, "n_fail_alone"] == (f & others).sum(), g
+
+
+def test_tokenizer_fertility_totals(ray_session):
+    from hg_dedup_ray.pipelines.queries import tokenizer_fertility
+
+    t = tokenizer_fertility("/root/testdata/sf0.001").to_pandas()
+    assert t["n_docs"].sum() == 500
+    # fertility sanity: BPE tokens >= whitespace words on every lang
+    assert (t["sum_bpe_tokens"] >= t["sum_words"]).all()
+    assert (t["sum_chars"] > t["sum_words"]).all()
