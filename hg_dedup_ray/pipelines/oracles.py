@@ -1024,6 +1024,16 @@ ORACLE_SQL = {
         FROM documents
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
     """,
+    "normalized_exact_dedup": """
+        WITH n AS (
+          SELECT doc_id, lang, source, n_chars,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+          FROM documents
+        )
+        SELECT doc_id, lang, source, n_chars FROM n
+        WHERE doc_id IN (SELECT min(doc_id) FROM n GROUP BY nt)
+    """,
     "bpe_token_counts": r"""
         SELECT doc_id,
                len(regexp_extract_all(text,

@@ -147,6 +147,35 @@ def exact_dedup(sf_dir: str):
     ).map_batches(_filter_by_ids(keep_ref), batch_format="pyarrow")
 
 
+def normalized_exact_dedup(sf_dir: str):
+    """C4-style FUZZY-EXACT dedup: keep the min-doc_id doc among
+    documents whose NORMALIZED text (lowercase, alnum-only, whitespace
+    runs collapsed, trimmed — the ``normalize_texts`` transform) is
+    identical, collapsing the cosmetic variants plain exact dedup
+    misses (case, punctuation, spacing). Same scale shape as
+    ``exact_dedup``: only (u64 fingerprint of the normalized text,
+    doc_id) enters the shuffle; the normalization itself is three Arrow
+    kernels, zero Python per row."""
+
+    def norm_fp(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, r"[^a-z0-9 ]", " ")
+        t = pc.replace_substring_regex(t, r" +", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return textstats.content_hash_u64(
+            pa.table({"doc_id": batch["doc_id"], "text": t})
+        )
+
+    fps = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(norm_fp, batch_format="pyarrow", batch_size=4096)
+    keep_ref = ray.put(_exact_keeper_ids(fps, precomputed_fp=True))
+    return read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    ).map_batches(_filter_by_ids(keep_ref), batch_format="pyarrow")
+
+
 def minhash_clusters(sf_dir: str, threshold: float = 0.5):
     """Near-dup cluster ids over documents via the flagship machinery.
 
@@ -4409,6 +4438,7 @@ from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
 
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "normalized_exact_dedup": normalized_exact_dedup,
     "segment_dedup_stats": segment_dedup_stats,
     "segment_dedup_apply": segment_dedup_apply,
     "pricing_summary": pricing_summary,

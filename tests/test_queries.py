@@ -293,3 +293,43 @@ def test_containment_catches_subset_inclusion(ray_session, tmp_path):
                 expect.add((i, j))
     got06 = ngram_containment_pairs(str(tmp_path)).to_pandas()
     assert set(zip(got06["doc_id_a"], got06["doc_id_b"])) == expect
+
+
+def test_normalized_exact_dedup_collapses_cosmetic_variants(
+    ray_session, tmp_path
+):
+    """Case / punctuation / spacing variants (invisible to plain exact
+    dedup) must collapse to the min-doc_id representative; genuinely
+    different texts must survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import (
+        exact_dedup,
+        normalized_exact_dedup,
+    )
+
+    texts = [
+        "Hello, World!",          # keeper of the variant group
+        "hello world",            # same after normalization
+        "HELLO   WORLD.",         # same after normalization
+        "a different page",
+        "a DIFFERENT page",       # variant of doc 3
+        "something else entirely",
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    kept = sorted(
+        normalized_exact_dedup(str(tmp_path)).to_pandas()["doc_id"]
+    )
+    assert kept == [0, 3, 5]
+    # plain exact dedup keeps everything — the variants are invisible
+    assert len(exact_dedup(str(tmp_path)).to_pandas()) == len(texts)
