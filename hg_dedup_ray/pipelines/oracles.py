@@ -1454,6 +1454,30 @@ ORACLE_SQL = {
         )
         SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
     """,
+    # new-snapshot docs sharing ANY band bucket with a history doc are
+    # dropped (bucket membership IS the verdict — no verify stage); the
+    # oracle keys bands on the exact sig tuple via string_agg where the
+    # Ray side uses the salted u64 fold (same standing assumption as
+    # minhash_band_clusters)
+    "incremental_near_dedup": f"""
+        WITH RECURSIVE sigs AS ({_oph_sql()}),
+        bands AS (
+          SELECT doc_id, perm // 4 AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY perm) AS bkey
+          FROM sigs GROUP BY 1, 2
+        ),
+        hits AS (
+          SELECT DISTINCT n.doc_id, n.band
+          FROM bands n JOIN bands h
+            ON h.band = n.band AND h.bkey = n.bkey
+           AND n.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+        ),
+        c AS (SELECT doc_id, count(*)::BIGINT AS nb FROM hits GROUP BY 1)
+        SELECT d.doc_id, coalesce(c.nb, 0)::BIGINT AS n_hit_bands,
+               coalesce(c.nb, 0) > 0 AS dropped
+        FROM documents d LEFT JOIN c USING (doc_id)
+        WHERE d.doc_id % 2 = 1
+    """,
     "incremental_dedup": """
         SELECT b.doc_id FROM documents b
         WHERE b.doc_id % 2 = 1 AND NOT EXISTS (

@@ -4426,6 +4426,7 @@ from hg_dedup_ray.pipelines.webclean import (  # noqa: E402
     dedup_aware_split,
     deterministic_shuffle,
     incremental_dedup,
+    incremental_near_dedup,
     split_leakage_report,
     json_props_stats,
     pack_sequences,
@@ -4515,6 +4516,7 @@ QUERIES = {
     "lsh_param_sweep": lsh_param_sweep,
     "jaccard_dup_clusters": jaccard_dup_clusters,
     "incremental_dedup": incremental_dedup,
+    "incremental_near_dedup": incremental_near_dedup,
     "bloom_dedup_report": bloom_dedup_report,
     "dup_rate_by_source": dup_rate_by_source,
     "source_overlap_matrix": source_overlap_matrix,

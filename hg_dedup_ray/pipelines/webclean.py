@@ -1468,3 +1468,125 @@ def boilerplate_line_strip(sf_dir: str, min_df: int = 3):
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         strip, batch_format="pyarrow", batch_size=4096
     )
+
+
+# ------------------------------------------------ incremental_near_dedup
+
+
+def incremental_near_dedup(sf_dir: str, num_bands: int = 32, band_r: int = 4):
+    """Cross-snapshot NEAR-dup dedup: for every NEW-snapshot doc, count
+    how many of its MinHash-LSH band buckets collide with any HISTORY
+    doc, and drop on any collision — the production monthly-crawl
+    pattern (SlimPajama-style: LSH bucket membership IS the dup verdict,
+    no pairwise verification stage). Snapshots are carved like
+    ``incremental_dedup``: history = doc_id % 2 == 0, new = the rest.
+
+    Output per new doc: (doc_id, n_hit_bands, dropped). Scale shape:
+    only (bkey:u64, doc_id) band rows shuffle (32 x 8 B per doc, never
+    text); the hot-key prefilter drops the overwhelmingly-singleton
+    buckets first (a collision needs key multiplicity >= 2); per coarse
+    bkey%64 group one lexsort finds runs containing a history doc; the
+    surviving hit rows are dup-bounded and resolve on the driver. The
+    u64 band-key fold stands in for the r-tuple (functions/minhash.
+    oph_band_keys); the oracle keys on the exact tuple via string_agg."""
+    from hg_dedup_ray.functions.minhash import make_band_rows
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    rows = docs.map_batches(
+        make_band_rows(num_bands=num_bands, band_r=band_r),
+        batch_format="pyarrow",
+        batch_size=2048,
+    ).materialize()
+
+    def new_side_report(hits_map):
+        """(sorted new ids -> hit counts) applied as one filter scan."""
+        hit_ids, hit_counts = hits_map
+
+        def report(batch: pa.Table) -> pa.Table:
+            from hg_dedup_ray.stages.broadcast import get_broadcast
+
+            hi, hc = get_broadcast(hit_ids), get_broadcast(hit_counts)
+            d = batch["doc_id"].to_numpy(zero_copy_only=False)
+            b = batch.filter(pa.array(d % 2 == 1))
+            dn = b["doc_id"].to_numpy(zero_copy_only=False)
+            cnt = np.zeros(dn.shape[0], np.int64)
+            if hi.shape[0]:
+                pos = np.searchsorted(hi, dn)
+                m = (pos < hi.shape[0]) & (
+                    hi[np.minimum(pos, hi.shape[0] - 1)] == dn
+                )
+                cnt[m] = hc[pos[m]]
+            return pa.table(
+                {
+                    "doc_id": pa.array(dn, pa.int64()),
+                    "n_hit_bands": pa.array(cnt, pa.int64()),
+                    "dropped": pa.array(cnt > 0, pa.bool_()),
+                }
+            )
+
+        return report
+
+    empty_map = (
+        ray.put(np.empty(0, np.int64)),
+        ray.put(np.empty(0, np.int64)),
+    )
+    ids_only = _docs(sf_dir, columns=["doc_id"])
+    hot = hot_u64_keys(rows, "bkey")
+    if hot.shape[0] == 0:
+        return ids_only.map_batches(
+            new_side_report(empty_map), batch_format="pyarrow"
+        )
+    hot_ref = ray.put(hot)
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        h = get_broadcast(hot_ref)
+        bk = batch["bkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(h, bk)
+        mask = (pos < h.shape[0]) & (h[np.minimum(pos, h.shape[0] - 1)] == bk)
+        b = batch.filter(pa.array(mask))
+        return b.append_column(
+            "cb",
+            pa.array(
+                (b["bkey"].to_numpy(zero_copy_only=False) % 64).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def hit_rows(group: pa.Table) -> pa.Table:
+        bk = group["bkey"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, bk))
+        bk, did = bk[order], did[order]
+        new = np.concatenate(([True], bk[1:] != bk[:-1]))
+        run_id = np.cumsum(new) - 1
+        has_hist = np.zeros(run_id[-1] + 1 if run_id.shape[0] else 0, bool)
+        np.logical_or.at(has_hist, run_id, did % 2 == 0)
+        m = has_hist[run_id] & (did % 2 == 1)
+        return pa.table({"doc_id": pa.array(did[m], pa.int64())})
+
+    hit_tab = (
+        rows.map_batches(hot_only, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(hit_rows, batch_format="pyarrow")
+    )
+    parts = []
+    for b in hit_tab.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        if len(b):
+            parts.append(b["doc_id"].to_numpy(zero_copy_only=False))
+    if parts:
+        allhits = np.concatenate(parts)
+        hit_ids, hit_counts = np.unique(allhits, return_counts=True)
+        hits_map = (
+            ray.put(hit_ids.astype(np.int64)),
+            ray.put(hit_counts.astype(np.int64)),
+        )
+    else:
+        hits_map = empty_map
+    return ids_only.map_batches(
+        new_side_report(hits_map), batch_format="pyarrow"
+    )

@@ -603,3 +603,41 @@ def test_boilerplate_line_strip_planted(ray_session, tmp_path):
         .set_index("doc_id")
     )
     assert (got[exp.columns].to_numpy() == exp.to_numpy()).all()
+
+
+def test_incremental_near_dedup_supersets_exact(ray_session, tmp_path):
+    """Any new doc whose text exactly matches a history doc shares ALL
+    32 band buckets — the near-dup drop set must contain every exact
+    cross-snapshot dup; unrelated new docs must be kept."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.webclean import incremental_near_dedup
+
+    rng = np.random.default_rng(5)
+    words = [f"t{i:03d}" for i in range(300)]
+    base = " ".join(rng.choice(words, 60))
+    texts = [
+        base,                                   # 0 history
+        base,                                   # 1 new: exact cross dup
+        " ".join(rng.choice(words, 60)),        # 2 history
+        None,                                   # 3 new: near variant of 2
+        " ".join(rng.choice(words, 60)),        # 4 history
+        " ".join(rng.choice(words, 60)),        # 5 new: unrelated
+    ]
+    texts[3] = texts[2][: len(texts[2]) - 10] + " extraword"
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    near = (
+        incremental_near_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+    )
+    assert sorted(near.index) == [1, 3, 5]
+    assert near.loc[1, "dropped"] and near.loc[1, "n_hit_bands"] == 32
+    assert near.loc[3, "dropped"]  # near variant shares >= 1 band
+    assert not near.loc[5, "dropped"] and near.loc[5, "n_hit_bands"] == 0
