@@ -1355,6 +1355,29 @@ ORACLE_SQL = {
         FROM grams JOIN mins USING (g)
         GROUP BY doc_id
     """,
+    "onion_dedup": r"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        grams AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(w) - 4, 0) + 1),
+                       i -> array_to_string(w[i:i+4], ' ')))) AS g
+            FROM words
+        ),
+        mins AS (SELECT g, min(doc_id) AS m FROM grams GROUP BY g),
+        nov AS (
+          SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+                 sum(CASE WHEN m < doc_id THEN 1 ELSE 0 END)::BIGINT
+                     AS n_stale_ngrams
+          FROM grams JOIN mins USING (g)
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_ngrams, n_stale_ngrams,
+               (2 * n_stale_ngrams < n_ngrams) AS kept
+        FROM nov
+    """,
     "dup_ngram_stats": r"""
         WITH words AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

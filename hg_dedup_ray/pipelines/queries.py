@@ -4395,6 +4395,7 @@ from hg_dedup_ray.pipelines.sketches import (  # noqa: E402
     dup_ngram_stats,
     heavy_hitter_tokens,
     ngram_novelty,
+    onion_dedup,
 )
 from hg_dedup_ray.pipelines.curation import (  # noqa: E402
     cluster_balanced_sample,
@@ -4496,6 +4497,7 @@ QUERIES = {
     "distinct_token_counts": distinct_token_counts,
     "dup_ngram_stats": dup_ngram_stats,
     "ngram_novelty": ngram_novelty,
+    "onion_dedup": onion_dedup,
     "approx_distinct_hll": approx_distinct_hll,
     "approx_distinct_kmv": approx_distinct_kmv,
     "approx_counts_cms": approx_counts_cms,

@@ -681,3 +681,25 @@ def approx_counts_cms(sf_dir: str, depth: int = CMS_DEPTH, width: int = CMS_WIDT
             "est_count": pa.array([c for _, c in rows], pa.int64()),
         }
     )
+
+
+def onion_dedup(sf_dir: str, n: int = DUP_NGRAM_N):
+    """ONION-style document-level dedup APPLY (Pomikalek 2011, the
+    method behind many web-corpus cleanups): a doc is DROPPED when at
+    least half of its distinct word-n-grams already appeared in a
+    strictly earlier doc — the keep-first-aware staleness rule
+    ``ngram_novelty`` computes. Output per gram-bearing doc:
+    (doc_id, n_ngrams, n_stale_ngrams, kept) with the keep flag an
+    integer cross-multiplication (2*stale < total), so the verdict is
+    engine-exact. Pure composition: the novelty pass's scale shape
+    (hot-key prefilter, dup-bounded broadcast) is unchanged; the flag
+    is one vectorized map."""
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ng = batch["n_ngrams"].to_numpy(zero_copy_only=False)
+        st = batch["n_stale_ngrams"].to_numpy(zero_copy_only=False)
+        return batch.append_column("kept", pa.array(2 * st < ng, pa.bool_()))
+
+    return ngram_novelty(sf_dir, n).map_batches(
+        flag, batch_format="pyarrow"
+    )

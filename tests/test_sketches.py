@@ -340,3 +340,36 @@ def test_ngram_novelty_order_aware(ray_session, tmp_path):
     )
     want = c.sql(ORACLE_SQL["ngram_novelty"]).df()
     _cmp(got.reset_index(), want)
+
+
+def test_onion_dedup_keep_first_threshold(ray_session, tmp_path):
+    """The original copy is kept (zero stale), a verbatim re-post is
+    dropped (100% stale), and a doc reusing under half its grams
+    survives the 50% rule."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.sketches import onion_dedup
+
+    rng = np.random.default_rng(3)
+    words = [f"o{i:03d}" for i in range(200)]
+    orig = " ".join(rng.choice(words, 30))
+    fresh = " ".join(rng.choice(words, 26))
+    # 30-word doc: first 10 words copied from orig -> 6 stale 5-grams
+    # of 26 total, under 50%
+    partial = " ".join(orig.split()[:10]) + " " + fresh[: len(fresh)]
+    texts = [orig, orig, partial]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = onion_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert bool(got.loc[0, "kept"]) and got.loc[0, "n_stale_ngrams"] == 0
+    assert not bool(got.loc[1, "kept"])
+    assert got.loc[1, "n_stale_ngrams"] == got.loc[1, "n_ngrams"]
+    assert bool(got.loc[2, "kept"])
+    assert 0 < got.loc[2, "n_stale_ngrams"] < got.loc[2, "n_ngrams"]
