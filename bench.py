@@ -146,6 +146,8 @@ def run_bench() -> dict:
             "curation_cascade",
             "paragraph_dedup",
             "ngram_novelty",
+            "dup_ngram_coverage",
+            "incremental_near_dedup",
         ]
     for name in bench_queries:
         t0 = time.time()
