@@ -1477,6 +1477,35 @@ ORACLE_SQL = {
         )
         SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
     """,
+    "containment_clusters": """
+        WITH RECURSIVE shingles AS (
+          SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, greatest(length(text) - 7, 0) + 1),
+              i -> substr(text, i, 8)))) AS sh
+          FROM documents
+        ),
+        counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ua, b.doc_id AS ub, count(*) AS i
+          FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT ua, ub FROM inter
+          JOIN counts ca ON ca.doc_id = ua JOIN counts cb ON cb.doc_id = ub
+          WHERE i * 1.0 / least(ca.n, cb.n) >= 0.6
+        ),
+        edges AS (SELECT ua AS u, ub AS v FROM pairs
+                  UNION SELECT ub, ua FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.u, w.lab FROM walk w JOIN edges e ON e.v = w.n
+          WHERE w.lab < e.u
+        )
+        SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
+    """,
     # new-snapshot docs sharing ANY band bucket with a history doc are
     # dropped (bucket membership IS the verdict — no verify stage); the
     # oracle keys bands on the exact sig tuple via string_agg where the

@@ -2134,6 +2134,46 @@ def jaccard_dup_clusters(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def containment_clusters(sf_dir: str, threshold: float = 0.6):
+    """Cluster assignments over the exact max-CONTAINMENT pair graph —
+    the boilerplate-family grouping (a short page quoted inside many
+    hosts chains its hosts into one component) that the Jaccard closure
+    misses at large size ratios. Same driver: answer-sized containment
+    edges from the PPJoin cascade's containment mode, min-label
+    components (driver union-find below the edge limit, groupby
+    min-label rounds above)."""
+    from hg_dedup_ray.state.cluster import (
+        distributed_min_label,
+        union_find_clusters,
+    )
+
+    edges: list[tuple[int, int, int, int]] = []
+    for b in ngram_containment_pairs(sf_dir, threshold).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        a = b["doc_id_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_id_b"].to_numpy(zero_copy_only=False)
+        edges.extend(
+            (int(x), int(y), int(x), int(y)) for x, y in zip(a, bb)
+        )
+    resolve = (
+        union_find_clusters if len(edges) <= 1_000_000 else distributed_min_label
+    )
+    labels = resolve(edges)
+    ids = np.array(sorted(labels), dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    np.array([labels[i] for i in ids], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+
+
 def corpus_stats(sf_dir: str):
     """Per (lang, source) doc counts and char sums — metrics aggregation
     (SURVEY.md A3)."""
@@ -4517,6 +4557,7 @@ QUERIES = {
     "lsh_recall_report": lsh_recall_report,
     "lsh_param_sweep": lsh_param_sweep,
     "jaccard_dup_clusters": jaccard_dup_clusters,
+    "containment_clusters": containment_clusters,
     "incremental_dedup": incremental_dedup,
     "incremental_near_dedup": incremental_near_dedup,
     "bloom_dedup_report": bloom_dedup_report,

@@ -333,3 +333,40 @@ def test_normalized_exact_dedup_collapses_cosmetic_variants(
     assert kept == [0, 3, 5]
     # plain exact dedup keeps everything — the variants are invisible
     assert len(exact_dedup(str(tmp_path)).to_pandas()) == len(texts)
+
+
+def test_containment_clusters_chain_boilerplate_family(ray_session, tmp_path):
+    """A short snippet quoted whole inside TWO unrelated long hosts
+    chains all three into one containment component — the boilerplate
+    family grouping the Jaccard closure misses entirely."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import (
+        containment_clusters,
+        jaccard_dup_clusters,
+    )
+
+    rng = np.random.default_rng(21)
+    words = [f"c{i:03d}" for i in range(500)]
+    snippet = " ".join(rng.choice(words, 12))
+    host_a = " ".join(rng.choice(words, 70)) + " " + snippet
+    host_b = snippet + " " + " ".join(rng.choice(words, 70))
+    other = " ".join(rng.choice(words, 50))
+    texts = [snippet, host_a, host_b, other]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = containment_clusters(str(tmp_path), threshold=0.9).to_pandas()
+    lab = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert lab.get(0) == lab.get(1) == lab.get(2) == 0
+    assert 3 not in lab
+    jac = jaccard_dup_clusters(str(tmp_path), threshold=0.6).to_pandas()
+    # an all-empty Ray dataset may drop its column schema in to_pandas
+    jac_ids = set(jac["doc_id"]) if len(jac) else set()
+    assert 0 not in jac_ids  # jaccard sees no family at all
