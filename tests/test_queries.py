@@ -370,3 +370,66 @@ def test_containment_clusters_chain_boilerplate_family(ray_session, tmp_path):
     # an all-empty Ray dataset may drop its column schema in to_pandas
     jac_ids = set(jac["doc_id"]) if len(jac) else set()
     assert 0 not in jac_ids  # jaccard sees no family at all
+
+
+@pytest.mark.parametrize("metric,thresholds", [
+    ("jaccard", (0.5, 0.7, 0.9)),
+    ("containment", (0.5, 0.7, 0.9)),
+])
+def test_pair_cascade_randomized_brute_force(
+    ray_session, tmp_path, metric, thresholds
+):
+    """Randomized exactness sweep: the PPJoin cascade (every filter —
+    prefix, positional, pre-filters — active) must equal brute-force
+    distinct-8-byte-shingle set comparison on corpora built to stress
+    overlap structure: clone groups, partial prefixes, subset
+    inclusions, shared boilerplate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import ngram_jaccard_exact_pairs
+
+    rng = np.random.default_rng(hash(metric) % 2**31)
+    words = [f"r{i:03d}" for i in range(80)]  # small vocab -> heavy overlap
+    texts = []
+    for _ in range(6):
+        texts.append(" ".join(rng.choice(words, int(rng.integers(8, 50)))))
+    texts.append(texts[0])                       # exact clone
+    texts.append(texts[1] + " tail extra")       # superset of 1
+    texts.append(" ".join(texts[2].split()[:6])) # prefix subset of 2
+    boiler = " ".join(rng.choice(words, 10))
+    texts.append(boiler + " " + texts[3])        # boilerplate + 3
+    texts.append(boiler + " unique ending here") # boilerplate + fresh
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+
+    sh = [
+        {t[i : i + 8] for i in range(len(t) - 7)} for t in texts
+    ]
+    for t in thresholds:
+        expect = set()
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                inter = len(sh[i] & sh[j])
+                if not inter:
+                    continue
+                denom = (
+                    min(len(sh[i]), len(sh[j]))
+                    if metric == "containment"
+                    else len(sh[i] | sh[j])
+                )
+                if denom and inter / denom >= t:
+                    expect.add((i, j))
+        got = ngram_jaccard_exact_pairs(
+            str(tmp_path), threshold=t, metric=metric
+        ).to_pandas()
+        pairs = (
+            set(zip(got["doc_id_a"], got["doc_id_b"])) if len(got) else set()
+        )
+        assert pairs == expect, (metric, t, pairs ^ expect)
