@@ -641,11 +641,18 @@ def dedup_drop_tiers(sf_dir: str):
 
 
 def minhash_jaccard_estimate_pairs(
-    sf_dir: str, num_bands: int = 32, band_r: int = 4
+    sf_dir: str, num_bands: int = 32, band_r: int = 4, emit_b1: bool = False
 ):
     """(doc_id_a, doc_id_b, n_match_perms, est_jaccard) for every LSH
     band-candidate pair at the b=32 / r=4 production banding: estimated
     Jaccard = fraction of the 128 OPH signature cells that agree.
+
+    ``emit_b1=True`` (the ``bbit_minhash_estimate_pairs`` query) adds
+    the 1-bit-minhash columns (Li & Koenig 2010): keep only each cell's
+    LOW BIT — 64x less signature storage at scale — count bit
+    agreements, and debias with E[agree | J=0] = 1/2:
+    est = 2*(n_match_bits/128) - 1, clamped at 0. Both estimates are
+    dyadic rationals (k/128), bit-exact against the SQL division.
 
     Shares the signature + band kernels with minhash_band_clusters (the
     oracle recomputes both in SQL). Candidate pairs expand per coarse
@@ -789,19 +796,31 @@ def minhash_jaccard_estimate_pairs(
     ia = np.searchsorted(sid, a)
     ib = np.searchsorted(sid, b)
     match = (smat[ia] == smat[ib]).sum(axis=1).astype(np.int64)
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_id_a": pa.array(a, pa.int64()),
-                "doc_id_b": pa.array(b, pa.int64()),
-                "n_match_perms": pa.array(match, pa.int64()),
-                # match/128 is a dyadic rational — bit-exact vs the SQL
-                # division, no rounding (round-half cases differ between
-                # DuckDB half-up and numpy half-even)
-                "est_jaccard": pa.array(match / float(num_perm), pa.float64()),
-            }
+    cols = {
+        "doc_id_a": pa.array(a, pa.int64()),
+        "doc_id_b": pa.array(b, pa.int64()),
+        "n_match_perms": pa.array(match, pa.int64()),
+        # match/128 is a dyadic rational — bit-exact vs the SQL
+        # division, no rounding (round-half cases differ between
+        # DuckDB half-up and numpy half-even)
+        "est_jaccard": pa.array(match / float(num_perm), pa.float64()),
+    }
+    if emit_b1:
+        one = np.uint64(1)
+        bits = ((smat[ia] & one) == (smat[ib] & one)).sum(axis=1).astype(
+            np.int64
         )
-    )
+        cols["n_match_bits"] = pa.array(bits, pa.int64())
+        cols["est_jaccard_b1"] = pa.array(
+            np.maximum(2.0 * bits / float(num_perm) - 1.0, 0.0), pa.float64()
+        )
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def bbit_minhash_estimate_pairs(sf_dir: str):
+    """1-bit-minhash Jaccard estimation (Li & Koenig 2010) over the LSH
+    candidate pairs — see ``minhash_jaccard_estimate_pairs(emit_b1)``."""
+    return minhash_jaccard_estimate_pairs(sf_dir, emit_b1=True)
 
 
 # ----------------------------------------------------- substring counting

@@ -1731,6 +1731,36 @@ ORACLE_SQL = {
         JOIN sigs sb ON sb.doc_id = c.ub AND sb.perm = sa.perm
         GROUP BY 1, 2
     """,
+    # 1-bit minhash (Li & Koenig 2010): agreement of each cell's LOW BIT,
+    # debiased with E[agree | J=0] = 1/2: est = max(2*A - 1, 0). All
+    # values dyadic (k/128) — bit-exact division both engines.
+    "bbit_minhash_estimate_pairs": f"""
+        WITH sigs AS ({_oph_sql()}),
+        bands AS (
+          SELECT doc_id, perm // 4 AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY perm) AS bkey
+          FROM sigs GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS ua, b.doc_id AS ub
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT c.ua AS doc_id_a, c.ub AS doc_id_b,
+               sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)::BIGINT
+                   AS n_match_perms,
+               sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                     / 128.0 AS est_jaccard,
+               sum(CASE WHEN sa.sig % 2 = sb.sig % 2 THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_match_bits,
+               greatest(2 * (sum(CASE WHEN sa.sig % 2 = sb.sig % 2
+                                      THEN 1 ELSE 0 END) / 128.0) - 1, 0)
+                   AS est_jaccard_b1
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.ua
+        JOIN sigs sb ON sb.doc_id = c.ub AND sb.perm = sa.perm
+        GROUP BY 1, 2
+    """,
     # Near-dup REMOVAL: keep only the min-doc_id member of every LSH
     # band cluster (same CTE chain as minhash_band_clusters) plus all
     # unclustered docs.

@@ -4409,6 +4409,7 @@ from hg_dedup_ray.pipelines.corpus_ops import (  # noqa: E402
     bm25_topk,
     dedup_drop_tiers,
     dup_rate_by_source,
+    bbit_minhash_estimate_pairs,
     minhash_jaccard_estimate_pairs,
     near_dedup_keep_first,
     near_dedup_keep_longest,
@@ -4567,6 +4568,7 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "prefix_dup_docs": prefix_dup_docs,
     "minhash_jaccard_estimate_pairs": minhash_jaccard_estimate_pairs,
+    "bbit_minhash_estimate_pairs": bbit_minhash_estimate_pairs,
     "near_dedup_keep_first": near_dedup_keep_first,
     "near_dedup_keep_longest": near_dedup_keep_longest,
     "near_dedup_keep_tiered": near_dedup_keep_tiered,

@@ -344,3 +344,18 @@ def test_dedup_drop_tiers_planted(ray_session, tmp_path):
         .sort_values("doc_id", ignore_index=True)
     )
     assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_bbit_minhash_estimator_properties(ray_session):
+    """1-bit estimates: bit agreements >= full-cell agreements (a cell
+    match forces a bit match), exact clones estimate 1.0 on both, and
+    the debiased b1 estimate stays in [0, 1]."""
+    from hg_dedup_ray.pipelines.corpus_ops import bbit_minhash_estimate_pairs
+
+    t = bbit_minhash_estimate_pairs("/root/testdata/sf0.001").to_pandas()
+    assert len(t) > 0
+    assert (t["n_match_bits"] >= t["n_match_perms"]).all()
+    assert ((t["est_jaccard_b1"] >= 0) & (t["est_jaccard_b1"] <= 1)).all()
+    full = t[t["n_match_perms"] == 128]
+    assert len(full) > 0  # the fixture has exact clones
+    assert (full["est_jaccard_b1"] == 1.0).all()
