@@ -8,7 +8,7 @@ here (or in hg_dedup_ray) calls ``ray.init``/``ray.shutdown``.
 - ``queries()``: one callable per implemented operator (SURVEY.md §2 +
   the training-data ops); each takes ``sf_dir``.
 - ``oracle_sql()``: DuckDB-equivalent SQL for the SQL-expressible subset
-  (107 of 123 queries, incl. MinHash/SimHash sigs+clusters, LSH cascades,
+  (107 of 124 queries, incl. MinHash/SimHash sigs+clusters, LSH cascades,
   Bloom dedup, dedup-aware splits and k-means). The 15 rows-only entries
   are the media decode triad, the suffix-array flagship journeys
   (reference-parity-tested against the real compiled engine), cross-doc

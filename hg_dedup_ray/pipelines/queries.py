@@ -2733,6 +2733,60 @@ def checkpoint_manifest_report(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def run_metrics_summary(sf_dir: str):
+    """ONE-ROW run rollup of a resumable flagship run — the "bytes
+    indexed, candidate pairs, spans removed" metrics clause of the
+    north-star as a publishable record: partition/doc/byte totals from
+    the per-partition manifests plus the cross-partition candidate
+    stage's counts (dup-set urls, cluster assignments). Reads only
+    manifests and the two answer-sized candidate artifacts, never the
+    corpus."""
+    import shutil
+    import tempfile
+
+    from hg_dedup_ray.pipelines.resumable import run_dedup_resumable
+    from hg_dedup_ray.state.checkpoint import (
+        load_candidates,
+        load_completed_parts,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="hgdr_metrics_")
+    try:
+        cfg = DedupConfig(
+            minlen=64, num_partitions=4, shingle_k=8,
+            seq_col="doc_id", id_col="doc_id", text_col="text",
+        )
+        run_dedup_resumable(f"{sf_dir}/documents.parquet", out_dir, cfg)
+        ckpt = f"{out_dir}/_ckpt"
+        parts = load_completed_parts(ckpt, cfg)
+        cand = load_candidates(ckpt, cfg)
+        xranges, clusters = cand if cand is not None else ({}, {})
+        ms = list(parts.values())
+        n_spans = sum(len(rr) for rr in xranges.values())
+        return pa.table(
+            {
+                "n_partitions": pa.array([len(ms)], pa.int64()),
+                "n_docs": pa.array(
+                    [sum(m["n_docs"] for m in ms)], pa.int64()
+                ),
+                "bytes_indexed": pa.array(
+                    [sum(m["corpus_bytes"] for m in ms)], pa.int64()
+                ),
+                "n_local_ranges": pa.array(
+                    [sum(m["n_local_ranges"] for m in ms)], pa.int64()
+                ),
+                "n_removed_bytes": pa.array(
+                    [sum(m["n_removed_bytes"] for m in ms)], pa.int64()
+                ),
+                "n_cross_spans": pa.array([n_spans], pa.int64()),
+                "n_dupset_urls": pa.array([len(xranges)], pa.int64()),
+                "n_clustered_urls": pa.array([len(clusters)], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 # ------------------------------------------------------------- multimodal
 def _multimodal(sf_dir: str, kind: str, stage_cls, batch_size: int, **kw):
     from hg_dedup_ray.stages import multimodal as mm
@@ -4506,6 +4560,7 @@ QUERIES = {
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "sa_dedup_resumable": sa_dedup_resumable,
     "checkpoint_manifest_report": checkpoint_manifest_report,
+    "run_metrics_summary": run_metrics_summary,
     "image_features": image_features,
     "audio_features": audio_features,
     "video_frame_sample": video_frame_sample,

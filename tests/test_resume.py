@@ -158,3 +158,28 @@ def test_checkpoint_manifest_report(ray_session):
     # order-contiguous partitioning: ranges must not overlap
     s = t.sort_values("part")
     assert (s["doc_seq_min"].values[1:] > s["doc_seq_max"].values[:-1]).all()
+
+
+def test_run_metrics_summary_conservation(ray_session):
+    """The one-row rollup conserves what the per-partition manifests
+    report, and bytes_indexed equals the fixture's total text bytes."""
+    import duckdb
+
+    from hg_dedup_ray.pipelines.queries import (
+        checkpoint_manifest_report,
+        run_metrics_summary,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s = run_metrics_summary(sf).to_pandas().iloc[0]
+    parts = checkpoint_manifest_report(sf).to_pandas()
+    assert s["n_partitions"] == len(parts) == 4
+    assert s["n_docs"] == parts["n_docs"].sum() == 500
+    assert s["bytes_indexed"] == parts["corpus_bytes"].sum()
+    assert s["n_removed_bytes"] == parts["n_removed_bytes"].sum()
+    want = duckdb.sql(
+        f"SELECT sum(strlen(text)) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    # the indexed corpus adds ONE document-boundary sentinel byte per doc
+    assert s["bytes_indexed"] == want + s["n_docs"]
+    assert s["n_cross_spans"] >= 0 and s["n_clustered_urls"] > 0
