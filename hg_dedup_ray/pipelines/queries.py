@@ -619,6 +619,49 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, num_buckets: int = 
     if pairs.count() == 0:
         return empty
 
+    # Candidate CLOSURE: the routing may emit star edges (member ->
+    # bucket representative) instead of every within-bucket pair — for
+    # keep-first dedup that is enough, but THIS query wants all pairs.
+    # Any true pair's endpoints share a bucket (winnow >= minlen
+    # guarantee / minhash bands) and every bucket member connects to its
+    # representative, so expanding to ALL pairs within each connected
+    # component of the candidate graph restores exactness. The expansion
+    # is answer-order-bounded: a c-clone component genuinely HAS ~C(c,2)
+    # true pairs at high thresholds. (Found by the sf0.1 oracle sweep:
+    # a 4-clone cluster emitted the star but not one member-member pair.)
+    from hg_dedup_ray.state.cluster import union_find_clusters
+
+    es, eb = [], []
+    for b in pairs.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        es.append(b["seq_a"].to_numpy(zero_copy_only=False))
+        eb.append(b["seq_b"].to_numpy(zero_copy_only=False))
+    ea, ebb = np.concatenate(es), np.concatenate(eb)
+    labels = union_find_clusters(
+        [(int(x), int(y), int(x), int(y)) for x, y in zip(ea, ebb)]
+    )
+    mem = np.array(sorted(labels), dtype=np.int64)
+    lab = np.array([labels[i] for i in mem], dtype=np.int64)
+    order_l = np.argsort(lab, kind="stable")
+    mem, lab = mem[order_l], lab[order_l]
+    new_grp = np.concatenate(([True], lab[1:] != lab[:-1]))
+    grp_id = np.cumsum(new_grp) - 1
+    grp_len = np.bincount(grp_id)
+    grp_start = np.cumsum(grp_len) - grp_len
+    local = np.arange(mem.shape[0]) - grp_start[grp_id]
+    rep_n = (grp_len[grp_id] - 1 - local).astype(np.int64)
+    tot = int(rep_n.sum())
+    a_idx = np.repeat(np.arange(mem.shape[0]), rep_n)
+    seg = np.cumsum(rep_n) - rep_n
+    b_idx = a_idx + (np.arange(tot) - seg[a_idx] + 1)
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "seq_a": pa.array(mem[a_idx], pa.int64()),
+                "seq_b": pa.array(mem[b_idx], pa.int64()),
+            }
+        )
+    )
+
     def to_member_rows(b: pa.Table) -> pa.Table:
         sa_ = b["seq_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         sb_ = b["seq_b"].to_numpy(zero_copy_only=False).astype(np.uint64)

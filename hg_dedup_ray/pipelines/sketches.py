@@ -625,9 +625,14 @@ def approx_counts_cms(sf_dir: str, depth: int = CMS_DEPTH, width: int = CMS_WIDT
     counters = np.zeros(depth * width, np.int64)
     for t in ray.get(parts.to_arrow_refs()):
         if len(t):
-            counters[t["cell"].to_numpy(zero_copy_only=False)] += t[
-                "cnt"
-            ].to_numpy(zero_copy_only=False)
+            # a block may CONCATENATE several batch outputs, so cell ids
+            # repeat within one table — fancy-index += would keep only
+            # the last occurrence (np.add.at is the duplicate-safe add)
+            np.add.at(
+                counters,
+                t["cell"].to_numpy(zero_copy_only=False),
+                t["cnt"].to_numpy(zero_copy_only=False),
+            )
     ctr_ref = ray.put(counters)
 
     def local_topk(batch: pa.Table) -> pa.Table:

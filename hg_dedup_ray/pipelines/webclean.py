@@ -720,9 +720,13 @@ def deterministic_shuffle(sf_dir: str):
     total = np.zeros(n_buckets, np.int64)
     for t in ray.get(parts.to_arrow_refs()):
         if len(t):
-            total[t["bucket"].to_numpy(zero_copy_only=False)] += t[
-                "cnt"
-            ].to_numpy(zero_copy_only=False)
+            # blocks may concatenate several batch outputs (repeated
+            # bucket ids) — np.add.at, never fancy-index +=
+            np.add.at(
+                total,
+                t["bucket"].to_numpy(zero_copy_only=False),
+                t["cnt"].to_numpy(zero_copy_only=False),
+            )
     base = np.concatenate(([0], np.cumsum(total)[:-1]))
     base_ref = ray.put(base)
 

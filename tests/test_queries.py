@@ -433,3 +433,30 @@ def test_pair_cascade_randomized_brute_force(
             set(zip(got["doc_id_a"], got["doc_id_b"])) if len(got) else set()
         )
         assert pairs == expect, (metric, t, pairs ^ expect)
+
+
+def test_ngram_jaccard_pairs_clone_cluster_all_pairs(ray_session, tmp_path):
+    """Regression: a 4-clone cluster must yield ALL C(4,2)=6 pairs, not
+    just the star around the bucket representative (the candidate
+    closure found missing by the sf0.1 oracle sweep)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(13)
+    words = [f"q{i:03d}" for i in range(300)]
+    clone = " ".join(rng.choice(words, 40))
+    texts = [clone, " ".join(rng.choice(words, 40)), clone,
+             " ".join(rng.choice(words, 40)), clone, clone]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = ngram_jaccard_pairs(str(tmp_path)).to_pandas()
+    pairs = set(zip(got["doc_id_a"], got["doc_id_b"]))
+    assert pairs == {(0, 2), (0, 4), (0, 5), (2, 4), (2, 5), (4, 5)}

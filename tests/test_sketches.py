@@ -373,3 +373,36 @@ def test_onion_dedup_keep_first_threshold(ray_session, tmp_path):
     assert got.loc[1, "n_stale_ngrams"] == got.loc[1, "n_ngrams"]
     assert bool(got.loc[2, "kept"])
     assert 0 < got.loc[2, "n_stale_ngrams"] < got.loc[2, "n_ngrams"]
+
+
+def test_cms_merge_exact_across_many_batches(ray_session, tmp_path):
+    """Regression: the driver counter merge must be duplicate-safe
+    (np.add.at) — Ray concatenates several batch outputs into one block,
+    repeating cell ids, and fancy-index += silently dropped all but the
+    last (caught by the sf0.1 oracle sweep). A no-collision vocabulary
+    over enough docs to span multiple 4096-doc batches must yield
+    estimates equal to TRUE counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.sketches import approx_counts_cms
+
+    rng = np.random.default_rng(9)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = [
+        " ".join(rng.choice(vocab, 8)) for _ in range(10_000)
+    ]  # ~3 internal batches at batch_size=4096
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = approx_counts_cms(str(tmp_path), topk=5).to_pandas()
+    from collections import Counter
+
+    true = Counter(w for t in texts for w in t.split())
+    for _, r in got.iterrows():
+        assert r["est_count"] == true[r["token"]], r["token"]
