@@ -997,6 +997,10 @@ def bm25_topk(sf_dir: str, k: int = BM25_TOPK):
     # collision assumption); all matching is searchsorted over this
     uh = np.sort(token_hashes(pa.array(union_strs, pa.string())))
     nu = uh.shape[0]
+    if nu == 0:
+        # all query docs empty/whitespace-only: no term can match, and
+        # the partial kernels below index u[...] on an empty array
+        return ray.data.from_arrow(empty_out)
     member = np.zeros((nu, qids.shape[0]), np.float64)  # term x query
     for j, ts in enumerate(qterms):
         th = token_hashes(pa.array(ts, pa.string()))

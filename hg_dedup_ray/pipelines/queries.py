@@ -1896,16 +1896,17 @@ def lang_id_confusion(sf_dir: str):
 
     def partials(batch: pa.Table) -> pa.Table:
         pred = textstats.lang_id(batch)["lang_pred"]
-        key = pc.binary_join_element_wise(
-            batch["lang"].cast(pa.string()), pred, "|"
+        # one Arrow C++ group_by over the pair — no string sentinel, so
+        # a lang label containing any separator char cannot corrupt cells
+        t = pa.table(
+            {"lang": batch["lang"].cast(pa.string()), "lang_pred": pred}
         )
-        vc = key.value_counts()
-        sp = pc.split_pattern(vc.field("values"), "|")
+        g = t.group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
         return pa.table(
             {
-                "lang": pc.list_element(sp, 0),
-                "lang_pred": pc.list_element(sp, 1),
-                "partial": vc.field("counts").cast(pa.int64()),
+                "lang": g["lang"],
+                "lang_pred": g["lang_pred"],
+                "partial": g["count_all"].cast(pa.int64()),
             }
         )
 

@@ -1210,11 +1210,13 @@ def split_leakage_report(sf_dir: str, num_buckets: int = 64):
 
 def _paragraph_arrays(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """Split texts on '\\n' -> (flat paragraph values, per-doc paragraph
-    counts, blake2b-8 u64 hash per paragraph). Splitting keeps empty
-    strings (both engines' split semantics agree)."""
-    import hashlib
-
-    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+    counts, u64 hash per paragraph). Splitting keeps empty strings (both
+    engines' split semantics agree). Identity is the module-wide
+    vectorized u64 polynomial hash (``wordgrams.token_hashes``) — same
+    collision stance as the blake2b-8 fp used for whole-doc identity,
+    but one segment-sum over the flat byte buffer instead of one
+    hashlib call per line."""
+    from hg_dedup_ray.functions.wordgrams import token_hashes
 
     lists = pc.split_pattern(text_col, pattern="\n")
     if isinstance(lists, pa.ChunkedArray):
@@ -1224,16 +1226,7 @@ def _paragraph_arrays(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
         .astype(np.int64)
     )
     flat = lists.flatten()
-    buf, off = string_column_bytes(flat)
-    n = off.shape[0] - 1
-    ph = np.zeros(n, np.uint64)
-    mv = memoryview(buf)
-    for i in range(n):
-        ph[i] = int.from_bytes(
-            hashlib.blake2b(mv[off[i]:off[i + 1]], digest_size=8).digest(),
-            "little",
-        )
-    return flat, counts, ph
+    return flat, counts, token_hashes(flat)
 
 
 def paragraph_dedup(sf_dir: str):
@@ -1397,9 +1390,9 @@ def boilerplate_line_strip(sf_dir: str, min_df: int = 3):
     returns (key, df) for keys with df >= 2 only (the dup-bounded
     driver set), thresholded at min_df; the boilerplate hash set
     broadcasts sorted and one stateless pass rebuilds kept_text via
-    ListArray binary_join. Text never shuffles; blake2b-8 stands in
-    for line identity with the same ~2^-64 collision stance as
-    paragraph_dedup."""
+    ListArray binary_join. Text never shuffles; the vectorized u64
+    polynomial hash stands in for line identity with the same ~2^-64
+    collision stance as paragraph_dedup."""
     from hg_dedup_ray.functions.pair_distinct import hot_u64_keys_counts
     from hg_dedup_ray.stages.broadcast import get_broadcast
 

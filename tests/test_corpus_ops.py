@@ -359,3 +359,20 @@ def test_bbit_minhash_estimator_properties(ray_session):
     full = t[t["n_match_perms"] == 128]
     assert len(full) > 0  # the fixture has exact clones
     assert (full["est_jaccard_b1"] == 1.0).all()
+
+
+def test_bm25_all_query_docs_empty(ray_session, tmp_path):
+    """ADVICE r03: whitespace-only query docs -> empty union-term set;
+    the stat/score kernels must not index into an empty term array."""
+    from hg_dedup_ray.pipelines.corpus_ops import bm25_topk
+
+    rows = [
+        (0, "   "),
+        (1, ""),
+        (2, " \t "),
+        (3, "real corpus document with words"),
+        (4, "another corpus document"),
+    ]
+    ds = bm25_topk(_write_docs(tmp_path, rows))
+    assert ds.count() == 0
+    assert ds.schema().names == ["query_id", "doc_id", "rank", "score"]
