@@ -1589,8 +1589,18 @@ def _segment_slices(data: np.ndarray, offsets: np.ndarray, W: int):
     doc_start = offsets[:-1].astype(np.int64)
     doc_end = offsets[1:].astype(np.int64)
     spaces = np.flatnonzero(data == 32)
-    ws = np.sort(np.concatenate([doc_start, spaces + 1]))
+    # empty docs have no words: their doc_start would alias the NEXT
+    # doc's start (double-counting its first word) and, for a trailing
+    # empty doc, index past doc_end — drop them from the word starts.
+    # np.unique likewise collapses a doc-final space's phantom start
+    # (== the next doc's start), and the ok mask drops starts landing
+    # at/after their own doc's end (doc-final space in the last doc).
+    ws = np.unique(
+        np.concatenate([doc_start[doc_end > doc_start], spaces + 1])
+    )
     wdoc = np.searchsorted(offsets, ws, side="right") - 1
+    ok = ws < doc_end[np.minimum(wdoc, doc_end.shape[0] - 1)]
+    ws, wdoc = ws[ok], wdoc[ok]
     first = np.concatenate(([True], wdoc[1:] != wdoc[:-1]))
     wstart_ix = np.flatnonzero(first)
     widx = np.arange(ws.shape[0]) - wstart_ix[np.cumsum(first) - 1]
@@ -3280,23 +3290,37 @@ def video_framehash_near_dup(sf_dir: str, threshold: float = 0.5, num_buckets: i
     return cand.map_batches(verify, batch_format="pyarrow")
 
 
-def _window_keepfirst_ctx(docs, minlen: int):
+def _window_keepfirst_ctx(
+    docs, minlen: int, broadcast_limit: int = 20_000_000
+):
     """Shared passes 1-2 of the doc-internal keep-first window family
     (window_dedup_report / window_ptr_report / window_kept_gaps, plus
     the window tier of dedup_tier_cascade — ``docs`` is any Dataset
     with (doc_id, text) columns): find
     the duplicated (count >= 2) windows and each one's global first
-    (doc_id, pos) key. Returns ``(docs, batch_windows, map_ref)`` where
-    ``map_ref`` is None when the corpus has no duplicated windows and
-    ``batch_windows(batch) -> (hashes, window_doc_row, in_doc_pos,
-    valid_mask, ids)``.
+    (doc_id, pos) key. Returns ``(docs, batch_windows, map_ref,
+    ptrs)`` where ``batch_windows(batch) -> (hashes, window_doc_row,
+    in_doc_pos, valid_mask, ids)`` and exactly one of map_ref/ptrs is
+    set (both None when the corpus has no duplicated windows):
+
+    - ``map_ref`` (<= ``broadcast_limit`` distinct duplicated windows):
+      a ``ray.put`` (sorted hot hashes, first keys) map consumers probe
+      per batch — 16 B per distinct duplicated window.
+    - ``ptrs`` (above the limit): a distributed pointer Dataset
+      (dbucket, doc_id, pos, kept) with one row per OCCURRENCE of a
+      duplicated window — nothing window-map-sized ever lands on the
+      driver; consumers aggregate per doc-bucket (the
+      stages/dupset_join bucketed shape, one extra keys-only shuffle).
 
     Scale shape: two streaming passes over the corpus, neither of which
     shuffles text. Pass 1 streams window hashes and emits each batch-
     distinct hash once (twice when it repeats in-batch), so the global
     count >= 2 test = the hot-window set; pass 2 ships (hash, key) rows
     for HOT windows only (dup-bounded) through a 64-way coarse-bucket
-    segment-min to get each hot window's global first key. u64 rolling
+    segment-min to get each hot window's global first key. The hot
+    PREFILTER itself stays a broadcast array (8 B per distinct dup
+    window, the repo-wide keeper-set budget; hot_u64_keys already
+    shards its reduction). u64 rolling
     hashes stand in for window identity with the same documented
     collision odds as substring_decontaminate (~n^2/2^64). Windows are
     BYTES; the oracles' substr() is characters — identical on the ASCII
@@ -3345,7 +3369,7 @@ def _window_keepfirst_ctx(docs, minlen: int):
     hot = hot_u64_keys(mat, "h")
 
     if hot.shape[0] == 0:
-        return docs, _batch_windows, None
+        return docs, _batch_windows, None, None
     hot_ref = ray.put(hot)
 
     def hot_keys(batch: pa.Table) -> pa.Table:
@@ -3369,6 +3393,36 @@ def _window_keepfirst_ctx(docs, minlen: int):
                 "k": pa.array(key, pa.uint64()),
             }
         )
+
+    if hot.shape[0] > broadcast_limit:
+        # ABOVE-LIMIT PATH: never collect the first-key map. Each
+        # hbucket group holds ALL occurrences of its hot windows, so the
+        # group-local (h, key)-lexsort first IS the global keeper; emit
+        # one (doc_id, pos, kept) pointer row per occurrence, keyed by a
+        # 64-way doc bucket for the consumers' per-doc aggregation.
+        def ptr_rows(group: pa.Table) -> pa.Table:
+            h = group["h"].to_numpy(zero_copy_only=False)
+            k = group["k"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((k, h))
+            h, k = h[order], k[order]
+            kept = np.concatenate(([True], h[1:] != h[:-1]))
+            doc_id = (k >> np.uint64(32)).astype(np.int64)
+            pos = (k & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            return pa.table(
+                {
+                    "dbucket": pa.array(doc_id % 64, pa.int64()),
+                    "doc_id": pa.array(doc_id, pa.int64()),
+                    "pos": pa.array(pos, pa.int64()),
+                    "kept": pa.array(kept.astype(np.uint8), pa.uint8()),
+                }
+            )
+
+        ptrs = (
+            docs.map_batches(hot_keys, batch_format="pyarrow", batch_size=1024)
+            .groupby("hbucket")
+            .map_groups(ptr_rows, batch_format="pyarrow")
+        )
+        return docs, _batch_windows, None, ptrs
 
     def first_key_combine(group: pa.Table) -> pa.Table:
         h = group["h"].to_numpy(zero_copy_only=False)
@@ -3397,10 +3451,12 @@ def _window_keepfirst_ctx(docs, minlen: int):
         or [np.empty(0, np.uint64)]
     )
     order = np.argsort(fh)
-    return docs, _batch_windows, ray.put((fh[order], fk[order]))
+    return docs, _batch_windows, ray.put((fh[order], fk[order])), None
 
 
-def window_dedup_report(sf_dir: str, minlen: int = 64):
+def window_dedup_report(
+    sf_dir: str, minlen: int = 64, broadcast_limit: int = 20_000_000
+):
     """The flagship's keep-first substring-dedup semantics as an
     ORACLE-CHECKED per-doc report: for every ``minlen``-byte window lying
     fully inside a doc, the occurrence with the smallest (doc_id, pos)
@@ -3412,12 +3468,16 @@ def window_dedup_report(sf_dir: str, minlen: int = 64):
     north-star operation restricted to doc-internal windows so DuckDB
     can replicate it exactly (window explode + keep-first + islands).
     Pass 3 re-streams the corpus, probes the broadcast (hot, first-key)
-    map, and folds remove pointers into per-doc islands vectorized."""
-    docs, _batch_windows, map_ref = _window_keepfirst_ctx(
-        _docs(sf_dir, columns=["doc_id", "text"]), minlen
+    map, and folds remove pointers into per-doc islands vectorized;
+    above ``broadcast_limit`` distinct duplicated windows, doc marker
+    rows union the ctx's distributed pointer rows in a 64-way doc-bucket
+    groupby instead (keys+ints only, never text)."""
+    docs, _batch_windows, map_ref, ptrs = _window_keepfirst_ctx(
+        _docs(sf_dir, columns=["doc_id", "text"]), minlen,
+        broadcast_limit=broadcast_limit,
     )
 
-    if map_ref is None:  # no duplicated windows anywhere
+    if map_ref is None and ptrs is None:  # no duplicated windows anywhere
 
         def zeros(batch: pa.Table) -> pa.Table:
             n = len(batch)
@@ -3430,6 +3490,61 @@ def window_dedup_report(sf_dir: str, minlen: int = 64):
             )
 
         return docs.map_batches(zeros, batch_format="pyarrow")
+
+    if ptrs is not None:
+        # bucketed above-limit path: one marker row per doc (kept=2,
+        # pos=-1) unions the pointer rows; each doc bucket folds its
+        # remove pointers into islands vectorized across docs
+        def doc_marker(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = ids.shape[0]
+            return pa.table(
+                {
+                    "dbucket": pa.array(ids % 64, pa.int64()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "pos": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                    "kept": pa.array(np.full(n, 2, np.uint8), pa.uint8()),
+                }
+            )
+
+        def combine(group: pa.Table) -> pa.Table:
+            doc = group["doc_id"].to_numpy(zero_copy_only=False)
+            pos = group["pos"].to_numpy(zero_copy_only=False)
+            kept = group["kept"].to_numpy(zero_copy_only=False)
+            mids = np.sort(doc[kept == 2])
+            n = mids.shape[0]
+            rm = kept == 0
+            d, rp = doc[rm], pos[rm]
+            order = np.lexsort((rp, d))
+            d, rp = d[order], rp[order]
+            idx = np.searchsorted(mids, d)
+            nw = np.bincount(idx, minlength=n).astype(np.int64)
+            rb = np.zeros(n, np.int64)
+            if rp.shape[0]:
+                st = np.flatnonzero(
+                    np.concatenate(
+                        ([True], (d[1:] != d[:-1]) | (rp[1:] - rp[:-1] > minlen))
+                    )
+                )
+                en = np.concatenate((st[1:], [rp.shape[0]]))
+                seg = rp[en - 1] - rp[st] + minlen
+                rb = np.bincount(idx[st], weights=seg, minlength=n).astype(
+                    np.int64
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(mids, pa.int64()),
+                    "n_dup_windows": pa.array(nw, pa.int64()),
+                    "removed_bytes": pa.array(rb, pa.int64()),
+                }
+            )
+
+        return (
+            docs.map_batches(doc_marker, batch_format="pyarrow", batch_size=4096)
+            .union(ptrs)
+            .groupby("dbucket")
+            .map_groups(combine, batch_format="pyarrow")
+        )
 
     def report(batch: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
@@ -3468,7 +3583,9 @@ def window_dedup_report(sf_dir: str, minlen: int = 64):
     return docs.map_batches(report, batch_format="pyarrow", batch_size=1024)
 
 
-def window_ptr_report(sf_dir: str, minlen: int = 64):
+def window_ptr_report(
+    sf_dir: str, minlen: int = 64, broadcast_limit: int = 20_000_000
+):
     """D5/D6 kept-vs-dropped pointer report (reference
     find_dup_ptrs/find_dup_docs, cpp_engine_dedup.h:801-867) under the
     doc-internal window semantics, ORACLE-CHECKED: per doc that touches
@@ -3477,8 +3594,9 @@ def window_ptr_report(sf_dir: str, minlen: int = 64):
     earlier doc. ``dup_doc_report`` keeps the full cross-doc corpus
     formulation (rows-only, reference-parity-tested); this pins the
     same kept/dropped accounting to DuckDB."""
-    docs, _batch_windows, map_ref = _window_keepfirst_ctx(
-        _docs(sf_dir, columns=["doc_id", "text"]), minlen
+    docs, _batch_windows, map_ref, ptrs = _window_keepfirst_ctx(
+        _docs(sf_dir, columns=["doc_id", "text"]), minlen,
+        broadcast_limit=broadcast_limit,
     )
 
     empty = pa.table(
@@ -3488,8 +3606,33 @@ def window_ptr_report(sf_dir: str, minlen: int = 64):
             "n_dropped_ptrs": pa.array([], pa.int64()),
         }
     )
-    if map_ref is None:  # no duplicated windows anywhere
+    if map_ref is None and ptrs is None:  # no duplicated windows anywhere
         return ray.data.from_arrow(empty)
+
+    if ptrs is not None:
+        # bucketed above-limit path: a doc appears in the report iff it
+        # has any pointer row, so no marker union is needed here
+        def combine(group: pa.Table) -> pa.Table:
+            doc = group["doc_id"].to_numpy(zero_copy_only=False)
+            kept = group["kept"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(doc, return_inverse=True)
+            nk = np.bincount(inv[kept == 1], minlength=u.shape[0]).astype(
+                np.int64
+            )
+            nd = np.bincount(inv[kept == 0], minlength=u.shape[0]).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(u, pa.int64()),
+                    "n_kept_ptrs": pa.array(nk, pa.int64()),
+                    "n_dropped_ptrs": pa.array(nd, pa.int64()),
+                }
+            )
+
+        return ptrs.groupby("dbucket").map_groups(
+            combine, batch_format="pyarrow"
+        )
 
     def report(batch: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
@@ -3521,7 +3664,9 @@ def window_ptr_report(sf_dir: str, minlen: int = 64):
     return docs.map_batches(report, batch_format="pyarrow", batch_size=1024)
 
 
-def window_kept_gaps(sf_dir: str, minlen: int = 24):
+def window_kept_gaps(
+    sf_dir: str, minlen: int = 24, broadcast_limit: int = 20_000_000
+):
     """Kept-middle-lengths QA stat (reference
     write_back_to_jsonl_sharded.py:91-111) under the doc-internal window
     semantics, ORACLE-CHECKED: histogram of the gap lengths between two
@@ -3532,15 +3677,51 @@ def window_kept_gaps(sf_dir: str, minlen: int = 24):
     two-island docs on the fixtures)."""
     from ray.data.aggregate import Sum
 
-    docs, _batch_windows, map_ref = _window_keepfirst_ctx(
-        _docs(sf_dir, columns=["doc_id", "text"]), minlen
+    docs, _batch_windows, map_ref, ptrs = _window_keepfirst_ctx(
+        _docs(sf_dir, columns=["doc_id", "text"]), minlen,
+        broadcast_limit=broadcast_limit,
     )
 
     empty = pa.table(
         {"gap_len": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
     )
-    if map_ref is None:  # no duplicated windows anywhere
+    if map_ref is None and ptrs is None:  # no duplicated windows anywhere
         return ray.data.from_arrow(empty)
+
+    if ptrs is not None:
+        # bucketed above-limit path: islands/gaps from each doc bucket's
+        # remove pointers, then the same tiny gap-length groupby-Sum
+        def gaps_group(group: pa.Table) -> pa.Table:
+            kept = group["kept"].to_numpy(zero_copy_only=False)
+            rm = kept == 0
+            d = group["doc_id"].to_numpy(zero_copy_only=False)[rm]
+            rp = group["pos"].to_numpy(zero_copy_only=False)[rm]
+            order = np.lexsort((rp, d))
+            d, rp = d[order], rp[order]
+            g = np.empty(0, np.int64)
+            if rp.shape[0]:
+                st = np.flatnonzero(
+                    np.concatenate(
+                        ([True], (d[1:] != d[:-1]) | (rp[1:] - rp[:-1] > minlen))
+                    )
+                )
+                en = np.concatenate((st[1:], [rp.shape[0]]))
+                same = d[st[1:]] == d[st[:-1]]
+                g = (rp[st[1:]] - (rp[en[:-1] - 1] + minlen))[same]
+            vals, counts = np.unique(g, return_counts=True)
+            return pa.table(
+                {
+                    "gap_len": pa.array(vals, pa.int64()),
+                    "partial": pa.array(counts, pa.int64()),
+                }
+            )
+
+        return (
+            ptrs.groupby("dbucket")
+            .map_groups(gaps_group, batch_format="pyarrow")
+            .groupby("gap_len")
+            .aggregate(Sum("partial", alias_name="n"))
+        )
 
     def gaps(batch: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
@@ -3581,7 +3762,12 @@ def window_kept_gaps(sf_dir: str, minlen: int = 24):
     )
 
 
-def dedup_tier_cascade(sf_dir: str, words_per_seg: int = 16, minlen: int = 64):
+def dedup_tier_cascade(
+    sf_dir: str,
+    words_per_seg: int = 16,
+    minlen: int = 64,
+    broadcast_limit: int = 20_000_000,
+):
     """The TIERED dedup survival report: run the three dedup
     granularities of a web-corpus curation pipeline in sequence — exact
     doc dedup (keep min doc_id per identical text), then segment-level
@@ -3663,9 +3849,70 @@ def dedup_tier_cascade(sf_dir: str, words_per_seg: int = 16, minlen: int = 64):
     t2d, t2b = _sum_rows(cleaned, count_nonempty)
 
     # tier 3: doc-internal keep-first window dedup over the cleaned texts
-    cdocs, bw, map_ref = _window_keepfirst_ctx(cleaned, minlen)
-    if map_ref is None:
+    cdocs, bw, map_ref, ptrs = _window_keepfirst_ctx(
+        cleaned, minlen, broadcast_limit=broadcast_limit
+    )
+    if map_ref is None and ptrs is None:
         t3d, t3b = t2d, t2b
+    elif ptrs is not None:
+        # bucketed above-limit path: marker rows carry each doc's char
+        # length in the pos field; per doc bucket, fold remove pointers
+        # into islands and emit one (docs-surviving, bytes-remaining)
+        # partial row — only 64 tiny rows reach the driver
+        def len_marker(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = _utf8len(batch)
+            return pa.table(
+                {
+                    "dbucket": pa.array(ids % 64, pa.int64()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "pos": pa.array(lens, pa.int64()),
+                    "kept": pa.array(np.full(ids.shape[0], 2, np.uint8), pa.uint8()),
+                }
+            )
+
+        def rem_partial(group: pa.Table) -> pa.Table:
+            doc = group["doc_id"].to_numpy(zero_copy_only=False)
+            pos = group["pos"].to_numpy(zero_copy_only=False)
+            kept = group["kept"].to_numpy(zero_copy_only=False)
+            marker = kept == 2
+            order_m = np.argsort(doc[marker], kind="stable")
+            mids = doc[marker][order_m]
+            lens = pos[marker][order_m]
+            rm = kept == 0
+            d, rp = doc[rm], pos[rm]
+            order = np.lexsort((rp, d))
+            d, rp = d[order], rp[order]
+            rb = np.zeros(mids.shape[0], np.int64)
+            if rp.shape[0]:
+                st = np.flatnonzero(
+                    np.concatenate(
+                        ([True], (d[1:] != d[:-1]) | (rp[1:] - rp[:-1] > minlen))
+                    )
+                )
+                en = np.concatenate((st[1:], [rp.shape[0]]))
+                seg = rp[en - 1] - rp[st] + minlen
+                rb = np.bincount(
+                    np.searchsorted(mids, d[st]), weights=seg,
+                    minlength=mids.shape[0],
+                ).astype(np.int64)
+            rem = lens - rb
+            return pa.table(
+                {
+                    "d": pa.array([int((rem > 0).sum())], pa.int64()),
+                    "b": pa.array([int(rem.sum())], pa.int64()),
+                }
+            )
+
+        parts3 = (
+            cdocs.map_batches(len_marker, batch_format="pyarrow", batch_size=4096)
+            .union(ptrs)
+            .groupby("dbucket")
+            .map_groups(rem_partial, batch_format="pyarrow")
+            .take_all()
+        )
+        t3d = int(sum(r["d"] for r in parts3))
+        t3b = int(sum(r["b"] for r in parts3))
     else:
 
         def remaining(batch: pa.Table) -> pa.Table:

@@ -338,20 +338,25 @@ def supplier_balance_by_region(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def promo_revenue_share(sf_dir: str, broadcast_limit: int = 50_000_000):
+def promo_revenue_share(
+    sf_dir: str, broadcast_limit: int = 50_000_000, num_buckets: int = 64
+):
     """TPC-H-Q14-flavor: share of lineitem revenue from PROMO-type parts.
-    The part side collapses to ONE sorted partkey array + promo bitmask
-    (9 bytes/part — broadcast-class up to ~10^9 parts; a bucketed join
-    like cluster_source_mix's is the documented path beyond
-    ``broadcast_limit``). Lineitem streams once; each batch emits TWO
-    int64 partial sums in 1e-4-dollar units, so the final division is
-    the only float op on either side."""
+    Below ``broadcast_limit`` parts, the part side collapses to ONE
+    sorted partkey array + promo bitmask (9 bytes/part — broadcast-class
+    up to ~10^9 parts) and lineitem streams once, each batch emitting
+    TWO int64 partial sums in 1e-4-dollar units. Above the limit, both
+    sides stream into a bucketed hash join on ``p_partkey %
+    num_buckets`` (the revenue_by_segment shape: side-tagged key rows,
+    groupby bucket, searchsorted gather, per-bucket int64 partials) —
+    nothing part-table-sized ever lands on the driver. Either way the
+    final division is the only float op on either side."""
     from ray.data.aggregate import Sum
 
     from hg_dedup_ray.stages.broadcast import get_broadcast
 
-    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
-    if len(part) == 0:  # empty dim side: empty join, no revenue rows
+    n_part = _read(sf_dir, "part", columns=["p_partkey"]).count()
+    if n_part == 0:  # empty dim side: empty join, no revenue rows
         return pa.table(
             {
                 "promo_revenue": pa.array([], pa.float64()),
@@ -359,22 +364,13 @@ def promo_revenue_share(sf_dir: str, broadcast_limit: int = 50_000_000):
                 "promo_share": pa.array([], pa.float64()),
             }
         )
-    if len(part) > broadcast_limit:  # pragma: no cover - fixture is small
-        raise NotImplementedError(
-            "part table above broadcast limit: route through the bucketed "
-            "hash join (relational.revenue_by_segment shape)"
-        )
-    pk = part["p_partkey"].to_numpy(np.int64)
-    order = np.argsort(pk)
-    dim_ref = ray.put(
-        {
-            "keys": pk[order],
-            "promo": (part["p_type"].to_numpy() == "PROMO")[order],
-        }
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
 
-    def partial(b: pa.Table) -> pa.Table:
-        dim = get_broadcast(dim_ref)
+    def _li_units(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
         cents = np.round(
             b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
@@ -382,27 +378,111 @@ def promo_revenue_share(sf_dir: str, broadcast_limit: int = 50_000_000):
         disc = np.round(
             b["l_discount"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
-        units = cents * (100 - disc)
-        pos = np.searchsorted(dim["keys"], lpk)
-        pos_c = np.minimum(pos, dim["keys"].shape[0] - 1)
-        ok = (pos < dim["keys"].shape[0]) & (dim["keys"][pos_c] == lpk)
-        units = units[ok]  # inner join: drop unmatched lineitems
-        promo = dim["promo"][pos_c[ok]]
-        return pa.table(
+        return lpk, cents * (100 - disc)
+
+    if n_part <= broadcast_limit:
+        part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+        pk = part["p_partkey"].to_numpy(np.int64)
+        order = np.argsort(pk)
+        dim_ref = ray.put(
             {
-                "k": pa.array([0], pa.int64()),
-                "p_promo": pa.array([int(units[promo].sum())], pa.int64()),
-                "p_total": pa.array([int(units.sum())], pa.int64()),
+                "keys": pk[order],
+                "promo": (part["p_type"].to_numpy() == "PROMO")[order],
             }
         )
 
-    agg = (
-        _read(
-            sf_dir,
-            "lineitem",
-            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        def partial(b: pa.Table) -> pa.Table:
+            dim = get_broadcast(dim_ref)
+            lpk, units = _li_units(b)
+            pos = np.searchsorted(dim["keys"], lpk)
+            pos_c = np.minimum(pos, dim["keys"].shape[0] - 1)
+            ok = (pos < dim["keys"].shape[0]) & (dim["keys"][pos_c] == lpk)
+            units = units[ok]  # inner join: drop unmatched lineitems
+            promo = dim["promo"][pos_c[ok]]
+            return pa.table(
+                {
+                    "k": pa.array([0], pa.int64()),
+                    "p_promo": pa.array([int(units[promo].sum())], pa.int64()),
+                    "p_total": pa.array([int(units.sum())], pa.int64()),
+                }
+            )
+
+        partial_rows = lineitem.map_batches(partial, batch_format="pyarrow")
+    else:
+        # bucketed hash join: pre-reduce lineitem to per-(bucket, partkey)
+        # unit sums inside the batch, so the shuffle carries (key, i64)
+        # rows bounded by distinct partkeys per batch, never raw lineitems
+        def part_side(b: pa.Table) -> pa.Table:
+            pk = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            promo = (
+                b["p_type"].to_numpy(zero_copy_only=False) == "PROMO"
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "jbucket": pa.array(pk % num_buckets, pa.int64()),
+                    "side": pa.array(np.zeros(pk.shape[0], np.uint8), pa.uint8()),
+                    "key": pa.array(pk, pa.int64()),
+                    "promo": pa.array(promo, pa.int64()),
+                    "units": pa.array(np.zeros(pk.shape[0], np.int64), pa.int64()),
+                }
+            )
+
+        def li_side(b: pa.Table) -> pa.Table:
+            lpk, units = _li_units(b)
+            keys, inv = np.unique(lpk, return_inverse=True)
+            sums = np.zeros(keys.shape[0], np.int64)
+            np.add.at(sums, inv, units)
+            return pa.table(
+                {
+                    "jbucket": pa.array(keys % num_buckets, pa.int64()),
+                    "side": pa.array(np.ones(keys.shape[0], np.uint8), pa.uint8()),
+                    "key": pa.array(keys.astype(np.int64), pa.int64()),
+                    "promo": pa.array(np.zeros(keys.shape[0], np.int64), pa.int64()),
+                    "units": pa.array(sums, pa.int64()),
+                }
+            )
+
+        def join_reduce(group: pa.Table) -> pa.Table:
+            side = group["side"].to_numpy(zero_copy_only=False)
+            p = group.filter(pa.array(side == 0))
+            li = group.filter(pa.array(side == 1))
+            if len(p) == 0 or len(li) == 0:
+                return pa.table(
+                    {
+                        "k": pa.array([0], pa.int64()),
+                        "p_promo": pa.array([0], pa.int64()),
+                        "p_total": pa.array([0], pa.int64()),
+                    }
+                )
+            pk = p["key"].to_numpy(zero_copy_only=False)
+            order = np.argsort(pk, kind="stable")
+            pk_s = pk[order]
+            promo_s = p["promo"].to_numpy(zero_copy_only=False)[order] != 0
+            lk = li["key"].to_numpy(zero_copy_only=False)
+            units = li["units"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(pk_s, lk)
+            pos_c = np.minimum(pos, pk_s.shape[0] - 1)
+            ok = (pos < pk_s.shape[0]) & (pk_s[pos_c] == lk)
+            units = units[ok]
+            promo = promo_s[pos_c[ok]]
+            return pa.table(
+                {
+                    "k": pa.array([0], pa.int64()),
+                    "p_promo": pa.array([int(units[promo].sum())], pa.int64()),
+                    "p_total": pa.array([int(units.sum())], pa.int64()),
+                }
+            )
+
+        partial_rows = (
+            _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+            .map_batches(part_side, batch_format="pyarrow")
+            .union(lineitem.map_batches(li_side, batch_format="pyarrow"))
+            .groupby("jbucket")
+            .map_groups(join_reduce, batch_format="pyarrow")
         )
-        .map_batches(partial, batch_format="pyarrow")
+
+    agg = (
+        partial_rows
         .groupby("k")
         .aggregate(Sum("p_promo", alias_name="promo_units"),
                    Sum("p_total", alias_name="total_units"))

@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["customer", "orders", "lineitem", "documents"]:
+    for t in ["customer", "orders", "lineitem", "part", "documents"]:
         c.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -406,3 +406,22 @@ def test_cms_merge_exact_across_many_batches(ray_session, tmp_path):
     true = Counter(w for t in texts for w in t.split())
     for _, r in got.iterrows():
         assert r["est_count"] == true[r["token"]], r["token"]
+
+
+def test_promo_revenue_share_bucketed_above_limit(ray_session, con):
+    """VERDICT r03 #2: with broadcast_limit forced below the part count,
+    the bucketed hash-join path must produce bit-identical int64 partial
+    sums (hence identical floats) to the broadcast path AND the oracle."""
+    from hg_dedup_ray.pipelines.oracles import ORACLE_SQL
+    from hg_dedup_ray.pipelines.relational import promo_revenue_share
+
+    broad = _df(promo_revenue_share(SF))
+    bucketed = _df(promo_revenue_share(SF, broadcast_limit=1))
+    for c in ("promo_revenue", "total_revenue", "promo_share"):
+        # exact equality: both paths sum the same int64 units
+        assert broad[c].to_numpy()[0] == bucketed[c].to_numpy()[0], c
+    _cmp(
+        bucketed,
+        con.sql(ORACLE_SQL["promo_revenue_share"]).df(),
+        float_cols=("promo_revenue", "total_revenue", "promo_share"),
+    )

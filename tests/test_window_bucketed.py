@@ -1,0 +1,93 @@
+"""VERDICT r03 #3: the window keep-first family's above-limit path.
+
+With ``broadcast_limit`` forced below the distinct-duplicated-window
+count, ``_window_keepfirst_ctx`` must route through the bucketed pointer
+Dataset (no driver first-key map) and every consumer must produce output
+identical to the broadcast path on a planted high-dup fixture."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sf(tmp_path_factory):
+    """Planted high-dup corpus: a 200-byte boilerplate block pasted into
+    many docs at different offsets (cross-doc window dups), one doc
+    containing the block twice (in-doc dup + a two-island gap), exact
+    clones, and clean docs."""
+    rng = np.random.default_rng(11)
+
+    def rand_text(n):
+        return "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "), n))
+
+    block = "THE LICENSE FOOTER " * 10  # 190 chars, ASCII
+    rows = []
+    for i in range(8):
+        rows.append((i, rand_text(30 * (i + 1)) + block + rand_text(25 * i + 10)))
+    # in-doc double occurrence separated by a wide gap
+    rows.append((8, block + rand_text(400) + block))
+    rows.append((9, rows[3][1]))  # exact clone of doc 3
+    for i in range(10, 16):
+        rows.append((i, rand_text(120 + 7 * i)))
+    rows.append((16, ""))  # empty doc
+    tab = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("window_bucketed")
+    pq.write_table(tab, d / "documents.parquet")
+    return str(d)
+
+
+def _sorted_df(res):
+    df = res.to_pandas() if not isinstance(res, pa.Table) else res.to_pandas()
+    return (
+        df.reindex(sorted(df.columns), axis=1)
+        .sort_values(sorted(df.columns))
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("minlen", [24, 64])
+def test_window_dedup_report_bucketed(ray_session, sf, minlen):
+    from hg_dedup_ray.pipelines.queries import window_dedup_report
+
+    broad = _sorted_df(window_dedup_report(sf, minlen=minlen))
+    assert (broad["n_dup_windows"] > 0).any()  # fixture is non-vacuous
+    bucketed = _sorted_df(
+        window_dedup_report(sf, minlen=minlen, broadcast_limit=1)
+    )
+    assert broad.equals(bucketed)
+
+
+def test_window_ptr_report_bucketed(ray_session, sf):
+    from hg_dedup_ray.pipelines.queries import window_ptr_report
+
+    broad = _sorted_df(window_ptr_report(sf, minlen=64))
+    assert len(broad) > 0
+    bucketed = _sorted_df(window_ptr_report(sf, minlen=64, broadcast_limit=1))
+    assert broad.equals(bucketed)
+
+
+def test_window_kept_gaps_bucketed(ray_session, sf):
+    from hg_dedup_ray.pipelines.queries import window_kept_gaps
+
+    broad = _sorted_df(window_kept_gaps(sf, minlen=24))
+    assert len(broad) > 0  # the two-island doc guarantees >= 1 gap row
+    bucketed = _sorted_df(window_kept_gaps(sf, minlen=24, broadcast_limit=1))
+    assert broad.equals(bucketed)
+
+
+def test_dedup_tier_cascade_bucketed(ray_session, sf):
+    from hg_dedup_ray.pipelines.queries import dedup_tier_cascade
+
+    broad = _sorted_df(dedup_tier_cascade(sf, minlen=24))
+    # the window tier must actually remove bytes on this fixture
+    bb = broad.set_index("tier_no")["n_bytes"]
+    assert int(bb[3]) < int(bb[2])
+    bucketed = _sorted_df(dedup_tier_cascade(sf, minlen=24, broadcast_limit=1))
+    assert broad.equals(bucketed)
