@@ -879,6 +879,9 @@ def ngram_jaccard_exact_pairs(
     >= x - 1e-9 so rounding only ENLARGES the candidate set; the final
     Jaccard test is exact integer inter/union in float64 division,
     matching DuckDB."""
+    import os as _os
+    import time as _time
+
     from hg_dedup_ray.functions.arrow_utils import string_column_bytes
     from hg_dedup_ray.functions.pair_distinct import hot_u64_keys_counts
 
@@ -888,6 +891,12 @@ def ngram_jaccard_exact_pairs(
     K = 8
     EPS = 1e-9
     n_verify_buckets = 16
+    _dbg = bool(_os.environ.get("GRAFT_DEBUG_TIMING"))
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        if _dbg:
+            print(f"[pairs:{metric}] {label}: {_time.time() - _t0:.2f}s")
 
     def _doc_shingles(batch: pa.Table):
         """Distinct (doc, shingle) rows sorted by (doc, shingle):
@@ -949,7 +958,9 @@ def ngram_jaccard_exact_pairs(
     empty = ray.data.from_arrow(
         _pairs_table(np.empty(0, np.uint64), np.empty(0, np.float64))
     )
+    _mark("df-mat")
     hot, dfc = hot_u64_keys_counts(mat, "sh")
+    _mark("hot-keys")
     if hot.shape[0] == 0:
         return empty
     hot_ref = ray.put((hot, dfc))
@@ -1126,12 +1137,83 @@ def ngram_jaccard_exact_pairs(
         prefix_rows, batch_format="pyarrow", batch_size=4096
     )
     if is_cont:
-        # the all-hot-rows index packs into very few post-sort blocks
+        # Containment prefix bound (VERDICT r03 #1): the group-local
+        # partner pre-filter (see expand_candidates) is applied BEFORE
+        # the repartition+groupby shuffle too, so non-viable partner
+        # rows never shuffle. na_min per hot shingle = min size of any
+        # doc whose PREFIX contains it — a driver array the exact size
+        # of the already-broadcast (hot, df) map; rows of anchor-less
+        # shingles drop entirely. Byte-identical to the unfiltered
+        # cascade: the filter formula equals the in-group one (all rows
+        # of a shingle share one bucket, and every pref row survives,
+        # so the group-local na_min is unchanged). ~1.7x fewer rows
+        # through the double shuffle on the sf0.1 fixture.
+        idx_mat = idx_rows.materialize()
+
+        def anchor_min_partial(b: pa.Table) -> pa.Table:
+            from hg_dedup_ray.stages.broadcast import get_broadcast
+
+            H, _DF = get_broadcast(hot_ref)
+            prefm = b["pref"].to_numpy(zero_copy_only=False)
+            sh_p = b["sh"].to_numpy(zero_copy_only=False)[prefm]
+            n_p = b["n"].to_numpy(zero_copy_only=False)[prefm]
+            hpos = np.searchsorted(H, sh_p)  # index rows are hot
+            u, inv = np.unique(hpos, return_inverse=True)
+            mn = np.full(u.shape[0], np.iinfo(np.int64).max)
+            np.minimum.at(mn, inv, n_p)
+            return pa.table(
+                {
+                    "hpos": pa.array(u, pa.int64()),
+                    "mn": pa.array(mn, pa.int64()),
+                }
+            )
+
+        na_min = np.full(hot.shape[0], np.iinfo(np.int64).max)
+        amp = (
+            idx_mat.map_batches(
+                anchor_min_partial, batch_format="pyarrow", batch_size=65536
+            )
+            .materialize()
+        )
+        for tbl in ray.get(amp.to_arrow_refs()):
+            if len(tbl):
+                np.minimum.at(
+                    na_min,
+                    tbl["hpos"].to_numpy(zero_copy_only=False),
+                    tbl["mn"].to_numpy(zero_copy_only=False),
+                )
+        _BIG = np.int64(1) << np.int64(40)
+        alpha_min_g = np.where(
+            na_min >= _BIG,
+            _BIG,  # anchor-less sentinel: the keep test below fails
+            np.ceil(threshold * np.minimum(na_min, _BIG) - EPS).astype(
+                np.int64
+            ),
+        )
+        am_ref = ray.put(alpha_min_g)
+
+        def partner_filter(b: pa.Table) -> pa.Table:
+            from hg_dedup_ray.stages.broadcast import get_broadcast
+
+            alpha = get_broadcast(am_ref)
+            H, _DF = get_broadcast(hot_ref)
+            sh_ = b["sh"].to_numpy(zero_copy_only=False)
+            am = alpha[np.searchsorted(H, sh_)]
+            prefm = b["pref"].to_numpy(zero_copy_only=False)
+            n_ = b["n"].to_numpy(zero_copy_only=False)
+            rk_ = b["rank"].to_numpy(zero_copy_only=False)
+            keep = prefm | ((am < _BIG) & (rk_ <= n_ - am))
+            return b.filter(pa.array(keep))
+
+        _mark("index-mat")
+        # the filtered index still packs into very few post-sort blocks
         # (it's only keys+ids), which would serialize the pair expansion
         # — the containment cascade's dominant stage — into 1-2 tasks.
         # Pre-split so each shingle bucket's expansion runs in its own
         # task across the CPU pool.
-        idx_rows = idx_rows.repartition(num_buckets)
+        idx_rows = idx_mat.map_batches(
+            partner_filter, batch_format="pyarrow", batch_size=65536
+        ).repartition(num_buckets)
     cand = (
         idx_rows
         .groupby("bucket")
@@ -1140,11 +1222,13 @@ def ngram_jaccard_exact_pairs(
         .map_groups(bucket_distinct, batch_format="pyarrow")
         .materialize()
     )
+    _mark("candidates")
     ptabs = ray.get(cand.to_arrow_refs())
     pchunks = [t["pair"].to_numpy(zero_copy_only=False) for t in ptabs if len(t)]
     if not pchunks:
         return empty
     allp = np.concatenate(pchunks)
+    _mark(f"collect ({allp.shape[0]} cand pairs)")
     docs_needed = np.unique(
         np.concatenate(
             [allp >> np.uint64(32), allp & np.uint64(0xFFFFFFFF)]
