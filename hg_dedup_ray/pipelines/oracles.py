@@ -33,13 +33,52 @@ _gopher_stops = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPS) + "]"
 # --- SimHash oracle: DuckDB replication of stages/simhash.batch_simhash ---
 # (FNV-poly 8-byte window hash -> splitmix64 -> per-bit majority vote).
 # The FNV fold fits HUGEINT directly (FNV < 2^41 so h*FNV < 2^105); the two
-# splitmix 64x64 multiplies use a 32-bit-split mulmod. Assumes ASCII text
-# and len(text) >= 8 (true of the fixtures; matches the documented ASCII
-# assumption of the exact-Jaccard oracle).
+# splitmix 64x64 multiplies use a 32-bit-split mulmod. Byte-exact on
+# non-ASCII via hex(encode(...)); assumes len >= window bytes (true of the
+# fixtures; see _byte_at).
 _M64 = 1 << 64
 _FNV_C = 1099511628211
 _SM1 = 0xBF58476D1CE4E5B9
 _SM2 = 0x94D049BB133111EB
+
+
+def _byte_at(hx: str, p: str) -> str:
+    """SQL: byte value at 1-based BYTE position ``p`` of ``hx``, a
+    column holding ``hex(encode(s))``. This is what makes the hash
+    oracles byte-exact on non-ASCII text: DuckDB's substr/ord are
+    CHARACTER/codepoint-based, while every Ray-side hash folds UTF-8
+    bytes — identical on ASCII only. hex() round-trips the raw bytes
+    into a VARCHAR where byte p = 2 hex digits at char 2p-1."""
+    return (
+        f"((strpos('0123456789ABCDEF', substr({hx}, 2*({p}) - 1, 1)) - 1)"
+        f" * 16 + strpos('0123456789ABCDEF', substr({hx}, 2*({p}), 1)) - 1)"
+    )
+
+
+def _byte_list(hx: str) -> str:
+    """SQL: BIGINT list of all bytes of hex column ``hx`` — decode each
+    byte ONCE per row, then window folds index the list (cheap array
+    extracts instead of per-window substr chains)."""
+    return (
+        f"list_transform(range(1, length({hx}) // 2 + 1),"
+        f" p -> {_byte_at(hx, 'p')})"
+    )
+
+
+def _pfx8_fold(hx: str, nb: str) -> str:
+    """SQL: the kmv_token_hashes pre-mix fold (Horner over the first 8
+    BYTES zero-padded, then one more step with the BYTE length) of the
+    string whose hex form is column ``hx`` with octet_length ``nb``."""
+    fold = (
+        f"CAST(CASE WHEN {nb} >= 1 THEN {_byte_at(hx, '1')}"
+        " ELSE 0 END AS HUGEINT)"
+    )
+    for j in range(2, 9):
+        fold = (
+            f"(({fold}) * {_FNV_C} + CASE WHEN {nb} >= {j}"
+            f" THEN {_byte_at(hx, str(j))} ELSE 0 END) % {_M64}"
+        )
+    return f"(({fold}) * {_FNV_C} + {nb}) % {_M64}"
 
 
 def _mulmod64(a: str, c: int) -> str:
@@ -63,13 +102,17 @@ def _xorshift(a: str, s: int) -> str:
 def _simhash_cte() -> str:
     """Shared CTE chain ending in sig(doc_id, simhash) — used by both the
     signature oracle and the banded near-dup-pair oracle."""
-    fold = "CAST(ord(substr(text, i+0, 1)) AS HUGEINT)"
+    fold = "CAST(bv[i+0] AS HUGEINT)"
     for j in range(1, 8):
-        fold = f"(({fold}) * {_FNV_C} + ord(substr(text, i+{j}, 1))) % {_M64}"
+        fold = f"(({fold}) * {_FNV_C} + bv[i+{j}]) % {_M64}"
     return f"""
-        pos AS (
-          SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+        bsrc AS (
+          SELECT doc_id, {_byte_list("hex(encode(text))")} AS bv
           FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, bv, unnest(range(1, len(bv) - 6)) AS i
+          FROM bsrc
         ),
         raw AS (SELECT doc_id, ({fold}) AS h FROM pos),
         s1 AS (SELECT doc_id, {_xorshift('h', 30)} AS x FROM raw),
@@ -144,9 +187,9 @@ def _oph_sql(
     Assumes every doc has >= k bytes (true of the fixtures)."""
     pbits = num_perm.bit_length() - 1
     seed_mix = (seed * _SM1) % _M64
-    fold = "CAST(ord(substr(text, i+0, 1)) AS HUGEINT)"
+    fold = "CAST(bv[i+0] AS HUGEINT)"
     for j in range(1, k):
-        fold = f"(({fold}) * {_FNV_C} + ord(substr(text, i+{j}, 1))) % {_M64}"
+        fold = f"(({fold}) * {_FNV_C} + bv[i+{j}]) % {_M64}"
 
     def chain(src: str, prefix: str) -> str:
         return f"""
@@ -157,9 +200,13 @@ def _oph_sql(
         {prefix}5 AS (SELECT doc_id, bin0, {_xorshift('x', 31)} AS x FROM {prefix}4)"""
 
     return f"""
-        WITH pos AS (
-          SELECT doc_id, text, unnest(range(1, length(text) - {k - 2})) AS i
+        WITH bsrc AS (
+          SELECT doc_id, {_byte_list("hex(encode(text))")} AS bv
           FROM {src}
+        ),
+        pos AS (
+          SELECT doc_id, bv, unnest(range(1, len(bv) - {k - 2})) AS i
+          FROM bsrc
         ),
         raw AS (SELECT doc_id, CAST(NULL AS BIGINT) AS bin0,
                        {_xorconst(f'(({fold}))', seed_mix)} AS x FROM pos),
@@ -211,22 +258,18 @@ def _kmv_sql(k: int = 16) -> str:
     estimate: Horner fold of the first 8 chars (zero-padded via CASE),
     one more fold step with the length, splitmix64, then per-lang
     k-smallest-distinct and (k-1)*2^64 // h_k (exact count below k).
-    ASCII fixture assumption (ord == byte), as with the simhash oracle."""
-    fold = (
-        "CAST(CASE WHEN length(token) >= 1"
-        " THEN ord(substr(token, 1, 1)) ELSE 0 END AS HUGEINT)"
-    )
-    for j in range(2, 9):
-        fold = (
-            f"(({fold}) * {_FNV_C} + CASE WHEN length(token) >= {j}"
-            f" THEN ord(substr(token, {j}, 1)) ELSE 0 END) % {_M64}"
-        )
-    fold = f"(({fold}) * {_FNV_C} + length(token)) % {_M64}"
+    Byte-exact on non-ASCII via hex(encode(token))."""
+    fold = _pfx8_fold("thx", "tnb")
     return rf"""
-        WITH toks AS (
+        WITH toks0 AS (
           SELECT lang,
                  unnest(regexp_split_to_array(trim(text), '\s+')) AS token
           FROM documents WHERE trim(text) <> ''
+        ),
+        toks AS (
+          SELECT lang, hex(encode(token)) AS thx,
+                 octet_length(encode(token)) AS tnb
+          FROM toks0
         ),
         raw AS (SELECT lang, ({fold}) AS x FROM toks),
         k1 AS (SELECT lang, {_xorshift('x', 30)} AS x FROM raw),
@@ -256,21 +299,17 @@ def _hashed_classifier_sql(dim: int = 4096) -> str:
     the feature id sm % dim, a SECOND splitmix64 chain over the feature
     id gives the integer weight (% 2001 - 1000), and the per-doc score
     is the exact BIGINT sum over token occurrences."""
-    fold = (
-        "CAST(CASE WHEN length(token) >= 1"
-        " THEN ord(substr(token, 1, 1)) ELSE 0 END AS HUGEINT)"
-    )
-    for j in range(2, 9):
-        fold = (
-            f"(({fold}) * {_FNV_C} + CASE WHEN length(token) >= {j}"
-            f" THEN ord(substr(token, {j}, 1)) ELSE 0 END) % {_M64}"
-        )
-    fold = f"(({fold}) * {_FNV_C} + length(token)) % {_M64}"
+    fold = _pfx8_fold("thx", "tnb")
     return rf"""
-        WITH toks AS (
+        WITH toks0 AS (
           SELECT doc_id,
                  unnest(regexp_split_to_array(trim(text), '\s+')) AS token
           FROM documents WHERE trim(text) <> ''
+        ),
+        toks AS (
+          SELECT doc_id, hex(encode(token)) AS thx,
+                 octet_length(encode(token)) AS tnb
+          FROM toks0
         ),
         raw AS (SELECT doc_id, ({fold}) AS x FROM toks),
         h1 AS (SELECT doc_id, {_xorshift('x', 30)} AS x FROM raw),
@@ -360,16 +399,7 @@ def _cms_sql(depth: int = 4, width: int = 1024, topk: int = 20) -> str:
     the splitmix output, counters = per-cell occurrence sums, estimate
     per distinct token = least over rows — the full Count-Min Sketch in
     SQL, then ORDER BY estimate DESC, token LIMIT topk."""
-    fold = (
-        "CAST(CASE WHEN length(token) >= 1"
-        " THEN ord(substr(token, 1, 1)) ELSE 0 END AS HUGEINT)"
-    )
-    for j in range(2, 9):
-        fold = (
-            f"(({fold}) * {_FNV_C} + CASE WHEN length(token) >= {j}"
-            f" THEN ord(substr(token, {j}, 1)) ELSE 0 END) % {_M64}"
-        )
-    fold = f"(({fold}) * {_FNV_C} + length(token)) % {_M64}"
+    fold = _pfx8_fold("hex(encode(token))", "octet_length(encode(token))")
     cell_exprs = ", ".join(
         f"(sm // {1 << (10 * r)}) % {width} AS c{r}" for r in range(depth)
     )
@@ -477,8 +507,8 @@ def _hll_sql(p: int = 12) -> str:
     log2), and the estimate in the same order-independent integer
     arithmetic as hll.estimate: S = Σ 2^(R-reg) summed as HUGEINT, ONE
     float division, floor(x+0.5) rounding, scalar ln for the
-    linear-counting branch. ASCII fixture assumption (ord == byte), as
-    with the simhash/KMV oracles."""
+    linear-counting branch. Byte-exact on non-ASCII via
+    hex(encode(token)), as with the simhash/KMV oracles."""
     from hg_dedup_ray.functions.hll import _alpha
 
     m = 1 << p
@@ -488,11 +518,11 @@ def _hll_sql(p: int = 12) -> str:
     q = 0x9E3779B97F4A7C15
     fold = (
         "list_reduce(list_prepend(CAST(0 AS HUGEINT),"
-        " list_transform(range(1, length(token) + 1),"
-        " i -> CAST(ord(substr(token, CAST(i AS INT), 1)) AS HUGEINT))),"
+        f" list_transform({_byte_list('hex(encode(token))')},"
+        " b0 -> CAST(b0 AS HUGEINT))),"
         f" (acc, b) -> (acc * {_FNV_C} + b) % {_M64})"
     )
-    salted = f"(({fold}) + length(token) * {q}) % {_M64}"
+    salted = f"(({fold}) + octet_length(encode(token)) * {q}) % {_M64}"
     return rf"""
         WITH toks AS (
           SELECT DISTINCT lang,
@@ -595,9 +625,9 @@ _SAMPLE_RATE_CASE = """
 _EXACT_CONTAINMENT_PAIRS_SQL = """
     WITH shingles AS (
       SELECT doc_id, UNNEST(list_distinct(list_transform(
-          range(1, greatest(length(text) - 7, 0) + 1),
-          i -> substr(text, i, 8)))) AS sh
-      FROM documents
+          range(1, greatest(length(hx) // 2 - 7, 0) + 1),
+          i -> substr(hx, (2*i - 1)::INT, 16)))) AS sh
+      FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
     ),
     counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
@@ -616,9 +646,9 @@ _EXACT_CONTAINMENT_PAIRS_SQL = """
 _EXACT_JACCARD_PAIRS_SQL = """
     WITH shingles AS (
       SELECT doc_id, UNNEST(list_distinct(list_transform(
-          range(1, greatest(length(text) - 7, 0) + 1),
-          i -> substr(text, i, 8)))) AS sh
-      FROM documents
+          range(1, greatest(length(hx) // 2 - 7, 0) + 1),
+          i -> substr(hx, (2*i - 1)::INT, 16)))) AS sh
+      FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
     ),
     counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
@@ -643,16 +673,7 @@ def _bloom_sql(m: int = 4096, k: int = 3) -> str:
     set before doc d arrives iff some STRICTLY earlier doc probes the
     same position (window min over pos, ROWS ... 1 PRECEDING after a
     DISTINCT collapse of repeated probes within one doc)."""
-    fold = (
-        "CAST(CASE WHEN length(text) >= 1"
-        " THEN ord(substr(text, 1, 1)) ELSE 0 END AS HUGEINT)"
-    )
-    for j in range(2, 9):
-        fold = (
-            f"(({fold}) * {_FNV_C} + CASE WHEN length(text) >= {j}"
-            f" THEN ord(substr(text, {j}, 1)) ELSE 0 END) % {_M64}"
-        )
-    fold = f"(({fold}) * {_FNV_C} + length(text)) % {_M64}"
+    fold = _pfx8_fold("hex(encode(text))", "octet_length(encode(text))")
     shift = max((m - 1).bit_length(), 1)
     posrows = " UNION ALL ".join(
         f"SELECT doc_id, (sm // {1 << (shift * r)}) % {m} AS pos FROM smt"
@@ -717,9 +738,9 @@ def _lsh_sweep_sql() -> str:
     return f"""
         WITH shingles AS (
           SELECT doc_id, UNNEST(list_distinct(list_transform(
-              range(1, greatest(length(text) - 7, 0) + 1),
-              i -> substr(text, i, 8)))) AS sh
-          FROM documents
+              range(1, greatest(length(hx) // 2 - 7, 0) + 1),
+              i -> substr(hx, (2*i - 1)::INT, 16)))) AS sh
+          FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         ),
         counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
         inter AS (
@@ -754,9 +775,9 @@ def _dedup_pressure_sql() -> str:
     return f"""
         WITH shingles AS (
           SELECT doc_id, UNNEST(list_distinct(list_transform(
-              range(1, greatest(length(text) - 7, 0) + 1),
-              i -> substr(text, i, 8)))) AS sh
-          FROM documents
+              range(1, greatest(length(hx) // 2 - 7, 0) + 1),
+              i -> substr(hx, (2*i - 1)::INT, 16)))) AS sh
+          FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         ),
         counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
         inter AS (
@@ -789,18 +810,9 @@ def _text_hash_cte() -> str:
     """CTE chain ending in ``th(doc_id, text, th)`` where th =
     splitmix64(prefix8+length Horner fold of the WHOLE text) — the
     kmv_token_hashes chain applied per document, exactly as
-    webclean.dedup_aware_split computes its content-split hash (ASCII
-    fixture assumption, as with the bloom/KMV oracles)."""
-    fold = (
-        "CAST(CASE WHEN length(text) >= 1"
-        " THEN ord(substr(text, 1, 1)) ELSE 0 END AS HUGEINT)"
-    )
-    for j in range(2, 9):
-        fold = (
-            f"(({fold}) * {_FNV_C} + CASE WHEN length(text) >= {j}"
-            f" THEN ord(substr(text, {j}, 1)) ELSE 0 END) % {_M64}"
-        )
-    fold = f"(({fold}) * {_FNV_C} + length(text)) % {_M64}"
+    webclean.dedup_aware_split computes its content-split hash
+    (byte-exact on non-ASCII, as with the bloom/KMV oracles)."""
+    fold = _pfx8_fold("hex(encode(text))", "octet_length(encode(text))")
     return f"""
         traw AS (SELECT doc_id, text, ({fold}) AS x FROM documents),
         t1 AS (SELECT doc_id, text, {_xorshift('x', 30)} AS x FROM traw),
@@ -1451,9 +1463,9 @@ ORACLE_SQL = {
     "jaccard_dup_clusters": """
         WITH RECURSIVE shingles AS (
           SELECT doc_id, UNNEST(list_distinct(list_transform(
-              range(1, greatest(length(text) - 7, 0) + 1),
-              i -> substr(text, i, 8)))) AS sh
-          FROM documents
+              range(1, greatest(length(hx) // 2 - 7, 0) + 1),
+              i -> substr(hx, (2*i - 1)::INT, 16)))) AS sh
+          FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         ),
         counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
         inter AS (
@@ -1480,9 +1492,9 @@ ORACLE_SQL = {
     "containment_clusters": """
         WITH RECURSIVE shingles AS (
           SELECT doc_id, UNNEST(list_distinct(list_transform(
-              range(1, greatest(length(text) - 7, 0) + 1),
-              i -> substr(text, i, 8)))) AS sh
-          FROM documents
+              range(1, greatest(length(hx) // 2 - 7, 0) + 1),
+              i -> substr(hx, (2*i - 1)::INT, 16)))) AS sh
+          FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         ),
         counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
         inter AS (
@@ -1572,9 +1584,9 @@ ORACLE_SQL = {
     "minhash_clusters": """
         WITH RECURSIVE shingles AS (
           SELECT doc_id, UNNEST(list_distinct(list_transform(
-              range(1, greatest(length(text) - 7, 0) + 1),
-              i -> substr(text, i, 8)))) AS sh
-          FROM documents
+              range(1, greatest(length(hx) // 2 - 7, 0) + 1),
+              i -> substr(hx, (2*i - 1)::INT, 16)))) AS sh
+          FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         ),
         counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
         inter AS (
@@ -1915,9 +1927,9 @@ ORACLE_SQL = {
     "lsh_recall_report": f"""
         WITH shingles AS (
           SELECT doc_id, UNNEST(list_distinct(list_transform(
-              range(1, greatest(length(text) - 7, 0) + 1),
-              i -> substr(text, i, 8)))) AS sh
-          FROM documents
+              range(1, greatest(length(hx) // 2 - 7, 0) + 1),
+              i -> substr(hx, (2*i - 1)::INT, 16)))) AS sh
+          FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         ),
         counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
         inter AS (
@@ -2263,21 +2275,22 @@ ORACLE_SQL = {
     """,
     # Substring decontamination: a training doc window is contaminated
     # iff the same 64-byte string occurs in a benchmark doc; SQL joins
-    # exact substr windows (chars == bytes on the ASCII fixture).
+    # exact 64-BYTE windows (hex(encode()) slices, byte-exact on
+    # non-ASCII — tests/test_nonascii_oracles.py).
     # Flagship keep-first window dedup, doc-internal windows: explode
-    # every 64-char window with its position, keep the min (doc_id, pos)
-    # occurrence per distinct window value, coalesce the rest into
-    # per-doc islands with the reference gap rule (break at diff > 64).
-    # Chars == bytes on the ASCII fixture (documented divergence).
+    # every 64-byte window with its BYTE position, keep the min
+    # (doc_id, pos) occurrence per distinct window value, coalesce the
+    # rest into per-doc islands with the reference gap rule (break at
+    # diff > 64).
     "window_ptr_report": """
         WITH w AS (
           SELECT doc_id,
-                 UNNEST(range(1, greatest(length(text) - 63, 0) + 1)) - 1
+                 UNNEST(range(1, greatest(length(hx) // 2 - 63, 0) + 1)) - 1
                      AS pos,
                  UNNEST(list_transform(
-                     range(1, greatest(length(text) - 63, 0) + 1),
-                     i -> substr(text, i::INT, 64))) AS win
-          FROM documents
+                     range(1, greatest(length(hx) // 2 - 63, 0) + 1),
+                     i -> substr(hx, (2*i - 1)::INT, 128))) AS win
+          FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         ),
         firsts AS (
           SELECT win, min(doc_id * 4294967296 + pos) AS k0, count(*) AS n
@@ -2295,12 +2308,12 @@ ORACLE_SQL = {
     "window_kept_gaps": """
         WITH w AS (
           SELECT doc_id,
-                 UNNEST(range(1, greatest(length(text) - 23, 0) + 1)) - 1
+                 UNNEST(range(1, greatest(length(hx) // 2 - 23, 0) + 1)) - 1
                      AS pos,
                  UNNEST(list_transform(
-                     range(1, greatest(length(text) - 23, 0) + 1),
-                     i -> substr(text, i::INT, 24))) AS win
-          FROM documents
+                     range(1, greatest(length(hx) // 2 - 23, 0) + 1),
+                     i -> substr(hx, (2*i - 1)::INT, 48))) AS win
+          FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         ),
         firsts AS (
           SELECT win, min(doc_id * 4294967296 + pos) AS k0, count(*) AS n
@@ -2341,12 +2354,12 @@ ORACLE_SQL = {
     "window_dedup_report": """
         WITH w AS (
           SELECT doc_id,
-                 UNNEST(range(1, greatest(length(text) - 63, 0) + 1)) - 1
+                 UNNEST(range(1, greatest(length(hx) // 2 - 63, 0) + 1)) - 1
                      AS pos,
                  UNNEST(list_transform(
-                     range(1, greatest(length(text) - 63, 0) + 1),
-                     i -> substr(text, i::INT, 64))) AS win
-          FROM documents
+                     range(1, greatest(length(hx) // 2 - 63, 0) + 1),
+                     i -> substr(hx, (2*i - 1)::INT, 128))) AS win
+          FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         ),
         firsts AS (
           SELECT win, min(doc_id * 4294967296 + pos) AS k0, count(*) AS n
@@ -2390,15 +2403,17 @@ ORACLE_SQL = {
     "substring_decontaminate": """
         WITH bw AS (
           SELECT DISTINCT UNNEST(list_transform(
-              range(1, greatest(length(text) - 63, 0) + 1),
-              i -> substr(text, i, 64))) AS w
-          FROM documents WHERE doc_id % 19 = 0
+              range(1, greatest(length(hx) // 2 - 63, 0) + 1),
+              i -> substr(hx, (2*i - 1)::INT, 128))) AS w
+          FROM (SELECT doc_id, hex(encode(text)) AS hx
+                FROM documents WHERE doc_id % 19 = 0)
         ),
         tw AS (
           SELECT doc_id, UNNEST(list_transform(
-              range(1, greatest(length(text) - 63, 0) + 1),
-              i -> substr(text, i, 64))) AS w
-          FROM documents WHERE doc_id % 19 <> 0
+              range(1, greatest(length(hx) // 2 - 63, 0) + 1),
+              i -> substr(hx, (2*i - 1)::INT, 128))) AS w
+          FROM (SELECT doc_id, hex(encode(text)) AS hx
+                FROM documents WHERE doc_id % 19 <> 0)
         ),
         m AS (
           SELECT doc_id, count(*)::BIGINT AS n
@@ -2546,8 +2561,10 @@ ORACLE_SQL = {
     # the exact survivors -> doc-internal keep-first window dedup over
     # the segment-cleaned texts. Chains the exact_dedup,
     # segment_dedup_apply and window_dedup_report oracle blocks over the
-    # same intermediate texts; n_bytes = length() characters (== the Ray
-    # side's byte counts on the ASCII fixtures, as documented there).
+    # same intermediate texts; n_bytes = length() characters while the
+    # window tier removes BYTES — the same mixed accounting the Ray side
+    # performs (documented there), so the two engines agree on any
+    # input.
     "dedup_tier_cascade": r"""
         WITH surv AS (
           SELECT doc_id, text FROM documents
@@ -2580,12 +2597,12 @@ ORACLE_SQL = {
         ),
         ww AS (
           SELECT doc_id,
-                 UNNEST(range(1, greatest(length(text) - 63, 0) + 1)) - 1
+                 UNNEST(range(1, greatest(length(hx) // 2 - 63, 0) + 1)) - 1
                      AS pos,
                  UNNEST(list_transform(
-                     range(1, greatest(length(text) - 63, 0) + 1),
-                     i -> substr(text, i::INT, 64))) AS win
-          FROM cleaned
+                     range(1, greatest(length(hx) // 2 - 63, 0) + 1),
+                     i -> substr(hx, (2*i - 1)::INT, 128))) AS win
+          FROM (SELECT doc_id, hex(encode(text)) AS hx FROM cleaned)
         ),
         firsts AS (
           SELECT win, min(doc_id * 4294967296 + pos) AS k0, count(*) AS n

@@ -840,10 +840,8 @@ def ngram_jaccard_exact_pairs(
 
     k is fixed at 8 so each shingle packs EXACTLY into one u64 word
     (big-endian): shingle identity is collision-free and bijective with
-    the oracle's ``substr(text, i, 8)`` strings. NOTE: our windows are 8
-    BYTES while the oracle's substr is 8 CHARACTERS — equivalent only for
-    ASCII text (the fixtures are ASCII; on non-ASCII input the two
-    definitions intentionally diverge and the byte definition is ours).
+    the oracle's 8-BYTE hex(encode(text)) slices — byte-exact on
+    non-ASCII input too (tests/test_nonascii_oracles.py).
 
     Why not plain inverted-index counting: expanding all-pairs within each
     shingle's posting list is O(sum_sh df(sh)^2) — measured 280M pair
@@ -3407,8 +3405,8 @@ def _window_keepfirst_ctx(
     shards its reduction). u64 rolling
     hashes stand in for window identity with the same documented
     collision odds as substring_decontaminate (~n^2/2^64). Windows are
-    BYTES; the oracles' substr() is characters — identical on the ASCII
-    fixtures."""
+    BYTES on both sides: the oracles slice hex(encode(text)), so parity
+    holds on non-ASCII too (tests/test_nonascii_oracles.py)."""
     from hg_dedup_ray.functions.arrow_utils import string_column_bytes
     from hg_dedup_ray.functions.pair_distinct import hot_u64_keys
     from hg_dedup_ray.functions.scan import _window_hashes
@@ -3869,9 +3867,10 @@ def dedup_tier_cascade(
     two corpus-sized intermediates (exact survivors, cleaned texts) that
     are materialized into the object store because the next tier streams
     them multiple times, exactly like the flagship's partition corpora.
-    ``n_bytes`` counts characters (oracle ``length()``); window removal
-    counts bytes — identical on the ASCII fixtures, documented on
-    _window_keepfirst_ctx."""
+    ``n_bytes`` counts characters (oracle ``length()``) while window
+    removal counts bytes — a mixed accounting the oracle mirrors exactly,
+    so the engines agree on any input (non-ASCII parity pinned in
+    tests/test_nonascii_oracles.py)."""
     from hg_dedup_ray.stages.broadcast import get_broadcast
 
     docs = _docs_sized(sf_dir, columns=["doc_id", "text"])
