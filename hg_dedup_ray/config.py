@@ -26,8 +26,10 @@ class DedupConfig:
     # corpus (minlen in tokens, reference indexing_v6_sharded.py:282-292).
     token_dtype: str = "u8"
     # Tokenizer for u16/u32 mode: "bytepair"/"bytequad" are the builtin
-    # deterministic invertible tokenizers; gpt2/llama/olmo route to the
-    # HF adapter (gated on `transformers`, unavailable offline).
+    # deterministic invertible fixed-width tokenizers (the scan path);
+    # "minibpe" is the vendored variable-width BPE exercising the HF
+    # offset-mapping surface in CI; gpt2/llama/olmo route to the HF
+    # adapter (gated on `transformers`, unavailable offline).
     tokenizer: str = "bytepair"
     # Index each doc's REVERSED sequence (reference `--reversed`,
     # indexing_v6_sharded.py:49); emitted ranges are mapped back to

@@ -8,7 +8,10 @@ tokenizers are HuggingFace gpt2/llama/olmo — unavailable offline in this
 environment, so:
 
 - ``HFTokenizer`` is the real adapter, gated behind an import-try of
-  ``transformers`` (raises NotImplementedError here, documented);
+  ``transformers`` (raises NotImplementedError here, documented); its
+  offset-mapping surface is the shared ``CharOffsetTokenizer`` base,
+  which ``MiniBPETokenizer`` (a vendored tiny character-level BPE with
+  a checked-in vocab) runs end-to-end in CI;
 - ``BytePairTokenizer`` (u16) / ``ByteQuadTokenizer`` (u32) are the
   deterministic, INVERTIBLE builtins that exercise the identical
   plumbing: fixed-width byte-group tokens, big-endian so token order ==
@@ -90,53 +93,34 @@ class ByteQuadTokenizer:
         return min(s * 4, n_bytes), min(e * 4, n_bytes)
 
 
-class HFTokenizer:
-    """The reference's gpt2/llama/olmo path (indexing_v6_sharded.py:
-    205-218) — requires ``transformers``, which is not installed in this
-    environment (no network), so the constructor raises here. The
-    encode/decode/range surface below is implemented for the real-install
-    case (fast tokenizers expose per-token byte offsets, which is what
-    ``token_range_to_bytes`` needs for variable-width tokens) but is
-    necessarily untested offline."""
+class CharOffsetTokenizer:
+    """Shared machinery for VARIABLE-WIDTH tokenizers that report
+    per-token CHARACTER spans (the HuggingFace fast-tokenizer
+    ``offset_mapping`` contract): converts char spans to BYTE offsets
+    for the last-encoded doc, and maps token ranges back to byte ranges
+    through them. Subclasses implement ``encode`` and call
+    ``_set_offsets_from_chars``; ``MiniBPETokenizer`` exercises this
+    path in CI, ``HFTokenizer`` rides the identical code with real
+    models installed."""
 
     width = None  # variable-width: byte mapping goes through offsets
+    dtype = np.uint16
 
-    def __init__(self, name: str = "gpt2"):
-        try:  # pragma: no cover - transformers absent here
-            from transformers import AutoTokenizer  # type: ignore
-        except ImportError as e:
-            raise NotImplementedError(
-                "HF tokenizers (gpt2/llama/olmo) need the `transformers` "
-                "package + model files — unavailable offline; use the "
-                "builtin bytepair/bytequad tokenizers for the u16/u32 "
-                "plumbing"
-            ) from e
-        self.tok = AutoTokenizer.from_pretrained(name, use_fast=True)  # pragma: no cover
-        self.dtype = np.uint16 if len(self.tok) < 0xFFFF else np.uint32  # pragma: no cover
-        self._offsets: np.ndarray | None = None  # pragma: no cover
+    def __init__(self) -> None:
+        self._offsets: np.ndarray | None = None
 
-    def encode(self, data: bytes) -> np.ndarray:  # pragma: no cover
-        enc = self.tok(
-            data.decode("utf-8", errors="replace"),
-            add_special_tokens=False,
-            return_offsets_mapping=True,
-        )
+    def _set_offsets_from_chars(
+        self, text: str, spans: list[tuple[int, int]]
+    ) -> None:
         # char offsets -> byte offsets for the last-encoded doc (the scan
         # calls encode then maps ranges of the same doc back immediately)
-        text = data.decode("utf-8", errors="replace")
-        char_to_byte = np.cumsum(
-            [0] + [len(c.encode("utf-8")) for c in text]
-        )
+        char_to_byte = np.cumsum([0] + [len(c.encode("utf-8")) for c in text])
         self._offsets = np.array(
-            [(char_to_byte[s], char_to_byte[e]) for s, e in enc["offset_mapping"]],
+            [(char_to_byte[s], char_to_byte[e]) for s, e in spans],
             dtype=np.int64,
         ).reshape(-1, 2)
-        return np.asarray(enc["input_ids"], dtype=self.dtype)
 
-    def decode(self, tokens: np.ndarray, n_bytes: int) -> bytes:  # pragma: no cover
-        return self.tok.decode(tokens.tolist()).encode("utf-8")[:n_bytes]
-
-    def token_range_to_bytes(self, s: int, e: int, n_bytes: int) -> tuple[int, int]:  # pragma: no cover
+    def token_range_to_bytes(self, s: int, e: int, n_bytes: int) -> tuple[int, int]:
         off = self._offsets
         if off is None or off.shape[0] == 0 or s >= off.shape[0]:
             return 0, 0
@@ -144,11 +128,122 @@ class HFTokenizer:
         return int(off[s, 0]), min(int(off[e - 1, 1]), n_bytes)
 
 
+# Checked-in mini vocab: enough ASCII + a few multi-byte chars to run
+# real BPE end-to-end in CI. Unknown chars tokenize to UNK (id 0) and
+# decode to U+FFFD — the standard lossy-unknown convention.
+_MINI_CHARS = (
+    " abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    ".,!?'\"-:;()éèüñç中文данные"
+)
+# merge rules in priority order (rank = position), GPT-2 merges.txt style
+_MINI_MERGES = (
+    ("t", "h"), ("th", "e"), ("the", " "), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("e", "n"), ("o", "r"), ("e", "s"), ("t", "o"), ("o", "u"),
+    ("i", "s"), ("e", "d"), ("in", "g"), ("ing", " "), ("e", " "),
+    ("s", " "), ("d", " "), ("t", " "), (",", " "), (".", " "),
+    ("c", "h"), ("s", "t"), ("l", "l"), ("o", "o"), ("e", "a"),
+)
+
+
+class MiniBPETokenizer(CharOffsetTokenizer):
+    """A real (tiny) character-level BPE with a checked-in vocab — the
+    CI stand-in for the reference's gpt2/llama/olmo path: same greedy
+    highest-priority-pair merge loop, same offset_mapping contract as a
+    HF fast tokenizer, variable-width ids. Deterministic; ids fit u16
+    and 0xFFFF is never produced, so the token-mode sentinel is safe."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.unk_id = 0
+        self._id_of: dict[str, int] = {"<unk>": 0}
+        for c in _MINI_CHARS:
+            self._id_of[c] = len(self._id_of)
+        self._ranks: dict[tuple[str, str], int] = {}
+        for a, b in _MINI_MERGES:
+            self._ranks[(a, b)] = len(self._ranks)
+            self._id_of.setdefault(a + b, len(self._id_of))
+        self._str_of = {i: s for s, i in self._id_of.items()}
+
+    def encode(self, data: bytes) -> np.ndarray:
+        text = data.decode("utf-8", errors="replace")
+        parts = list(text)
+        spans = [(i, i + 1) for i in range(len(parts))]
+        while len(parts) > 1:
+            best_rank, best_pair = None, None
+            for i in range(len(parts) - 1):
+                r = self._ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (parts[i], parts[i + 1])
+            if best_pair is None:
+                break
+            np_, ns, i = [], [], 0
+            while i < len(parts):
+                if (
+                    i + 1 < len(parts)
+                    and (parts[i], parts[i + 1]) == best_pair
+                ):
+                    np_.append(parts[i] + parts[i + 1])
+                    ns.append((spans[i][0], spans[i + 1][1]))
+                    i += 2
+                else:
+                    np_.append(parts[i])
+                    ns.append(spans[i])
+                    i += 1
+            parts, spans = np_, ns
+        self._set_offsets_from_chars(text, spans)
+        return np.array(
+            [self._id_of.get(p, self.unk_id) for p in parts], np.uint16
+        )
+
+    def decode(self, tokens: np.ndarray, n_bytes: int) -> bytes:
+        s = "".join(
+            self._str_of.get(int(t), "�") for t in tokens
+        ).replace("<unk>", "�")
+        return s.encode("utf-8")[:n_bytes]
+
+
+class HFTokenizer(CharOffsetTokenizer):
+    """The reference's gpt2/llama/olmo path (indexing_v6_sharded.py:
+    205-218) — requires ``transformers``, which is not installed in this
+    environment (no network), so the constructor raises here. The
+    offset-mapping surface is the tested ``CharOffsetTokenizer`` base
+    (MiniBPETokenizer runs it in CI); only the model load/encode/decode
+    calls themselves are necessarily untested offline."""
+
+    def __init__(self, name: str = "gpt2"):
+        super().__init__()
+        try:  # pragma: no cover - transformers absent here
+            from transformers import AutoTokenizer  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "HF tokenizers (gpt2/llama/olmo) need the `transformers` "
+                "package + model files — unavailable offline; use the "
+                "builtin bytepair/bytequad (fixed-width) or minibpe "
+                "(variable-width) tokenizers"
+            ) from e
+        self.tok = AutoTokenizer.from_pretrained(name, use_fast=True)  # pragma: no cover
+        self.dtype = np.uint16 if len(self.tok) < 0xFFFF else np.uint32  # pragma: no cover
+
+    def encode(self, data: bytes) -> np.ndarray:  # pragma: no cover
+        text = data.decode("utf-8", errors="replace")
+        enc = self.tok(
+            text, add_special_tokens=False, return_offsets_mapping=True
+        )
+        self._set_offsets_from_chars(text, enc["offset_mapping"])
+        return np.asarray(enc["input_ids"], dtype=self.dtype)
+
+    def decode(self, tokens: np.ndarray, n_bytes: int) -> bytes:  # pragma: no cover
+        return self.tok.decode(tokens.tolist()).encode("utf-8")[:n_bytes]
+
+
 def get_tokenizer(name: str):
     if name == "bytepair":
         return BytePairTokenizer()
     if name == "bytequad":
         return ByteQuadTokenizer()
+    if name == "minibpe":
+        return MiniBPETokenizer()
     return HFTokenizer(name)
 
 

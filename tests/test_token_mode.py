@@ -229,3 +229,61 @@ def test_dedup_dataset_reversed_e2e(ray_session, webpages_small):
             assert 0 <= sp["start"] < sp["end"] <= nb
             assert sp["start"] > prev
             prev = sp["start"]
+
+
+# --- variable-width mini-BPE (the HF adapter surface, in CI) ---------------
+
+
+def test_minibpe_roundtrip_and_merges():
+    from hg_dedup_ray.functions.tokenize import MiniBPETokenizer
+
+    tok = MiniBPETokenizer()
+    data = "the cat and the dog are resting".encode()
+    ids = tok.encode(data)
+    assert ids.dtype == np.uint16
+    # BPE actually merged: fewer tokens than characters
+    assert ids.shape[0] < len(data.decode())
+    assert tok.decode(ids, len(data)) == data
+    # determinism
+    assert (tok.encode(data) == ids).all()
+
+
+def test_minibpe_offset_mapping_multibyte():
+    """Every token's byte span must slice the utf-8 buffer to exactly
+    that token's string — including across multi-byte chars (the char
+    offset -> byte offset conversion the HF adapter relies on)."""
+    from hg_dedup_ray.functions.tokenize import MiniBPETokenizer
+
+    tok = MiniBPETokenizer()
+    text = "the 中文 données and the énd"
+    data = text.encode()
+    ids = tok.encode(data)
+    off = tok._offsets
+    assert off.shape[0] == ids.shape[0]
+    assert off[0, 0] == 0 and off[-1, 1] == len(data)
+    for t in range(ids.shape[0]):
+        s, e = int(off[t, 0]), int(off[t, 1])
+        piece = data[s:e].decode()
+        assert piece == tok._str_of.get(int(ids[t]), piece) or ids[t] == 0
+    # token_range_to_bytes: full range covers the doc; clamping works
+    assert tok.token_range_to_bytes(0, ids.shape[0], len(data)) == (0, len(data))
+    s, e = tok.token_range_to_bytes(1, 3, len(data))
+    assert data[s:e].decode() is not None and 0 < s < e <= len(data)
+    assert tok.token_range_to_bytes(10**6, 10**6 + 1, len(data)) == (0, 0)
+
+
+def test_minibpe_unknown_chars_lossy():
+    from hg_dedup_ray.functions.tokenize import MiniBPETokenizer
+
+    tok = MiniBPETokenizer()
+    data = "ok 🌍 ok".encode()
+    ids = tok.encode(data)
+    assert (ids == tok.unk_id).sum() == 1
+    out = tok.decode(ids, 10**9).decode()
+    assert out == "ok � ok"
+
+
+def test_get_tokenizer_minibpe_and_gate():
+    from hg_dedup_ray.functions.tokenize import MiniBPETokenizer, get_tokenizer
+
+    assert isinstance(get_tokenizer("minibpe"), MiniBPETokenizer)
