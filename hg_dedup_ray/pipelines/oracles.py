@@ -1211,6 +1211,22 @@ ORACLE_SQL = {
             FROM s)
         WHERE rank <= {ANN_K}
     """,
+    "ann_ivfpq_exhaustive": f"""
+        -- exhaustive probing + an all-covering full-precision refine
+        -- make IVF-PQ exact, so brute-force top-k over the ann_topk
+        -- query set is a valid oracle for the whole IVFADC+R machinery
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < {ANN_NUM_QUERIES}),
+             s AS (SELECT q.qid, e.vec_id AS nid,
+                          list_cosine_similarity(q.qe, e.embedding) AS sim
+                   FROM q, embeddings e WHERE e.vec_id <> q.qid)
+        SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+                       AS rank
+            FROM s)
+        WHERE rank <= {ANN_K}
+    """,
     "ann_ivf_exhaustive": f"""
         -- nprobe == n_cells makes IVF exhaustive == brute force, so the
         -- plain all-queries top-k is a valid oracle for the IVF machinery
@@ -2282,6 +2298,49 @@ ORACLE_SQL = {
     # (doc_id, pos) occurrence per distinct window value, coalesce the
     # rest into per-doc islands with the reference gap rule (break at
     # diff > 64).
+    # dup_doc_report: the D5/D6 kept/dropped pointer accounting at the
+    # PRODUCTION partition granularity. Every cross-doc corpus window
+    # contains a sentinel byte (one per doc boundary) and is excluded by
+    # the scan, so the dup-window set == doc-internal 64-byte windows
+    # grouped per (partition, window); kept = min corpus position = min
+    # (doc_id, pos). Partition assignment replicates
+    # extract.partition_boundaries: boundary[p] = ceil(p*span/P) + mn,
+    # order-contiguous in doc_id, P = 4 (the query's cfg).
+    "dup_doc_report": """
+        WITH bounds AS (
+          SELECT min(doc_id) AS mn, max(doc_id) - min(doc_id) + 1 AS span
+          FROM documents
+        ),
+        pdoc AS (
+          SELECT d.doc_id, hex(encode(d.text)) AS hx,
+                 least(3, CAST((SELECT count(*) FROM range(0, 4) r(p)
+                                WHERE (r.p * b.span + 3) // 4 + b.mn
+                                      <= d.doc_id) AS BIGINT) - 1) AS part
+          FROM documents d, bounds b
+        ),
+        w AS (
+          SELECT part, doc_id,
+                 UNNEST(range(1, greatest(length(hx) // 2 - 63, 0) + 1)) - 1
+                     AS pos,
+                 UNNEST(list_transform(
+                     range(1, greatest(length(hx) // 2 - 63, 0) + 1),
+                     i -> substr(hx, (2*i - 1)::INT, 128))) AS win
+          FROM pdoc
+        ),
+        firsts AS (
+          SELECT part, win, min(doc_id * 4294967296 + pos) AS k0,
+                 count(*) AS n
+          FROM w GROUP BY part, win
+        )
+        SELECT w.doc_id,
+               sum(CASE WHEN w.doc_id * 4294967296 + w.pos = firsts.k0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_kept_ptrs,
+               sum(CASE WHEN w.doc_id * 4294967296 + w.pos <> firsts.k0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_dropped_ptrs
+        FROM w JOIN firsts USING (part, win)
+        WHERE firsts.n >= 2
+        GROUP BY w.doc_id
+    """,
     "window_ptr_report": """
         WITH w AS (
           SELECT doc_id,

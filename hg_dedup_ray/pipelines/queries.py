@@ -2652,6 +2652,61 @@ def ann_ivfpq_topk(
     return qbucket_merge_topk(refined, ANN_K)
 
 
+def ann_ivfpq_exhaustive(sf_dir: str):
+    """IVF-PQ with nprobe == n_cells AND an all-covering refine
+    shortlist: every vector is ADC-scored, the shortlist holds the whole
+    corpus, and the full-precision refine re-ranks everything — so the
+    result EQUALS brute-force top-k, pinning the entire IVFADC+R
+    machinery (k-means train, 16-byte code round-trip, LUT scoring,
+    shortlist merge, refine pass) to the same DuckDB oracle as
+    ``ann_topk``, the ann_ivf_exhaustive trick applied one level deeper.
+    ``ann_ivfpq_topk`` keeps the approximate production config
+    (rows-only; its quality is the value contract of
+    ``ann_ivfpq_recall_report``)."""
+    return ann_ivfpq_topk(sf_dir, n_cells=8, nprobe=8, refine=1 << 20)
+
+
+def ann_ivfpq_recall_report(sf_dir: str):
+    """recall@k of the production-config IVF-PQ ANN vs the exact
+    brute-force top-k, per query: (query_id, k, n_hits, recall) with
+    n_hits = |ivfpq_topk ∩ exact_topk| as an INTEGER — the numeric
+    quality contract for the approximate entries. Rows-only by nature
+    (the approximate side has no SQL analog); the integer counts are
+    deterministic on a fixed fixture and regression-pinned in
+    tests/test_embed.py. Both inputs are answer-sized (nq x k rows), so
+    the set intersection is driver-trivial."""
+    exact = ann_topk(sf_dir).to_pandas()
+    approx = ann_ivfpq_topk(sf_dir).to_pandas()
+    if len(exact) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "k": pa.array([], pa.int64()),
+                "n_hits": pa.array([], pa.int64()),
+                "recall": pa.array([], pa.float64()),
+            }
+        )
+    ek = (
+        exact["query_id"].to_numpy(np.int64) << np.int64(32)
+    ) | exact["neighbor_id"].to_numpy(np.int64)
+    ak = (
+        approx["query_id"].to_numpy(np.int64) << np.int64(32)
+    ) | approx["neighbor_id"].to_numpy(np.int64)
+    hit = np.isin(ek, ak)
+    qids = exact["query_id"].to_numpy(np.int64)
+    u = np.unique(qids)
+    n_hits = np.zeros(u.shape[0], np.int64)
+    np.add.at(n_hits, np.searchsorted(u, qids), hit.astype(np.int64))
+    return pa.table(
+        {
+            "query_id": pa.array(u, pa.int64()),
+            "k": pa.array(np.full(u.shape[0], ANN_K, np.int64), pa.int64()),
+            "n_hits": pa.array(n_hits, pa.int64()),
+            "recall": pa.array(n_hits / float(ANN_K), pa.float64()),
+        }
+    )
+
+
 def top_docs_per_lang(sf_dir: str, k: int = 3):
     """Windowed top-k per group (rank() shape): per lang, the k largest
     docs by n_chars, doc_id tiebreak. One groupby over the BOUNDED lang
@@ -4957,6 +5012,8 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivf_exhaustive": ann_ivf_exhaustive,
+    "ann_ivfpq_exhaustive": ann_ivfpq_exhaustive,
+    "ann_ivfpq_recall_report": ann_ivfpq_recall_report,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "top_docs_per_lang": top_docs_per_lang,
     "lang_len_percentiles": lang_len_percentiles,

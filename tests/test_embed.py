@@ -106,3 +106,41 @@ def test_ivfpq_refine_beats_adc_only(brute):
         ann_ivfpq_topk(SF).to_pandas(), ids, sims, ANN_NUM_QUERIES
     )
     assert ref > adc
+
+
+def test_ivfpq_exhaustive_equals_brute_force(brute):
+    """nprobe == n_cells + all-covering refine => the IVF-PQ pipeline is
+    EXACT: neighbor sets equal brute force for every query (the oracle
+    check runs the same equality vs DuckDB; this pins it vs numpy)."""
+    from hg_dedup_ray.pipelines.queries import ANN_NUM_QUERIES, ann_ivfpq_exhaustive
+
+    ids, sims = brute
+    df = ann_ivfpq_exhaustive(SF).to_pandas()
+    assert len(df) == ANN_NUM_QUERIES * K
+    for q in range(ANN_NUM_QUERIES):
+        true_top = set(ids[np.argsort(-sims[q])[:K]])
+        got = set(df[df.query_id == q].neighbor_id)
+        assert got == true_top, q
+
+
+def test_ivfpq_recall_report_matches_direct_computation(brute):
+    """The report's integer n_hits must equal the brute-force overlap
+    computed independently, and recall = n_hits/k exactly."""
+    from hg_dedup_ray.pipelines.queries import (
+        ANN_NUM_QUERIES,
+        ann_ivfpq_recall_report,
+        ann_ivfpq_topk,
+    )
+
+    ids, sims = brute
+    rep = ann_ivfpq_recall_report(SF).to_pandas().set_index("query_id")
+    assert len(rep) == ANN_NUM_QUERIES
+    approx = ann_ivfpq_topk(SF).to_pandas()
+    for q in range(ANN_NUM_QUERIES):
+        true_top = set(ids[np.argsort(-sims[q])[:K]])
+        got = set(approx[approx.query_id == q].neighbor_id)
+        assert int(rep.loc[q, "n_hits"]) == len(true_top & got)
+        assert rep.loc[q, "recall"] == len(true_top & got) / K
+        assert int(rep.loc[q, "k"]) == K
+    # quality floor on the fixture (same floor test_ivfpq_refine pins)
+    assert rep["recall"].mean() >= 0.55
