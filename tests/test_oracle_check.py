@@ -11,12 +11,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_ok_rowsonly_and_unknown(ray_session):
+    # annotate_documents is rows-only BY NATURE (rebuilt text, no SQL
+    # analog); dup_doc_report graduated to oracle-checked in round 4
     rep = oracle_check.check_queries(
-        SF_DIR, ["exact_dedup", "dup_doc_report"]
+        SF_DIR, ["exact_dedup", "annotate_documents"]
     )
     by = {r["name"]: r for r in rep["results"]}
     assert by["exact_dedup"]["status"] == "ok"
-    assert by["dup_doc_report"]["status"] == "rows_only"
+    assert by["annotate_documents"]["status"] == "rows_only"
     assert rep["mismatch"] == 0 and rep["error"] == 0
     assert oracle_check.check_query("nope", SF_DIR)["status"] == "error"
 
