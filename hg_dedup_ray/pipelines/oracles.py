@@ -874,6 +874,116 @@ def _split_leakage_sql() -> str:
     """
 
 
+def _window_apply_sql(minlen: int = 24) -> str:
+    """Oracle for queries.window_dedup_apply: the window_dedup_report
+    island SQL, then the reference UTF-8 clip (advance s / retreat e
+    over continuation bytes, exclusive end == doc length exempt,
+    write_back_to_jsonl_sharded.py:75-83) as 3-deep CASE chains over
+    hex-decoded bytes, then the kept slices rebuilt by hex-slice
+    string_agg + from_hex + decode — byte-identical strings to the Ray
+    excision kernel on any UTF-8 input."""
+    def cont(p: str) -> str:
+        b = _byte_at("hx", f"({p}) + 1")  # 0-based pos -> 1-based byte
+        return f"(({b}) >= 128 AND ({b}) < 192)"
+
+    # s' = s advanced over <= 3 continuation bytes (bounded by nb)
+    s_clip = f"""CASE WHEN s0 < nb AND {cont('s0')} THEN
+          CASE WHEN s0 + 1 < nb AND {cont('s0 + 1')} THEN
+            CASE WHEN s0 + 2 < nb AND {cont('s0 + 2')} THEN s0 + 3
+                 ELSE s0 + 2 END
+          ELSE s0 + 1 END
+        ELSE s0 END"""
+    # e' = e retreated over <= 3 continuation bytes unless e == nb
+    e_clip = f"""CASE WHEN e0 = nb THEN e0 ELSE
+          CASE WHEN {cont('e0')} THEN
+            CASE WHEN {cont('e0 - 1')} THEN
+              CASE WHEN {cont('e0 - 2')} THEN e0 - 3 ELSE e0 - 2 END
+            ELSE e0 - 1 END
+          ELSE e0 END
+        END"""
+    return f"""
+        WITH hdoc AS (
+          SELECT doc_id, text, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS nb
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id,
+                 UNNEST(range(1, greatest(nb - {minlen - 1}, 0) + 1)) - 1
+                     AS pos,
+                 UNNEST(list_transform(
+                     range(1, greatest(nb - {minlen - 1}, 0) + 1),
+                     i -> substr(hx, (2*i - 1)::INT, {2 * minlen}))) AS win
+          FROM hdoc
+        ),
+        firsts AS (
+          SELECT win, min(doc_id * 4294967296 + pos) AS k0, count(*) AS n
+          FROM w GROUP BY win
+        ),
+        rp AS (
+          SELECT w.doc_id, w.pos
+          FROM w JOIN firsts USING (win)
+          WHERE firsts.n >= 2
+            AND w.doc_id * 4294967296 + w.pos <> firsts.k0
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          IS NULL
+                      OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > {minlen}
+                      THEN 1 ELSE 0 END AS brk
+          FROM rp
+        ),
+        isl2 AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        ),
+        isl3 AS (
+          SELECT doc_id, island, min(pos) AS s0, max(pos) + {minlen} AS e0
+          FROM isl2 GROUP BY doc_id, island
+        ),
+        isl4 AS (
+          SELECT i.doc_id, i.island,
+                 ({s_clip}) AS s1, ({e_clip}) AS e1
+          FROM isl3 i JOIN hdoc USING (doc_id)
+        ),
+        pieces AS (
+          SELECT doc_id,
+                 lag(e1, 1, 0) OVER (PARTITION BY doc_id ORDER BY s1)
+                     AS ks,
+                 s1 AS ke
+          FROM isl4
+          UNION ALL
+          SELECT i.doc_id, max(i.e1) AS ks, any_value(h.nb) AS ke
+          FROM isl4 i JOIN hdoc h USING (doc_id) GROUP BY i.doc_id
+        ),
+        rebuilt AS (
+          SELECT p.doc_id,
+                 string_agg(substr(h.hx, (2*p.ks + 1)::INT,
+                                   (2*(p.ke - p.ks))::INT),
+                            '' ORDER BY p.ks) AS hkept
+          FROM pieces p JOIN hdoc h USING (doc_id)
+          GROUP BY p.doc_id
+        ),
+        agg AS (
+          SELECT doc_id, count(*)::BIGINT AS n_removed_ranges,
+                 sum(e1 - s1)::BIGINT AS removed_bytes
+          FROM isl4 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_removed_ranges, 0)::BIGINT AS n_removed_ranges,
+               coalesce(a.removed_bytes, 0)::BIGINT AS removed_bytes,
+               CASE WHEN r.hkept IS NULL THEN d.text
+                    ELSE decode(from_hex(r.hkept)) END AS dedup_text
+        FROM hdoc d
+        LEFT JOIN rebuilt r USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
+    """
+
+
 ORACLE_SQL = {
     "dedup_pressure_curve": _dedup_pressure_sql(),
     "lsh_param_sweep": _lsh_sweep_sql(),
@@ -2410,6 +2520,7 @@ ORACLE_SQL = {
         SELECT gap_len::BIGINT AS gap_len, count(*)::BIGINT AS n
         FROM g WHERE gap_len IS NOT NULL GROUP BY gap_len
     """,
+    "window_dedup_apply": _window_apply_sql(),
     "window_dedup_report": """
         WITH w AS (
           SELECT doc_id,

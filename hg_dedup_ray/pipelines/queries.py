@@ -3899,6 +3899,199 @@ def window_kept_gaps(
     )
 
 
+def _excise_islands(
+    ids: np.ndarray,
+    text_col,
+    isl_row: np.ndarray,
+    isl_s: np.ndarray,
+    isl_e: np.ndarray,
+) -> pa.Table:
+    """Shared excision kernel of window_dedup_apply: UTF-8-clip the
+    per-doc remove islands (reference write_back_to_jsonl_sharded.py:
+    75-83 — advance s / retreat e over continuation bytes, e == doc len
+    exempt) and rebuild each doc's text from the kept slices
+    (reference :85-94), fully vectorized over the batch byte buffer.
+    ``isl_row`` indexes rows of the given (ids, text_col) table;
+    ``isl_s``/``isl_e`` are doc-relative byte offsets. int32 string
+    offsets bound one output batch to < 2 GB — far above any batch this
+    engine produces."""
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+
+    data, offsets = string_column_bytes(text_col)
+    n = ids.shape[0]
+    doc_start, doc_end = offsets[:-1], offsets[1:]
+    abs_s = isl_s + doc_start[isl_row]
+    abs_e = isl_e + doc_start[isl_row]
+    dend = doc_end[isl_row]
+    if data.shape[0] and abs_s.shape[0]:
+        guard = data.shape[0] - 1
+        for _ in range(3):  # UTF-8 has <= 3 continuation bytes
+            m = (abs_s < dend) & (
+                (data[np.minimum(abs_s, guard)] & 0xC0) == 0x80
+            )
+            abs_s = abs_s + m
+        for _ in range(3):
+            m = (abs_e != dend) & (
+                (data[np.minimum(abs_e, guard)] & 0xC0) == 0x80
+            )
+            abs_e = abs_e - m
+    delta = np.zeros(data.shape[0] + 1, np.int64)
+    np.add.at(delta, abs_s, 1)
+    np.add.at(delta, abs_e, -1)
+    kept = np.cumsum(delta[:-1]) <= 0
+    out = data[kept]
+    kc = np.concatenate(([0], np.cumsum(kept)))
+    new_off = np.zeros(n + 1, np.int64)
+    np.cumsum(kc[doc_end] - kc[doc_start], out=new_off[1:])
+    dedup_text = pa.Array.from_buffers(
+        pa.string(),
+        n,
+        [None, pa.py_buffer(new_off.astype(np.int32)), pa.py_buffer(out)],
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_removed_ranges": pa.array(
+                np.bincount(isl_row, minlength=n).astype(np.int64), pa.int64()
+            ),
+            "removed_bytes": pa.array(
+                np.bincount(
+                    isl_row, weights=(abs_e - abs_s), minlength=n
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+            "dedup_text": dedup_text,
+        }
+    )
+
+
+def window_dedup_apply(
+    sf_dir: str, minlen: int = 24, broadcast_limit: int = 20_000_000
+):
+    """The flagship's END PRODUCT under the doc-internal window
+    semantics, ORACLE-CHECKED by value down to the rebuilt strings:
+    keep-first window dedup (window_dedup_report's formulation) APPLIED
+    — every non-first duplicated window's islands are UTF-8-clipped and
+    excised, and the row is (doc_id, n_removed_ranges, removed_bytes,
+    dedup_text). This closes the loop the reference closes with
+    write_back_to_jsonl_sharded.py (M4 excision + M3 clip), restricted
+    to doc-internal windows so DuckDB can rebuild the identical strings
+    (hex-slice string_agg + decode). minlen=24 for the same
+    non-vacuity reason as window_kept_gaps.
+
+    Scale shape: _window_keepfirst_ctx's two streaming passes, then one
+    pass that re-probes the broadcast first-key map and excises in
+    place; above ``broadcast_limit`` the ctx's distributed pointer rows
+    join the doc texts through ONE bucketed shuffle (the dupset_join
+    shape — text never lands on the driver)."""
+    docs, _batch_windows, map_ref, ptrs = _window_keepfirst_ctx(
+        _docs(sf_dir, columns=["doc_id", "text"]), minlen,
+        broadcast_limit=broadcast_limit,
+    )
+
+    z = np.empty(0, np.int64)
+    if map_ref is None and ptrs is None:  # nothing duplicated anywhere
+
+        def passthrough(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _excise_islands(ids, batch["text"], z, z, z)
+
+        return docs.map_batches(passthrough, batch_format="pyarrow")
+
+    if ptrs is not None:
+        # bucketed above-limit path: one shared-schema union (text rows
+        # side=0, pointer rows side=1) -> doc-bucket groupby -> excise
+        def text_rows(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = ids.shape[0]
+            return pa.table(
+                {
+                    "dbucket": pa.array(ids % 64, pa.int64()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "side": pa.array(np.zeros(n, np.uint8), pa.uint8()),
+                    "pos": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                    "kept": pa.array(np.full(n, 2, np.uint8), pa.uint8()),
+                    "text": batch["text"],
+                }
+            )
+
+        def ptr_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "dbucket": batch["dbucket"],
+                    "doc_id": batch["doc_id"],
+                    "side": pa.array(np.ones(n, np.uint8), pa.uint8()),
+                    "pos": batch["pos"],
+                    "kept": batch["kept"],
+                    "text": pa.array([""] * n, pa.string()),
+                }
+            )
+
+        def apply_group(group: pa.Table) -> pa.Table:
+            side = group["side"].to_numpy(zero_copy_only=False)
+            t = group.filter(pa.array(side == 0))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            order_t = np.argsort(ids, kind="stable")
+            t = t.take(pa.array(order_t, pa.int64()))
+            ids = ids[order_t]
+            kept_f = group["kept"].to_numpy(zero_copy_only=False)
+            rm = (side == 1) & (kept_f == 0)
+            d = group["doc_id"].to_numpy(zero_copy_only=False)[rm]
+            rp = group["pos"].to_numpy(zero_copy_only=False)[rm]
+            order = np.lexsort((rp, d))
+            d, rp = d[order], rp[order]
+            if rp.shape[0]:
+                st = np.flatnonzero(
+                    np.concatenate(
+                        ([True], (d[1:] != d[:-1]) | (rp[1:] - rp[:-1] > minlen))
+                    )
+                )
+                en = np.concatenate((st[1:], [rp.shape[0]]))
+                isl_row = np.searchsorted(ids, d[st])
+                return _excise_islands(
+                    ids, t["text"], isl_row, rp[st], rp[en - 1] + minlen
+                )
+            return _excise_islands(ids, t["text"], z, z, z)
+
+        return (
+            docs.map_batches(text_rows, batch_format="pyarrow", batch_size=1024)
+            .union(ptrs.map_batches(ptr_rows, batch_format="pyarrow"))
+            .groupby("dbucket")
+            .map_groups(apply_group, batch_format="pyarrow")
+        )
+
+    def apply_batch(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        HS, KMIN = get_broadcast(map_ref)
+        h, wdoc, ip, valid, ids = _batch_windows(batch)
+        if h.shape[0] == 0:
+            return _excise_islands(ids.astype(np.int64), batch["text"], z, z, z)
+        p = np.searchsorted(HS, h)
+        pc_ = np.minimum(p, HS.shape[0] - 1)
+        hit = valid & (p < HS.shape[0]) & (HS[pc_] == h)
+        key = (ids[wdoc].astype(np.uint64) << np.uint64(32)) | ip.astype(
+            np.uint64
+        )
+        rm = hit & (key != KMIN[pc_])
+        d, rp = wdoc[rm], ip[rm]  # pos-ascending => sorted per doc
+        if rp.shape[0]:
+            st = np.flatnonzero(
+                np.concatenate(
+                    ([True], (d[1:] != d[:-1]) | (rp[1:] - rp[:-1] > minlen))
+                )
+            )
+            en = np.concatenate((st[1:], [rp.shape[0]]))
+            return _excise_islands(
+                ids.astype(np.int64), batch["text"], d[st], rp[st],
+                rp[en - 1] + minlen,
+            )
+        return _excise_islands(ids.astype(np.int64), batch["text"], z, z, z)
+
+    return docs.map_batches(apply_batch, batch_format="pyarrow", batch_size=1024)
+
+
 def dedup_tier_cascade(
     sf_dir: str,
     words_per_seg: int = 16,
@@ -4744,12 +4937,19 @@ def kept_middle_lengths(sf_dir: str, minlen: int = 24):
     Default minlen=24: on the sf0.001/sf0.01 fixtures this is the largest
     window that produces docs with TWO separated removed ranges, so the
     driver-visible run is a real signal (minlen=64 returned 0 rows in
-    round 1 — vacuous)."""
+    round 1 — vacuous).
+
+    num_partitions=0 (auto) — the flagship's production default. The
+    forced-4-partition config this stat used through r03 spent ~90% of
+    its wall time in the cross-partition candidate routing on a fixture
+    small enough for one scan partition (9 s → 0.5 s at sf0.1); the
+    multi-partition path stays pinned by dup_doc_report (P=4, oracle-
+    checked) and the parity/skew tests."""
     from hg_dedup_ray.pipelines.sa_dedup import dedup_dataset
     from ray.data.aggregate import Sum
 
     cfg = DedupConfig(
-        minlen=minlen, num_partitions=4, shingle_k=8,
+        minlen=minlen, num_partitions=0, shingle_k=8,
         seq_col="doc_id", id_col="doc_id", text_col="text",
     )
     out = dedup_dataset(_docs(sf_dir, columns=["doc_id", "text"]), cfg)
@@ -4980,6 +5180,7 @@ QUERIES = {
     "top_docs_by_chars": top_docs_by_chars,
     "dup_doc_report": dup_doc_report,
     "window_dedup_report": window_dedup_report,
+    "window_dedup_apply": window_dedup_apply,
     "window_ptr_report": window_ptr_report,
     "window_kept_gaps": window_kept_gaps,
     "jsonl_roundtrip_dedup": jsonl_roundtrip_dedup,

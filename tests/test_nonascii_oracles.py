@@ -20,6 +20,7 @@ import pytest
 
 # the char-vs-byte-sensitive oracle families (VERDICT r03 wrong #4 list)
 AFFECTED = [
+    "window_dedup_apply",
     "window_dedup_report",
     "window_ptr_report",
     "window_kept_gaps",

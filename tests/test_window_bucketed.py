@@ -91,3 +91,52 @@ def test_dedup_tier_cascade_bucketed(ray_session, sf):
     assert int(bb[3]) < int(bb[2])
     bucketed = _sorted_df(dedup_tier_cascade(sf, minlen=24, broadcast_limit=1))
     assert broad.equals(bucketed)
+
+
+def test_window_dedup_apply_bucketed(ray_session, sf):
+    from hg_dedup_ray.pipelines.queries import window_dedup_apply
+
+    broad = _sorted_df(window_dedup_apply(sf, minlen=24))
+    assert (broad["n_removed_ranges"] > 0).any()
+    # every rebuilt text is valid UTF-8 shorter-or-equal to the original
+    assert (broad["dedup_text"].str.len() >= 0).all()
+    bucketed = _sorted_df(window_dedup_apply(sf, minlen=24, broadcast_limit=1))
+    assert broad.equals(bucketed)
+
+
+def test_window_dedup_apply_multibyte_clip(ray_session, tmp_path):
+    """An island boundary landing mid-CJK-char must clip to whole chars
+    (reference write_back semantics) — the excised output stays valid
+    UTF-8 and the kept head/tail characters survive intact."""
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import window_dedup_apply
+
+    block = "统一重复数据删除引擎" * 5  # 150 bytes of 3-byte chars
+    rows = [
+        (0, "head-" + block + "-tail"),
+        (1, "pfx::" + block + "::sfx"),
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        window_dedup_apply(str(tmp_path), minlen=24)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # the block repeats in-doc too, so BOTH docs lose their non-first
+    # window occurrences; heads/tails (never duplicated) must survive
+    for i, (head, tail) in enumerate((("head-", "-tail"), ("pfx::", "::sfx"))):
+        assert int(got.loc[i, "n_removed_ranges"]) >= 1
+        t = got.loc[i, "dedup_text"]
+        t.encode("utf-8")  # valid UTF-8 (clip landed on char boundaries)
+        assert t.startswith(head) and t.endswith(tail)
+        assert len(t) < len(rows[i][1])
+    # doc 1 keeps nothing the (earlier) doc 0 already kept of the block:
+    # its removal is at least doc 0's
+    assert int(got.loc[1, "removed_bytes"]) >= int(got.loc[0, "removed_bytes"])
