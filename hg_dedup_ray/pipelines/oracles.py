@@ -2521,6 +2521,15 @@ ORACLE_SQL = {
         FROM g WHERE gap_len IS NOT NULL GROUP BY gap_len
     """,
     "window_dedup_apply": _window_apply_sql(),
+    # html_text_extract: the per-row invariant "extracted text is
+    # byte-identical per url" — the oracle pins BOTH counts to the doc
+    # count; the Ray side earns equality only by actually parsing the
+    # <main> element out of every page's html bytes.
+    "html_text_extract": """
+        SELECT count(*)::BIGINT AS n_pages,
+               count(*)::BIGINT AS n_byte_identical
+        FROM documents
+    """,
     "window_dedup_report": """
         WITH w AS (
           SELECT doc_id,

@@ -3020,6 +3020,74 @@ def video_frame_sample(sf_dir: str):
     return _multimodal(sf_dir, "video", FrameSampler, 64)
 
 
+def html_text_extract(sf_dir: str):
+    """The north rule's PER-ROW INVARIANT as a value-checked row:
+    extract each page's text from its REAL ``html:binary`` column (text
+    content of the <main> element, stdlib parser, entities decoded) and
+    count byte-identical matches against the table's ``text`` column —
+    (n_pages, n_byte_identical) must be equal, and the DuckDB oracle
+    pins both to the documents row count. The webpages fixture embeds
+    text escaped inside <main> (sources/webpages.py), so any parser or
+    encoding regression flips the second count and the hash check.
+
+    Scale shape: one actor-pool streaming pass (parse state per actor),
+    one tiny (n, n_eq) partial row per batch — nothing page-sized
+    shuffles or reaches the driver."""
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.sources.webpages import generate_webpages
+    from hg_dedup_ray.stages.multimodal import HtmlMainText
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    empty = pa.table(
+        {
+            "n_pages": pa.array([0], pa.int64()),
+            "n_byte_identical": pa.array([0], pa.int64()),
+        }
+    )
+    if n_docs == 0:
+        return ray.data.from_arrow(empty)
+    table, _ = generate_webpages(n_docs=n_docs, seed=42, minlen=64)
+
+    class ExtractAndCompare(HtmlMainText):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            eq = pc.equal(
+                out["extracted_text"].cast(pa.binary()),
+                out["text"].cast(pa.binary()),
+            )
+            return pa.table(
+                {
+                    "n_pages": pa.array([len(out)], pa.int64()),
+                    "n_byte_identical": pa.array(
+                        [int(pc.sum(eq.cast(pa.int64())).as_py() or 0)],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    parts = (
+        ray.data.from_arrow(table.select(["url", "html", "text"]))
+        .map_batches(
+            ExtractAndCompare,
+            batch_format="pyarrow",
+            batch_size=512,
+            concurrency=_pool(),
+        )
+        .take_all()
+    )
+    return pa.table(
+        {
+            "n_pages": pa.array(
+                [int(sum(r["n_pages"] for r in parts))], pa.int64()
+            ),
+            "n_byte_identical": pa.array(
+                [int(sum(r["n_byte_identical"] for r in parts))], pa.int64()
+            ),
+        }
+    )
+
+
 def html_features(sf_dir: str):
     """Real HTML parsing over the input_hint webpages table's
     ``html:binary`` column: tag/link counts, title, visible-text ratio
@@ -5195,6 +5263,7 @@ QUERIES = {
     "audio_features": audio_features,
     "video_frame_sample": video_frame_sample,
     "html_features": html_features,
+    "html_text_extract": html_text_extract,
     "image_phash_near_dup": image_phash_near_dup,
     "audio_fingerprint_dedup": audio_fingerprint_dedup,
     "video_framehash_near_dup": video_framehash_near_dup,

@@ -177,20 +177,25 @@ def generate_webpages(
     # block (excluded from visible text), paragraph-split body — gives the
     # HtmlFeatures parser (stages/multimodal.py) real structure to extract
     def _page(i: int, t: str) -> bytes:
+        import html as _html
+
         words = t.split()
         title = " ".join(words[:6]) if words else f"page {i}"
-        mid = max(1, len(words) // 2)
         nav = "".join(
             f'<a href="/p/{(i + k) % n_docs:08d}">link {k}</a>'
             for k in range(1 + i % 3)
         )
+        # the document text lives VERBATIM (entity-escaped) inside ONE
+        # <main> element, so extraction recovers it byte-identically per
+        # url — the north-rule per-row invariant (see
+        # queries.html_text_extract); title/nav/script/footer are chrome
         return (
             f"<!DOCTYPE html><html lang=\"{langs[i % len(langs)]}\">"
             f"<head><title>{title}</title>"
             f"<script>var pageId={i};</script></head>"
             f"<body><nav>{nav}</nav>"
-            f"<p>{' '.join(words[:mid])}</p>"
-            f"<p>{' '.join(words[mid:])} &amp; more</p>"
+            f"<main>{_html.escape(t)}</main>"
+            f"<p>footer &amp; more</p>"
             f"</body></html>"
         ).encode("utf-8")
 

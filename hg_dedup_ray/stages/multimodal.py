@@ -382,8 +382,10 @@ class _HtmlExtract(object):
                 self.n_links = 0
                 self.title = ""
                 self.text_parts: list[str] = []
+                self.main_parts: list[str] = []
                 self._in_title = False
                 self._skip_depth = 0
+                self._main_depth = 0
 
             def handle_starttag(self, tag, attrs):
                 self.n_tags += 1
@@ -393,18 +395,24 @@ class _HtmlExtract(object):
                     self._in_title = True
                 if tag in ("script", "style"):
                     self._skip_depth += 1
+                if tag == "main":
+                    self._main_depth += 1
 
             def handle_endtag(self, tag):
                 if tag == "title":
                     self._in_title = False
                 if tag in ("script", "style") and self._skip_depth:
                     self._skip_depth -= 1
+                if tag == "main" and self._main_depth:
+                    self._main_depth -= 1
 
             def handle_data(self, data):
                 if self._in_title:
                     self.title += data
                 elif not self._skip_depth:
                     self.text_parts.append(data)
+                    if self._main_depth:
+                        self.main_parts.append(data)
 
         outer._cls = P
 
@@ -412,6 +420,32 @@ class _HtmlExtract(object):
         p = self._cls()
         p.feed(html_bytes.decode("utf-8", errors="replace"))
         return p
+
+
+class HtmlMainText:
+    """Actor stage: the M1 text-extraction step over REAL markup — pull
+    the document text back out of each page's ``html:binary`` column
+    (the text content of its <main> element, entities decoded by the
+    stdlib parser). The north rule's per-row invariant is that this is
+    byte-identical per url to the reference's extracted text; the
+    webpages fixture embeds ``text`` escaped inside <main>, so
+    ``queries.html_text_extract`` can assert exact byte equality at
+    fleet scale. Parser class built once per actor."""
+
+    def __init__(self):
+        self.extract = _HtmlExtract()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        out = []
+        for hb in htmls:
+            p = self.extract.parse(hb or b"")
+            out.append("".join(p.main_parts))
+        id_col = "url" if "url" in batch.column_names else "doc_id"
+        cols = {id_col: batch[id_col], "extracted_text": pa.array(out, pa.string())}
+        if "text" in batch.column_names:
+            cols["text"] = batch["text"]
+        return pa.table(cols)
 
 
 class HtmlFeatures:

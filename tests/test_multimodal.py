@@ -562,3 +562,33 @@ def test_video_framehash_stop_frame_stays_exact(ray_session, tmp_path):
                 want.add((a, b, round(inter / union, 9)))
     assert got_set == want
     assert {(a, b) for a, b, _ in want} == {(5, 40), (9, 41)}
+
+
+def test_html_main_text_roundtrips_hostile_text():
+    """<main>-embedded text must round-trip byte-identically through
+    escape -> parse -> decode, including markup chars and multi-byte."""
+    import html as _html
+
+    t = 'a < b && "c" > d — 中文 🌍 \n line2  double  space'
+    page = (
+        "<!DOCTYPE html><html><head><title>t</title>"
+        "<script>var x='<main>fake</main>';</script></head>"
+        f"<body><nav><a href='/x'>n</a></nav><main>{_html.escape(t)}</main>"
+        "<p>footer &amp; more</p></body></html>"
+    ).encode()
+    tbl = pa.table(
+        {"url": pa.array(["u"], pa.string()), "html": pa.array([page], pa.binary())}
+    )
+    out = mm.HtmlMainText()(tbl)
+    assert out["extracted_text"][0].as_py() == t
+
+
+def test_webpages_fixture_main_invariant():
+    """Every generated page's <main> text == its text column, bytes."""
+    from hg_dedup_ray.sources.webpages import generate_webpages
+
+    t, _ = generate_webpages(n_docs=50, seed=7, minlen=32)
+    out = mm.HtmlMainText()(t.select(["url", "html", "text"]))
+    ext = out["extracted_text"].to_pylist()
+    txt = out["text"].to_pylist()
+    assert all(a == b for a, b in zip(ext, txt))
