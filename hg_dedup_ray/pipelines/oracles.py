@@ -2521,6 +2521,68 @@ ORACLE_SQL = {
         FROM g WHERE gap_len IS NOT NULL GROUP BY gap_len
     """,
     "window_dedup_apply": _window_apply_sql(),
+    # incremental_window_dedup: keep-first under the history-priority
+    # order — key = ((snap << 30) | doc_id) * 2^32 + pos in BIGINT
+    # (snap = 0 for history docs, so history occurrences always win);
+    # report rows for snapshot docs only, zeros included.
+    "incremental_window_dedup": """
+        WITH hdoc AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 1 END AS snap
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, snap,
+                 UNNEST(range(1, greatest(length(hx) // 2 - 23, 0) + 1)) - 1
+                     AS pos,
+                 UNNEST(list_transform(
+                     range(1, greatest(length(hx) // 2 - 23, 0) + 1),
+                     i -> substr(hx, (2*i - 1)::INT, 48))) AS win
+          FROM hdoc
+        ),
+        firsts AS (
+          SELECT win,
+                 min((snap * 1073741824 + doc_id) * 4294967296 + pos) AS k0,
+                 count(*) AS n
+          FROM w GROUP BY win
+        ),
+        rp AS (
+          SELECT w.doc_id, w.pos
+          FROM w JOIN firsts USING (win)
+          WHERE firsts.n >= 2 AND w.snap = 1
+            AND (w.snap * 1073741824 + w.doc_id) * 4294967296 + w.pos
+                <> firsts.k0
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          IS NULL
+                      OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > 24
+                      THEN 1 ELSE 0 END AS brk
+          FROM rp
+        ),
+        isl2 AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        ),
+        agg AS (
+          SELECT doc_id,
+                 sum(e - s)::BIGINT AS removed_bytes,
+                 sum(nw)::BIGINT AS n_dup_windows
+          FROM (SELECT doc_id, island, min(pos) AS s, max(pos) + 24 AS e,
+                       count(*) AS nw
+                FROM isl2 GROUP BY doc_id, island)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+               coalesce(a.removed_bytes, 0)::BIGINT AS removed_bytes
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        WHERE d.doc_id % 19 <> 0
+    """,
     # html_text_extract: the per-row invariant "extracted text is
     # byte-identical per url" — the oracle pins BOTH counts to the doc
     # count; the Ray side earns equality only by actually parsing the

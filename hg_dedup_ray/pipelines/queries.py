@@ -3967,6 +3967,175 @@ def window_kept_gaps(
     )
 
 
+def incremental_window_dedup(
+    sf_dir: str,
+    minlen: int = 24,
+    every: int = 19,
+    broadcast_limit: int = 20_000_000,
+):
+    """Cross-snapshot SUBSTRING dedup — the third granularity of the
+    incremental family (exact = webclean.incremental_dedup, near =
+    incremental_near_dedup, substring = here), ORACLE-CHECKED: history
+    docs (doc_id % every == 0) are immutable; for every NEW-snapshot
+    doc, a window is a remove pointer iff it occurs anywhere in history
+    OR at an earlier (doc_id, pos) within the snapshot. Pointers
+    coalesce with the reference gap rule and the row is (doc_id,
+    n_dup_windows, removed_bytes) per new doc. Implemented as
+    keep-first under a HISTORY-PRIORITY total order: docs are re-keyed
+    to (is_snapshot << 31) | doc_id before the shared
+    _window_keepfirst_ctx passes, so history occurrences always hold
+    the first key — the whole window machinery (hot prefilter,
+    first-key map, above-limit pointer path) is reused unchanged.
+    doc_id must be < 2^30: the snapshot bit sits at bit 30 so the
+    re-keyed id stays inside the ctx's < 2^31 oracle-parity domain
+    (the SQL key stays in BIGINT)."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.shape[0] and (ids.min() < 0 or ids.max() >= 1 << 30):
+            raise ValueError(
+                "incremental_window_dedup requires 0 <= doc_id < 2^30 "
+                "(bit 30 carries the snapshot flag)"
+            )
+        snap = (ids % every != 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array((snap << 30) | ids, pa.int64()),
+                "text": batch["text"],
+            }
+        )
+    rdocs, _batch_windows, map_ref, ptrs = _window_keepfirst_ctx(
+        docs.map_batches(rekey, batch_format="pyarrow", batch_size=4096),
+        minlen,
+        broadcast_limit=broadcast_limit,
+    )
+
+    _SNAP = np.int64(1) << np.int64(30)
+
+    def _unmap_filter(tab: pa.Table) -> pa.Table:
+        """Keep snapshot rows, restore original doc_ids."""
+        ids = tab["doc_id"].to_numpy(zero_copy_only=False)
+        snap = (ids & _SNAP) != 0
+        out = tab.filter(pa.array(snap))
+        ids2 = out["doc_id"].to_numpy(zero_copy_only=False) & ~_SNAP
+        return out.set_column(
+            out.column_names.index("doc_id"), "doc_id",
+            pa.array(ids2, pa.int64()),
+        )
+
+    if map_ref is None and ptrs is None:  # no duplicated windows anywhere
+
+        def zeros(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return _unmap_filter(
+                pa.table(
+                    {
+                        "doc_id": batch["doc_id"],
+                        "n_dup_windows": pa.array(np.zeros(n, np.int64), pa.int64()),
+                        "removed_bytes": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    }
+                )
+            )
+
+        return rdocs.map_batches(zeros, batch_format="pyarrow")
+
+    if ptrs is not None:
+        # bucketed above-limit path — window_dedup_report's marker/ptr
+        # doc-bucket aggregation, then unmap+filter to snapshot docs
+        def doc_marker(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = ids.shape[0]
+            return pa.table(
+                {
+                    "dbucket": pa.array(ids % 64, pa.int64()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "pos": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                    "kept": pa.array(np.full(n, 2, np.uint8), pa.uint8()),
+                }
+            )
+
+        def combine(group: pa.Table) -> pa.Table:
+            doc = group["doc_id"].to_numpy(zero_copy_only=False)
+            pos = group["pos"].to_numpy(zero_copy_only=False)
+            kept = group["kept"].to_numpy(zero_copy_only=False)
+            mids = np.sort(doc[kept == 2])
+            n = mids.shape[0]
+            rm = kept == 0
+            d, rp = doc[rm], pos[rm]
+            order = np.lexsort((rp, d))
+            d, rp = d[order], rp[order]
+            idx = np.searchsorted(mids, d)
+            nw = np.bincount(idx, minlength=n).astype(np.int64)
+            rb = np.zeros(n, np.int64)
+            if rp.shape[0]:
+                st = np.flatnonzero(
+                    np.concatenate(
+                        ([True], (d[1:] != d[:-1]) | (rp[1:] - rp[:-1] > minlen))
+                    )
+                )
+                en = np.concatenate((st[1:], [rp.shape[0]]))
+                seg = rp[en - 1] - rp[st] + minlen
+                rb = np.bincount(idx[st], weights=seg, minlength=n).astype(
+                    np.int64
+                )
+            return _unmap_filter(
+                pa.table(
+                    {
+                        "doc_id": pa.array(mids, pa.int64()),
+                        "n_dup_windows": pa.array(nw, pa.int64()),
+                        "removed_bytes": pa.array(rb, pa.int64()),
+                    }
+                )
+            )
+
+        return (
+            rdocs.map_batches(doc_marker, batch_format="pyarrow", batch_size=4096)
+            .union(ptrs)
+            .groupby("dbucket")
+            .map_groups(combine, batch_format="pyarrow")
+        )
+
+    def report(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        HS, KMIN = get_broadcast(map_ref)
+        h, wdoc, ip, valid, ids = _batch_windows(batch)
+        nb = len(batch)
+        nw = np.zeros(nb, np.int64)
+        rb = np.zeros(nb, np.int64)
+        if h.shape[0]:
+            p = np.searchsorted(HS, h)
+            pc_ = np.minimum(p, HS.shape[0] - 1)
+            hit = valid & (p < HS.shape[0]) & (HS[pc_] == h)
+            key = (ids[wdoc].astype(np.uint64) << np.uint64(32)) | ip.astype(
+                np.uint64
+            )
+            rm = hit & (key != KMIN[pc_])
+            d, rp = wdoc[rm], ip[rm]
+            nw = np.bincount(d, minlength=nb).astype(np.int64)
+            if rp.shape[0]:
+                st = np.flatnonzero(
+                    np.concatenate(
+                        ([True], (d[1:] != d[:-1]) | (rp[1:] - rp[:-1] > minlen))
+                    )
+                )
+                en = np.concatenate((st[1:], [rp.shape[0]]))
+                seg = rp[en - 1] - rp[st] + minlen
+                rb = np.bincount(d[st], weights=seg, minlength=nb).astype(np.int64)
+        return _unmap_filter(
+            pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_dup_windows": pa.array(nw, pa.int64()),
+                    "removed_bytes": pa.array(rb, pa.int64()),
+                }
+            )
+        )
+
+    return rdocs.map_batches(report, batch_format="pyarrow", batch_size=1024)
+
+
 def _excise_islands(
     ids: np.ndarray,
     text_col,
@@ -5249,6 +5418,7 @@ QUERIES = {
     "dup_doc_report": dup_doc_report,
     "window_dedup_report": window_dedup_report,
     "window_dedup_apply": window_dedup_apply,
+    "incremental_window_dedup": incremental_window_dedup,
     "window_ptr_report": window_ptr_report,
     "window_kept_gaps": window_kept_gaps,
     "jsonl_roundtrip_dedup": jsonl_roundtrip_dedup,

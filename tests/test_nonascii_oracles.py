@@ -22,6 +22,7 @@ import pytest
 AFFECTED = [
     "window_dedup_apply",
     "window_dedup_report",
+    "incremental_window_dedup",
     "window_ptr_report",
     "window_kept_gaps",
     "substring_decontaminate",

@@ -140,3 +140,42 @@ def test_window_dedup_apply_multibyte_clip(ray_session, tmp_path):
     # doc 1 keeps nothing the (earlier) doc 0 already kept of the block:
     # its removal is at least doc 0's
     assert int(got.loc[1, "removed_bytes"]) >= int(got.loc[0, "removed_bytes"])
+
+
+def test_incremental_window_dedup_bucketed_and_history_priority(ray_session, sf):
+    from hg_dedup_ray.pipelines.queries import incremental_window_dedup
+
+    broad = _sorted_df(incremental_window_dedup(sf, minlen=24, every=3))
+    # history docs never appear; snapshot rows exist
+    assert (broad["doc_id"] % 3 != 0).all() and len(broad) > 0
+    assert (broad["n_dup_windows"] > 0).any()
+    bucketed = _sorted_df(
+        incremental_window_dedup(sf, minlen=24, every=3, broadcast_limit=1)
+    )
+    assert broad.equals(bucketed)
+
+
+def test_incremental_window_history_wins_over_doc_order(ray_session, tmp_path):
+    """A window whose FIRST in-doc-id-order occurrence is in the
+    snapshot but which also exists in a LATER history doc must still be
+    removed from the snapshot doc: history has priority, not doc order."""
+    import pyarrow.parquet as pq
+
+    from hg_dedup_ray.pipelines.queries import incremental_window_dedup
+
+    blk = "shared window payload " * 3  # 66 bytes > minlen
+    tab = pa.table(
+        {
+            "doc_id": pa.array([1, 19], pa.int64()),  # 1 = snapshot, 19 = history
+            "text": pa.array(["snap:" + blk, "hist:" + blk], pa.string()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    got = (
+        incremental_window_dedup(str(tmp_path), minlen=24)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert list(got.index) == [1]
+    assert int(got.loc[1, "n_dup_windows"]) > 0
+    assert int(got.loc[1, "removed_bytes"]) >= len(blk) - 4
