@@ -148,6 +148,9 @@ def run_bench() -> dict:
             "ngram_novelty",
             "dup_ngram_coverage",
             "incremental_near_dedup",
+            "window_dedup_apply",
+            "incremental_window_dedup",
+            "ngram_containment_pairs",
         ]
     for name in bench_queries:
         t0 = time.time()
