@@ -1336,12 +1336,20 @@ def ngram_jaccard_exact_pairs(
                 pair, pa_, pb_ = pair[found], pa_[found], pb_[found]
                 if pair.shape[0] == 0:
                     return _empty_out
-                band = bits[pa_] & bits[pb_]
-                inter = (
-                    pop16[band.view(np.uint16).reshape(pair.shape[0], -1)]
-                    .sum(axis=1)
-                    .astype(np.int64)
-                )
+                # chunked AND+popcount: a full-batch `bits[pa_] & bits[pb_]`
+                # temporary is (65536, width) u64 ≈ 100 MB — DRAM-bound
+                # (the repo-wide cache-resident-chunk rule); 2048-pair
+                # chunks keep every temporary in L2 (~3 MB)
+                inter = np.empty(pair.shape[0], np.int64)
+                CH = 2048
+                for c0 in range(0, pair.shape[0], CH):
+                    c1 = min(c0 + CH, pair.shape[0])
+                    band = bits[pa_[c0:c1]] & bits[pb_[c0:c1]]
+                    inter[c0:c1] = (
+                        pop16[band.view(np.uint16).reshape(c1 - c0, -1)]
+                        .sum(axis=1)
+                        .astype(np.int64)
+                    )
                 denom = (
                     np.minimum(n_by_doc[pa_], n_by_doc[pb_])
                     if is_cont
