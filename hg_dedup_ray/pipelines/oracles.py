@@ -2521,6 +2521,31 @@ ORACLE_SQL = {
         FROM g WHERE gap_len IS NOT NULL GROUP BY gap_len
     """,
     "window_dedup_apply": _window_apply_sql(),
+    # dedup_then_pack: the apply SQL nested as a derived table, its
+    # dedup_text driving the pack prefix-sum — the chained journey.
+    "dedup_then_pack": rf"""
+        WITH dedup AS (SELECT * FROM ({_window_apply_sql()})),
+        counts AS (
+            SELECT doc_id,
+                   CASE WHEN trim(dedup_text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(dedup_text),
+                                                       '\s+'))
+                   END AS n_tokens
+            FROM dedup
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM counts
+        )
+        SELECT doc_id, n_tokens,
+               (cum_before // 256)::BIGINT AS pack_id,
+               (cum_before % 256)::BIGINT AS pack_off
+        FROM cum
+    """,
     # incremental_window_dedup: keep-first under the history-priority
     # order — key = ((snap << 30) | doc_id) * 2^32 + pos in BIGINT
     # (snap = 0 for history docs, so history occurrences always win);

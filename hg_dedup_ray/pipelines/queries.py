@@ -4337,6 +4337,30 @@ def window_dedup_apply(
     return docs.map_batches(apply_batch, batch_format="pyarrow", batch_size=1024)
 
 
+def dedup_then_pack(
+    sf_dir: str, minlen: int = 24, capacity: int = 256
+):
+    """The prepare-training-shards JOURNEY, value-checked end to end:
+    window_dedup_apply's excised texts flow straight into token-budget
+    sequence packing (webclean.pack_docs_ds) — per doc (doc_id,
+    n_tokens, pack_id, pack_off) computed over the DEDUPED text. The
+    oracle chains the apply SQL (hex-rebuilt strings) into the pack
+    prefix-sum SQL, so any drift in either stage or in their
+    composition flips the hash. Scale shape = the two stages' own
+    documented shapes composed; the intermediate never materializes on
+    the driver."""
+    from hg_dedup_ray.pipelines.webclean import pack_docs_ds
+
+    applied = window_dedup_apply(sf_dir, minlen=minlen)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "text": b["dedup_text"]})
+
+    return pack_docs_ds(
+        applied.map_batches(rename, batch_format="pyarrow"), capacity
+    )
+
+
 def dedup_tier_cascade(
     sf_dir: str,
     words_per_seg: int = 16,
@@ -5427,6 +5451,7 @@ QUERIES = {
     "window_dedup_report": window_dedup_report,
     "window_dedup_apply": window_dedup_apply,
     "incremental_window_dedup": incremental_window_dedup,
+    "dedup_then_pack": dedup_then_pack,
     "window_ptr_report": window_ptr_report,
     "window_kept_gaps": window_kept_gaps,
     "jsonl_roundtrip_dedup": jsonl_roundtrip_dedup,

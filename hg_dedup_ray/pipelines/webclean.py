@@ -287,6 +287,15 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY):
     are doc_id-ordered (asserted from per-block bounds; violated input
     gets a one-time sort). Output: (doc_id, n_tokens, pack_id, pack_off).
     """
+    return pack_docs_ds(
+        _docs(sf_dir, columns=["doc_id", "text"]), capacity
+    )
+
+
+def pack_docs_ds(docs, capacity: int = PACK_CAPACITY):
+    """pack_sequences over ANY (doc_id, text) Dataset — shared by
+    pack_sequences (raw corpus) and queries.dedup_then_pack (packing
+    the window-deduped texts)."""
 
     def counts(batch: pa.Table) -> pa.Table:
         _, off = doc_tokens(batch["text"])
@@ -298,7 +307,7 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY):
         )
 
     mat = (
-        _docs(sf_dir, columns=["doc_id", "text"])
+        docs
         .map_batches(counts, batch_format="pyarrow", batch_size=4096)
         .materialize()
     )
