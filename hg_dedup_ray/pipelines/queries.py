@@ -3990,7 +3990,7 @@ def incremental_window_dedup(
     coalesce with the reference gap rule and the row is (doc_id,
     n_dup_windows, removed_bytes) per new doc. Implemented as
     keep-first under a HISTORY-PRIORITY total order: docs are re-keyed
-    to (is_snapshot << 31) | doc_id before the shared
+    to (is_snapshot << 30) | doc_id before the shared
     _window_keepfirst_ctx passes, so history occurrences always hold
     the first key — the whole window machinery (hot prefilter,
     first-key map, above-limit pointer path) is reused unchanged.
@@ -4144,6 +4144,11 @@ def incremental_window_dedup(
     return rdocs.map_batches(report, batch_format="pyarrow", batch_size=1024)
 
 
+# max kept bytes per output string chunk: int32 Arrow offsets. Tests
+# patch this down to exercise the chunked path without 2 GB fixtures.
+_STR_CHUNK_BYTES = 2**31 - 1
+
+
 def _excise_islands(
     ids: np.ndarray,
     text_col,
@@ -4158,8 +4163,11 @@ def _excise_islands(
     (reference :85-94), fully vectorized over the batch byte buffer.
     ``isl_row`` indexes rows of the given (ids, text_col) table;
     ``isl_s``/``isl_e`` are doc-relative byte offsets. int32 string
-    offsets bound one output batch to < 2 GB — far above any batch this
-    engine produces."""
+    offsets bound one output CHUNK to < 2 GB; above that (the bucketed
+    apply path hands ~1/64 of the whole corpus to one call) the output
+    column is emitted as a ChunkedArray split at doc boundaries so each
+    chunk's rebased offsets fit int32 — same ``pa.string()`` type, no
+    silent wraparound."""
     from hg_dedup_ray.functions.arrow_utils import string_column_bytes
 
     data, offsets = string_column_bytes(text_col)
@@ -4188,11 +4196,36 @@ def _excise_islands(
     kc = np.concatenate(([0], np.cumsum(kept)))
     new_off = np.zeros(n + 1, np.int64)
     np.cumsum(kc[doc_end] - kc[doc_start], out=new_off[1:])
-    dedup_text = pa.Array.from_buffers(
-        pa.string(),
-        n,
-        [None, pa.py_buffer(new_off.astype(np.int32)), pa.py_buffer(out)],
-    )
+    if new_off[-1] <= _STR_CHUNK_BYTES:
+        dedup_text = pa.Array.from_buffers(
+            pa.string(),
+            n,
+            [None, pa.py_buffer(new_off.astype(np.int32)), pa.py_buffer(out)],
+        )
+    else:
+        # rebase offsets per chunk of whole docs; a single doc always
+        # fits (its input string already had int32 offsets)
+        chunks, start = [], 0
+        while start < n:
+            base = new_off[start]
+            end = int(
+                np.searchsorted(new_off, base + _STR_CHUNK_BYTES, side="right")
+            ) - 1
+            end = min(max(end, start + 1), n)
+            seg_off = (new_off[start : end + 1] - base).astype(np.int32)
+            chunks.append(
+                pa.Array.from_buffers(
+                    pa.string(),
+                    end - start,
+                    [
+                        None,
+                        pa.py_buffer(seg_off),
+                        pa.py_buffer(np.ascontiguousarray(out[base:new_off[end]])),
+                    ],
+                )
+            )
+            start = end
+        dedup_text = pa.chunked_array(chunks, pa.string())
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
@@ -5086,7 +5119,9 @@ def events_hourly(sf_dir: str, num_buckets: int = 64):
     )
 
 
-def orders_per_nation(sf_dir: str):
+def orders_per_nation(
+    sf_dir: str, broadcast_limit: int = 50_000_000, num_buckets: int = 64
+):
     """Broadcast hash join (guide's small-side pattern), fully
     vectorized: customer's (sorted c_custkey -> nation index) arrays and
     the 25-row nation name array are ``ray.put`` once; each batch does a
@@ -5096,20 +5131,21 @@ def orders_per_nation(sf_dir: str):
     25-group aggregate. Price summed in exact integer cents (same
     distributed-float-order fix as pricing_summary).
 
-    Scale note: nation is the true small side (fixed 25 rows); customer
-    grows with sf. At 100 TB-class scale the customer side would switch
-    to a bucketed hash join (hash(o_custkey) % B == hash(c_custkey) % B
-    co-grouping); at bench scale the two-int-array broadcast (16 bytes
-    per customer) is the faster pattern and is what the reference-shaped
-    workloads use.
+    Scale note: nation is the true small side (fixed 25 rows) and always
+    broadcasts; customer grows with sf, so above ``broadcast_limit``
+    customers the custkey attach switches to a bucketed hash join
+    (``key % num_buckets`` co-grouping — the
+    relational._revenue_by_segment_bucketed shape) with the orders side
+    pre-reduced per batch to (custkey, count, cents) partials, so the
+    shuffle carries distinct-custkey rows and nothing
+    customer-table-sized ever lands on the driver.
     """
     from ray.data.aggregate import Count, Sum
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    if len(cust) == 0:  # inner join on an empty dim side: empty result
-        # (empty reads also drop the projected columns from to_pandas)
+    n_cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    if n_cust == 0:  # inner join on an empty dim side: empty result
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -5119,6 +5155,11 @@ def orders_per_nation(sf_dir: str):
                 }
             )
         )
+    if n_cust > broadcast_limit:
+        return _orders_per_nation_bucketed(sf_dir, num_buckets)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
     nat = (
         ray.data.read_parquet(
             f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
@@ -5188,6 +5229,146 @@ def orders_per_nation(sf_dir: str):
         return pa.table(
             {
                 "n_name": batch["n_name"],
+                "n_orders": batch["n_orders"],
+                "sum_price": pc.divide(
+                    pc.cast(batch["sum_price_c"], pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _orders_per_nation_bucketed(sf_dir: str, num_buckets: int = 64):
+    """Above-limit path of orders_per_nation: customer streams into a
+    custkey-bucket hash join instead of a driver broadcast. Only nation
+    (fixed 25 rows) is ``ray.put``; orders pre-reduce per batch to
+    (custkey, n, cents) so the shuffle carries distinct-custkey partial
+    rows, and each bucket gathers nation indices with one searchsorted
+    then emits <= 25 (nidx, p_n, p_cents) partials. Reference analog:
+    write_back_to_jsonl_sharded.py:70-86 (shard the corpus-growing
+    side, never collect it)."""
+    from ray.data.aggregate import Sum
+
+    from hg_dedup_ray.stages.broadcast import get_broadcast
+
+    nat = (
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+        .to_pandas()
+        .sort_values("n_nationkey", ignore_index=True)
+    )
+    nkeys_sorted = nat["n_nationkey"].to_numpy(np.int64)
+    names_arr = pa.array(nat["n_name"], pa.string())
+    n_nat = nkeys_sorted.shape[0]
+    nat_ref = ray.put(nkeys_sorted)
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        nk = get_broadcast(nat_ref)
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if nk.shape[0]:
+            pos = np.searchsorted(nk, cn)
+            pos_c = np.minimum(pos, nk.shape[0] - 1)
+            ok = (pos < nk.shape[0]) & (nk[pos_c] == cn)
+        else:  # inner join vs an empty nation table drops every customer
+            ok = np.zeros(ck.shape[0], bool)
+            pos_c = np.empty(0, np.int64)
+        ck, nidx = ck[ok], pos_c[ok] if nk.shape[0] else pos_c
+        n = ck.shape[0]
+        return pa.table(
+            {
+                "cb": pa.array(ck % num_buckets, pa.int64()),
+                "side": pa.array(np.zeros(n, np.uint8), pa.uint8()),
+                "key": pa.array(ck, pa.int64()),
+                "nidx": pa.array(nidx, pa.int64()),
+                "n": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keys, inv = np.unique(ck, return_inverse=True)
+        n = np.bincount(inv, minlength=keys.shape[0]).astype(np.int64)
+        csum = np.zeros(keys.shape[0], np.int64)
+        np.add.at(csum, inv, cents)
+        m = keys.shape[0]
+        return pa.table(
+            {
+                "cb": pa.array(keys % num_buckets, pa.int64()),
+                "side": pa.array(np.ones(m, np.uint8), pa.uint8()),
+                "key": pa.array(keys, pa.int64()),
+                "nidx": pa.array(np.zeros(m, np.int64), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "cents": pa.array(csum, pa.int64()),
+            }
+        )
+
+    _empty_partial = pa.table(
+        {
+            "nidx": pa.array([], pa.int64()),
+            "p_n": pa.array([], pa.int64()),
+            "p_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def join_reduce(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        c = group.filter(pa.array(side == 0))
+        o = group.filter(pa.array(side == 1))
+        if len(c) == 0 or len(o) == 0:
+            return _empty_partial
+        ck = c["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck_s = ck[order]
+        nidx_s = c["nidx"].to_numpy(zero_copy_only=False)[order]
+        ok_keys = o["key"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck_s, ok_keys)
+        pos_c = np.minimum(pos, ck_s.shape[0] - 1)
+        hit = (pos < ck_s.shape[0]) & (ck_s[pos_c] == ok_keys)
+        nidx = nidx_s[pos_c[hit]]
+        p_n = np.zeros(n_nat, np.int64)
+        np.add.at(p_n, nidx, o["n"].to_numpy(zero_copy_only=False)[hit])
+        p_c = np.zeros(n_nat, np.int64)
+        np.add.at(p_c, nidx, o["cents"].to_numpy(zero_copy_only=False)[hit])
+        nz = p_n > 0
+        return pa.table(
+            {
+                "nidx": pa.array(np.flatnonzero(nz).astype(np.int64), pa.int64()),
+                "p_n": pa.array(p_n[nz], pa.int64()),
+                "p_cents": pa.array(p_c[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        .map_batches(cust_rows, batch_format="pyarrow")
+        .union(
+            read_parquet_sized(
+                f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+            ).map_batches(order_rows, batch_format="pyarrow", batch_size=8192)
+        )
+        .groupby("cb")
+        .map_groups(join_reduce, batch_format="pyarrow")
+        .groupby("nidx")
+        .aggregate(
+            Sum("p_n", alias_name="n_orders"),
+            Sum("p_cents", alias_name="sum_price_c"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nidx = batch["nidx"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pc.take(names_arr, pa.array(nidx, pa.int64())),
                 "n_orders": batch["n_orders"],
                 "sum_price": pc.divide(
                     pc.cast(batch["sum_price_c"], pa.float64()), 100.0

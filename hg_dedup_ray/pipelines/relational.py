@@ -2,12 +2,15 @@
 bucketed anti-join compositions (operators Ray Data lacks natively).
 
 Scale shapes:
-- ``revenue_by_segment``: the dim (customer) broadcasts once via
-  ``ray.put`` (key -> segment-code arrays, ints only); the large-large
-  orders x lineitem join runs as ONE union + coarse-bucket groupby on
-  ``orderkey % B`` with per-bucket vectorized searchsorted gather and
-  PARTIAL per-segment aggregation inside the bucket — only ~B * n_segments
-  tiny partial rows reach the final combine, never joined rows.
+- ``revenue_by_segment``: below ``broadcast_limit`` the dim (customer)
+  broadcasts once via ``ray.put`` (key -> segment-code arrays, ints
+  only); above it the custkey attach is itself a bucketed hash join
+  (``_revenue_by_segment_bucketed``) so nothing customer-sized lands on
+  the driver. Either way the large-large orders x lineitem join runs as
+  ONE union + coarse-bucket groupby on ``orderkey % B`` with per-bucket
+  vectorized searchsorted gather and PARTIAL per-segment aggregation
+  inside the bucket — only ~B * n_segments tiny partial rows reach the
+  final combine, never joined rows.
 - ``customers_no_urgent_orders``: bucketed ANTI-join — both sides bucket on
   ``custkey % B``, the probe side pre-distincts per batch, and each bucket
   does a vectorized membership test. No driver-side key set, no skew
@@ -29,17 +32,26 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def revenue_by_segment(sf_dir: str, num_buckets: int = 64):
+def revenue_by_segment(
+    sf_dir: str, num_buckets: int = 64, broadcast_limit: int = 50_000_000
+):
     """TPC-H-Q3-flavor: customer |x| orders |x| lineitem, revenue per
     market segment. Revenue is summed in exact integer units (1e-4
     dollars) so the distributed reduction order cannot perturb the
-    float64 result vs the oracle."""
+    float64 result vs the oracle.
+
+    Below ``broadcast_limit`` customers, the dim collapses to two int
+    arrays broadcast once via ``ray.put``. Above it, nothing
+    customer-table-sized ever lands on the driver: the custkey->segment
+    attach itself becomes a FIRST bucketed hash join on
+    ``c_custkey % num_buckets`` (the promo_revenue_share above-limit
+    shape), whose output feeds the same orderkey-bucket join+reduce —
+    two coarse shuffles, per-bucket vectorized searchsorted gathers,
+    only ~buckets x n_segments partial rows reaching the combine."""
     from hg_dedup_ray.stages.broadcast import get_broadcast
 
-    # --- dim side: custkey -> segment code, broadcast once ---------------
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    if len(cust) == 0:  # inner join on an empty dim side: empty result
-        # (empty reads also drop the projected columns from to_pandas)
+    n_cust = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    if n_cust == 0:  # inner join on an empty dim side: empty result
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -50,6 +62,11 @@ def revenue_by_segment(sf_dir: str, num_buckets: int = 64):
                 }
             )
         )
+    if n_cust > broadcast_limit:
+        return _revenue_by_segment_bucketed(sf_dir, num_buckets)
+
+    # --- dim side: custkey -> segment code, broadcast once ---------------
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
     segs = np.sort(cust["c_mktsegment"].unique())
     seg_code = {s: i for i, s in enumerate(segs)}
     ck = cust["c_custkey"].to_numpy(np.int64)
@@ -173,19 +190,214 @@ def revenue_by_segment(sf_dir: str, num_buckets: int = 64):
 
     def finish(b: pa.Table) -> pa.Table:
         code = b["seg"].to_numpy(zero_copy_only=False)
+        # inner-join semantics: a segment with customers but no matched
+        # lineitems must not emit a zero row (the oracle's JOINs drop it)
+        keep = b["n_items"].to_numpy(zero_copy_only=False) > 0
         return pa.table(
             {
-                "c_mktsegment": pc.take(seg_names, pa.array(code, pa.int64())),
-                "n_orders": b["n_orders"],
-                "n_items": b["n_items"],
+                "c_mktsegment": pc.take(
+                    seg_names, pa.array(code[keep], pa.int64())
+                ),
+                "n_orders": b["n_orders"].filter(pa.array(keep)),
+                "n_items": b["n_items"].filter(pa.array(keep)),
                 "revenue": pa.array(
-                    b["rev_units"].to_numpy(zero_copy_only=False) / 10000.0,
+                    b["rev_units"].to_numpy(zero_copy_only=False)[keep] / 10000.0,
                     pa.float64(),
                 ),
             }
         )
 
     return partials.map_batches(finish, batch_format="pyarrow")
+
+
+def _revenue_by_segment_bucketed(sf_dir: str, num_buckets: int = 64):
+    """Above-limit path of revenue_by_segment: the customer dim streams
+    into a custkey-bucket join that tags each order with its segment
+    STRING (no global code map needed — segments stay strings through
+    both shuffles and factorize locally per bucket), then the tagged
+    orders meet lineitem in the same orderkey-bucket join+reduce as the
+    broadcast path. Reference analog: the sharded writeback join
+    (write_back_to_jsonl_sharded.py:70-86) — never materialize a
+    corpus-growing side on one node."""
+
+    # ---- pass 1: attach c_mktsegment to orders via custkey buckets ------
+    def cust_rows(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cb": pa.array(ck % num_buckets, pa.int64()),
+                "side": pa.array(np.zeros(ck.shape[0], np.uint8), pa.uint8()),
+                "key": pa.array(ck, pa.int64()),
+                "seg": b["c_mktsegment"],
+                "okey": pa.array(np.zeros(ck.shape[0], np.int64), pa.int64()),
+            }
+        )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = ck.shape[0]
+        return pa.table(
+            {
+                "cb": pa.array(ck % num_buckets, pa.int64()),
+                "side": pa.array(np.ones(n, np.uint8), pa.uint8()),
+                "key": pa.array(ck, pa.int64()),
+                "seg": pa.nulls(n, pa.string()),
+                "okey": b["o_orderkey"],
+            }
+        )
+
+    _empty_tagged = pa.table(
+        {
+            "jbucket": pa.array([], pa.int64()),
+            "side": pa.array([], pa.uint8()),
+            "okey": pa.array([], pa.int64()),
+            "seg": pa.array([], pa.string()),
+            "cents": pa.array([], pa.int64()),
+            "disc": pa.array([], pa.int64()),
+        }
+    )
+
+    def attach_seg(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        c = group.filter(pa.array(side == 0))
+        o = group.filter(pa.array(side == 1))
+        if len(c) == 0 or len(o) == 0:
+            return _empty_tagged
+        ck = c["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck_s = ck[order]
+        seg_s = c["seg"].combine_chunks().take(pa.array(order, pa.int64()))
+        ok_keys = o["key"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck_s, ok_keys)
+        pos_c = np.minimum(pos, ck_s.shape[0] - 1)
+        hit = (pos < ck_s.shape[0]) & (ck_s[pos_c] == ok_keys)
+        okey = o["okey"].to_numpy(zero_copy_only=False)[hit]
+        n = okey.shape[0]
+        return pa.table(
+            {
+                "jbucket": pa.array(okey % num_buckets, pa.int64()),
+                "side": pa.array(np.zeros(n, np.uint8), pa.uint8()),
+                "okey": pa.array(okey, pa.int64()),
+                "seg": pc.take(seg_s, pa.array(pos_c[hit], pa.int64())),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "disc": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    tagged_orders = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(cust_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+                order_rows, batch_format="pyarrow"
+            )
+        )
+        .groupby("cb")
+        .map_groups(attach_seg, batch_format="pyarrow")
+    )
+
+    # ---- pass 2: the orderkey-bucket join+reduce, segments as strings ---
+    def lineitem_rows(b: pa.Table) -> pa.Table:
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.round(b["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        n = okey.shape[0]
+        return pa.table(
+            {
+                "jbucket": pa.array(okey % num_buckets, pa.int64()),
+                "side": pa.array(np.ones(n, np.uint8), pa.uint8()),
+                "okey": pa.array(okey, pa.int64()),
+                "seg": pa.nulls(n, pa.string()),
+                "cents": pa.array(cents, pa.int64()),
+                "disc": pa.array(disc, pa.int64()),
+            }
+        )
+
+    _empty_partial = pa.table(
+        {
+            "seg": pa.array([], pa.string()),
+            "p_orders": pa.array([], pa.int64()),
+            "p_items": pa.array([], pa.int64()),
+            "p_revenue": pa.array([], pa.int64()),
+        }
+    )
+
+    def join_and_reduce(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        o = group.filter(pa.array(side == 0))
+        li = group.filter(pa.array(side == 1))
+        if len(o) == 0 or len(li) == 0:
+            return _empty_partial
+        okeys = o["okey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(okeys, kind="stable")
+        okeys_s = okeys[order]
+        # factorize this bucket's segment strings locally (few distinct)
+        seg_str = np.asarray(o["seg"].to_pylist(), dtype=object)[order]
+        segs_local, oseg_s = np.unique(seg_str, return_inverse=True)
+        n_seg = segs_local.shape[0]
+        lkeys = li["okey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(okeys_s, lkeys)
+        pos = np.minimum(pos, okeys_s.shape[0] - 1)
+        ok = okeys_s[pos] == lkeys
+        pos = pos[ok]
+        lseg = oseg_s[pos]
+        rev = (
+            li["cents"].to_numpy(zero_copy_only=False)[ok]
+            * (100 - li["disc"].to_numpy(zero_copy_only=False)[ok])
+        ).astype(np.int64)
+        p_items = np.bincount(lseg, minlength=n_seg).astype(np.int64)
+        p_rev = np.zeros(n_seg, np.int64)
+        np.add.at(p_rev, lseg, rev)
+        matched = np.unique(pos)
+        p_orders = np.bincount(oseg_s[matched], minlength=n_seg).astype(np.int64)
+        return pa.table(
+            {
+                "seg": pa.array([str(s) for s in segs_local], pa.string()),
+                "p_orders": pa.array(p_orders, pa.int64()),
+                "p_items": pa.array(p_items, pa.int64()),
+                "p_revenue": pa.array(p_rev, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        tagged_orders.union(
+            _read(
+                sf_dir,
+                "lineitem",
+                columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            ).map_batches(lineitem_rows, batch_format="pyarrow")
+        )
+        .groupby("jbucket")
+        .map_groups(join_and_reduce, batch_format="pyarrow")
+        .groupby("seg")
+        .aggregate(
+            Sum("p_orders", alias_name="n_orders"),
+            Sum("p_items", alias_name="n_items"),
+            Sum("p_revenue", alias_name="rev_units"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = b["n_items"].to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "c_mktsegment": b["seg"].filter(pa.array(keep)),
+                "n_orders": b["n_orders"].filter(pa.array(keep)),
+                "n_items": b["n_items"].filter(pa.array(keep)),
+                "revenue": pa.array(
+                    b["rev_units"].to_numpy(zero_copy_only=False)[keep] / 10000.0,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def customers_no_urgent_orders(sf_dir: str, num_buckets: int = 64):
