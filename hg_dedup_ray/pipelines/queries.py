@@ -829,14 +829,25 @@ def ngram_jaccard_exact_pairs(
     large. Filter changes, each still enlarging-only: the length filter
     is DROPPED (any size ratio can contain), the inverted index holds
     ALL hot rows (not just prefixes) because only the pair's SMALLER
-    side is guaranteed a prefix hit — candidate expansion is anchored
-    on prefix rows (pref x run, never all-pairs, so stop-shingle runs
-    stay linear in df per prefix row), a pair is probed only from its
-    <=-size side, and the positional bound must reach
-    ceil(t*min(n_a,n_b)). Discovery proof mirrors the Jaccard one: the
-    pair's globally-FIRST shared shingle has rank <= n_small - i <
+    side is guaranteed a prefix hit, and the positional bound must
+    reach ceil(t*min(n_a,n_b)). Candidate expansion (r5) is
+    SLACK-CUTOFF anchored: each posting run sorts by slack q = n-rank
+    descending, so an anchor's qualifying partners are exactly a
+    q-prefix of its run found by one searchsorted — per-anchor exact
+    windows, zero over-generation. On top sits the l=L COUNT filter
+    (extended-prefix counting, AdaptJoin, Wang et al. VLDB'12): a pair
+    with overlap >= alpha must place >= min(alpha, L) shared shingles
+    inside the relaxed rank windows, so pairs sharing only a short
+    common phrase never reach verify (8.3M -> 0.58M candidates at
+    sf0.1, answer 290 — both filters exact, see expand_candidates).
+    Discovery proof mirrors the Jaccard one: the pair's
+    globally-FIRST shared shingle has rank <= n_small - i <
     prefix(n_small) in the smaller doc, and the overlap bound at that
-    occurrence is exact.
+    occurrence is exact. Remaining cost is structural: generation
+    volume == sum over doc pairs of shared-window-shingle counts
+    (~66M at sf0.1 even with L=1 strict windows on the dense word-
+    salad fixture), the information-theoretic floor of any
+    inverted-index scheme on a corpus this dense.
 
     k is fixed at 8 so each shingle packs EXACTLY into one u64 word
     (big-endian): shingle identity is collision-free and bijective with
@@ -888,6 +899,11 @@ def ngram_jaccard_exact_pairs(
     is_cont = metric == "containment"
     K = 8
     EPS = 1e-9
+    # count-filter depth (containment): see expand_candidates. Larger L
+    # widens the generation windows by L-1 ranks but demands L relaxed
+    # occurrences per pair — the sweet spot trades expansion volume
+    # against verify volume (swept at sf0.1; env override for tuning).
+    CNT_L = int(_os.environ.get("GRAFT_CONT_L", "16"))
     n_verify_buckets = 16
     _dbg = bool(_os.environ.get("GRAFT_DEBUG_TIMING"))
     _t0 = _time.time()
@@ -966,6 +982,15 @@ def ngram_jaccard_exact_pairs(
     _empty_cand = pa.table(
         {"pbucket": pa.array([], pa.int64()), "pair": pa.array([], pa.uint64())}
     )
+    _empty_cand_cont = pa.table(
+        {
+            "pbucket": pa.array([], pa.int64()),
+            "pair": pa.array([], pa.uint64()),
+            "cnt": pa.array([], pa.int64()),
+            "st": pa.array([], pa.uint8()),
+            "req": pa.array([], pa.uint8()),
+        }
+    )
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
@@ -993,11 +1018,15 @@ def ngram_jaccard_exact_pairs(
         starts = np.searchsorted(d_o, np.arange(n_doc.shape[0]))
         rank = np.arange(d_o.shape[0]) - starts[d_o]
         p_doc = n_doc - np.ceil(threshold * n_doc - EPS).astype(np.int64) + 1
-        in_pref = rank < p_doc[d_o]
+        # containment widens the anchor window by L-1 ranks (EXTENDED
+        # prefix, AdaptJoin-style): the l=L count filter needs the
+        # pair's L-th-smallest shared shingle, whose anchor rank can
+        # sit up to L-1 past the strict prefix (see expand_candidates).
+        in_pref = rank < p_doc[d_o] + (CNT_L - 1 if is_cont else 0)
         # jaccard indexes ONLY prefix rows (both sides of a pair are
         # guaranteed a prefix hit); containment must index every hot
         # row — only the smaller side is guaranteed one — with the
-        # prefix flag carried for the anchored expansion.
+        # (extended-)prefix flag carried for the anchored expansion.
         keep = (df_o >= 2) if is_cont else (in_pref & (df_o >= 2))
         d_f, s_f, r_f = d_o[keep], s_o[keep], rank[keep]
         return pa.table(
@@ -1024,16 +1053,37 @@ def ngram_jaccard_exact_pairs(
         run_start = np.cumsum(run_len) - run_len
         local = np.arange(sh.shape[0]) - run_start[run_id]
         if is_cont:
-            # prefix-ANCHORED expansion: re-sort each posting run by
-            # (n, doc_id) so an anchor's valid partners — the >=-size
-            # docs, which is the only direction the discovery guarantee
-            # needs (for n ties either side's prefix works, so the
-            # smaller-id side suffices) — are exactly the positions
-            # AFTER it. A stop-shingle run of length L then costs at
-            # most P*L/2 pair rows (P = its prefix rows), never L^2/2
-            # all-pairs, and na <= nb holds by construction.
-            order2 = np.lexsort((did, n, sh))
-            sh, did, n, rk = sh[order2], did[order2], n[order2], rk[order2]
+            # SLACK-CUTOFF anchored expansion + l=L COUNT filter
+            # (extended-prefix counting, AdaptJoin / Wang et al.
+            # VLDB'12 — both exact). Theory: if |A∩B| >= alpha =
+            # ceil(t*min(na,nb)), the i-th globally-smallest shared
+            # shingle s_i has rank <= n - (alpha-i+1) on BOTH sides
+            # (the alpha-i+1 larger shared shingles all rank above
+            # s_i). With slack q = n - rank, occurrence s_i satisfies
+            # min(q_a, q_b) >= alpha - i + 1, so for L' = min(alpha,L)
+            # at least L' occurrences pass the RELAXED bound thr =
+            # alpha - L' + 1, and s_1 passes the STRICT bound alpha.
+            # A pair whose shared rare material is one short phrase
+            # (< L overlapping 8-grams inside the rank windows) never
+            # reaches verify — the dominant web-text false-positive
+            # class.
+            #
+            # Generation is waste-free: each run sorts by q DESCENDING,
+            # so an anchor's qualifying partners (q_b >= thr_a) are
+            # exactly a prefix of the run found by one searchsorted —
+            # per-ANCHOR cutoffs, not the old run-min window that let
+            # one tiny anchor validate every partner for all anchors.
+            # Every generated occurrence with the anchor on the
+            # (n, doc_id)-smaller side is relaxed-qualifying by
+            # construction (q_a >= thr_a holds from the ext-prefix rank
+            # bound); the opposite direction is dropped so each
+            # (pair, shingle) occurrence is counted exactly once —
+            # the smaller side's own cutoff emits it iff it qualifies.
+            q = n - rk
+            order2 = np.lexsort((-q, sh))
+            sh, did, n, rk, q = (
+                sh[order2], did[order2], n[order2], rk[order2], q[order2]
+            )
             # sh/did/n/rk were already permuted by `order` above — the
             # raw column must go through BOTH permutations to stay
             # row-aligned (order[order2], never order2 alone)
@@ -1042,59 +1092,82 @@ def ngram_jaccard_exact_pairs(
             run_id = np.cumsum(new2) - 1
             run_len = np.bincount(run_id)
             run_start = np.cumsum(run_len) - run_len
-            local = np.arange(sh.shape[0]) - run_start[run_id]
             ppos = np.flatnonzero(pref)
             if ppos.shape[0] == 0:
-                return _empty_cand
-            # partner PRE-filter (enlarging-only): a row can be the
-            # larger side of SOME anchor in its run only if its rank
-            # leaves room for that anchor's required overlap; using the
-            # run's minimum anchor size gives the loosest such bound.
-            # This collapses stop-shingle runs BEFORE pair generation —
-            # a df-5000 shingle ranks near the end of most docs'
-            # df-order, so almost none of its postings survive as
-            # partners (the skew killer for this cascade).
-            na_min = np.full(run_len.shape[0], np.iinfo(np.int64).max)
-            np.minimum.at(na_min, run_id[ppos], n[ppos])
-            alpha_min = np.ceil(
-                np.minimum(na_min, 1 << 40) * threshold - EPS
-            ).astype(np.int64)
-            valid = rk <= n - alpha_min[run_id]
-            vpos = np.flatnonzero(valid)
-            if vpos.shape[0] == 0:
-                return _empty_cand
-            run_end = run_start + run_len
-            vcum = np.cumsum(valid)
-            rep_p = (vcum[run_end[run_id[ppos]] - 1] - vcum[ppos]).astype(
-                np.int64
+                return _empty_cand_cont
+            na_a = n[ppos]
+            alpha_a = np.ceil(threshold * na_a - EPS).astype(np.int64)
+            req_a = np.minimum(alpha_a, CNT_L)
+            thr_a = np.maximum(alpha_a - req_a + 1, 1)
+            # segmented cutoff: keys ascend by (run, -q); rows of run r
+            # with q >= thr live in [run_start[r], searchsorted(...)).
+            # Stride = max_q+1 (not a fixed 2^41) so run_id * stride
+            # can't overflow int64 at any plausible run count.
+            _B2 = np.int64(int(q.max()) + 1)
+            keys = run_id.astype(np.int64) * _B2 + (_B2 - 1 - q)
+            rid_a = run_id[ppos].astype(np.int64)
+            cnt_a = (
+                np.searchsorted(
+                    keys, rid_a * _B2 + (_B2 - 1 - thr_a), side="right"
+                )
+                - run_start[rid_a]
             )
-            tot = int(rep_p.sum())
+            rep_p = cnt_a - 1  # anchor's own row is inside its cutoff
+            hasp = rep_p > 0
+            tot = int(rep_p[hasp].sum())
             if tot == 0:
-                return _empty_cand
-            a_idx = np.repeat(ppos, rep_p)
-            seg = np.cumsum(rep_p) - rep_p
-            k_off = np.arange(tot) - seg[
-                np.repeat(np.arange(ppos.shape[0]), rep_p)
-            ]
-            vstart = np.searchsorted(vpos, ppos, side="right")
-            b_idx = vpos[np.repeat(vstart, rep_p) + k_off]
-            na, nbv, ra, rb = n[a_idx], n[b_idx], rk[a_idx], rk[b_idx]
-            alpha_c = np.ceil(threshold * na - EPS).astype(np.int64)
-            ok = 1 + np.minimum(na - 1 - ra, nbv - 1 - rb) >= alpha_c
-            a_idx, b_idx = a_idx[ok], b_idx[ok]
-            if a_idx.shape[0] == 0:
-                return _empty_cand
-            ia, ib = did[a_idx], did[b_idx]
-            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-            pair = np.unique(
-                (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
+                return _empty_cand_cont
+            ppos_s, rep_s = ppos[hasp], rep_p[hasp]
+            alpha_s, req_s = alpha_a[hasp], req_a[hasp]
+            pos_a = ppos_s - run_start[run_id[ppos_s]]
+            gi = np.repeat(
+                np.arange(ppos_s.shape[0], dtype=np.int32), rep_s
             )
+            seg = np.cumsum(rep_s) - rep_s
+            j = np.arange(tot, dtype=np.int64) - seg[gi]
+            j = j + (j >= pos_a[gi])  # skip the anchor's own slot
+            a_idx = np.repeat(ppos_s, rep_s)
+            b_idx = np.repeat(run_start[run_id[ppos_s]], rep_s) + j
+            # canonical direction: anchor strictly the (n, doc_id)-
+            # smaller side; the reverse copy is emitted (iff it
+            # qualifies) by the other row's own anchor cutoff. The
+            # (n, did) composite packs both the direction compare and
+            # the doc ids into ONE gather per side — per-row DRAM
+            # traffic, not FLOPs, bounds this stage at 32 workers
+            # (repo-wide bytes-moved rule), so everything else gathers
+            # only AFTER `fwd` halves the rows.
+            comp = (n.astype(np.uint64) << np.uint64(32)) | did.astype(
+                np.uint64
+            )
+            ca, cb = comp[a_idx], comp[b_idx]
+            fwd = ca < cb
+            if not fwd.any():
+                return _empty_cand_cont
+            a_idx, b_idx, gi = a_idx[fwd], b_idx[fwd], gi[fwd]
+            ca, cb = ca[fwd], cb[fwd]
+            strict = (
+                np.minimum(q[a_idx], q[b_idx]) >= alpha_s[gi]
+            ).astype(np.uint8)
+            reqv = req_s[gi].astype(np.uint8)
+            _M32 = np.uint64(0xFFFFFFFF)
+            ia, ib = ca & _M32, cb & _M32
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            pairs_all = (lo << np.uint64(32)) | hi
+            u, inv = np.unique(pairs_all, return_inverse=True)
+            cnt = np.bincount(inv, minlength=u.shape[0]).astype(np.int64)
+            st = np.zeros(u.shape[0], np.uint8)
+            np.maximum.at(st, inv, strict)
+            rq = np.zeros(u.shape[0], np.uint8)
+            np.maximum.at(rq, inv, reqv)
             return pa.table(
                 {
                     "pbucket": pa.array(
-                        (pair % np.uint64(num_buckets)).astype(np.int64)
+                        (u % np.uint64(num_buckets)).astype(np.int64)
                     ),
-                    "pair": pa.array(pair, pa.uint64()),
+                    "pair": pa.array(u, pa.uint64()),
+                    "cnt": pa.array(cnt, pa.int64()),
+                    "st": pa.array(st, pa.uint8()),
+                    "req": pa.array(rq, pa.uint8()),
                 }
             )
         rep = (run_len[run_id] - 1 - local).astype(np.int64)
@@ -1130,6 +1203,23 @@ def ngram_jaccard_exact_pairs(
     def bucket_distinct(group: pa.Table) -> pa.Table:
         pair = np.unique(group["pair"].to_numpy(zero_copy_only=False))
         return pa.table({"pair": pa.array(pair, pa.uint64())})
+
+    def bucket_count_filter(group: pa.Table) -> pa.Table:
+        """Containment combine: sum each pair's relaxed-occurrence
+        counts across shingle buckets (pair -> pbucket is deterministic,
+        so ALL of a pair's partial rows land here), then apply the two
+        exact necessary conditions: >= 1 strict occurrence, and >=
+        min(alpha, L) relaxed occurrences (the count filter)."""
+        pair = group["pair"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(pair, return_inverse=True)
+        csum = np.zeros(u.shape[0], np.int64)
+        np.add.at(csum, inv, group["cnt"].to_numpy(zero_copy_only=False))
+        stm = np.zeros(u.shape[0], np.uint8)
+        np.maximum.at(stm, inv, group["st"].to_numpy(zero_copy_only=False))
+        rqm = np.zeros(u.shape[0], np.uint8)
+        np.maximum.at(rqm, inv, group["req"].to_numpy(zero_copy_only=False))
+        keep = (stm > 0) & (csum >= rqm)
+        return pa.table({"pair": pa.array(u[keep], pa.uint64())})
 
     idx_rows = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         prefix_rows, batch_format="pyarrow", batch_size=4096
@@ -1200,7 +1290,8 @@ def ngram_jaccard_exact_pairs(
             prefm = b["pref"].to_numpy(zero_copy_only=False)
             n_ = b["n"].to_numpy(zero_copy_only=False)
             rk_ = b["rank"].to_numpy(zero_copy_only=False)
-            keep = prefm | ((am < _BIG) & (rk_ <= n_ - am))
+            thr = np.maximum(am - (CNT_L - 1), 1)
+            keep = prefm | ((am < _BIG) & (rk_ <= n_ - thr))
             return b.filter(pa.array(keep))
 
         _mark("index-mat")
@@ -1217,7 +1308,10 @@ def ngram_jaccard_exact_pairs(
         .groupby("bucket")
         .map_groups(expand_candidates, batch_format="pyarrow")
         .groupby("pbucket")
-        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .map_groups(
+            bucket_count_filter if is_cont else bucket_distinct,
+            batch_format="pyarrow",
+        )
         .materialize()
     )
     _mark("candidates")
