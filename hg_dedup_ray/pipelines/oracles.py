@@ -2520,6 +2520,58 @@ ORACLE_SQL = {
         SELECT gap_len::BIGINT AS gap_len, count(*)::BIGINT AS n
         FROM g WHERE gap_len IS NOT NULL GROUP BY gap_len
     """,
+    # annotate_window_report: the annotate-mode production pipeline's
+    # SQL-expressible columns — the window island SQL aggregated per doc
+    # and LEFT-JOINed back onto documents (zeros for untouched docs).
+    "annotate_window_report": """
+        WITH w AS (
+          SELECT doc_id,
+                 UNNEST(range(1, greatest(length(hx) // 2 - 23, 0) + 1)) - 1
+                     AS pos,
+                 UNNEST(list_transform(
+                     range(1, greatest(length(hx) // 2 - 23, 0) + 1),
+                     i -> substr(hx, (2*i - 1)::INT, 48))) AS win
+          FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+        ),
+        firsts AS (
+          SELECT win, min(doc_id * 4294967296 + pos) AS k0, count(*) AS n
+          FROM w GROUP BY win
+        ),
+        rp AS (
+          SELECT w.doc_id, w.pos
+          FROM w JOIN firsts USING (win)
+          WHERE firsts.n >= 2
+            AND w.doc_id * 4294967296 + w.pos <> firsts.k0
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          IS NULL
+                      OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > 24
+                      THEN 1 ELSE 0 END AS brk
+          FROM rp
+        ),
+        isl2 AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        ),
+        isl3 AS (
+          SELECT doc_id, island, min(pos) AS s, max(pos) + 24 AS e
+          FROM isl2 GROUP BY doc_id, island
+        ),
+        agg AS (
+          SELECT doc_id, count(*)::BIGINT AS n_removed_ranges,
+                 sum(e - s)::BIGINT AS n_removed_bytes
+          FROM isl3 GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+               coalesce(a.n_removed_ranges, 0)::BIGINT AS n_removed_ranges,
+               coalesce(a.n_removed_bytes, 0)::BIGINT AS n_removed_bytes
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
     "window_dedup_apply": _window_apply_sql(),
     # dedup_then_pack: the apply SQL nested as a derived table, its
     # dedup_text driving the pack prefix-sum — the chained journey.
@@ -2926,3 +2978,10 @@ ORACLE_SQL = {
         FROM t3
     """,
 }
+
+# kept_middle_lengths: the PRODUCTION SA pipeline's gap histogram. The
+# sentinel-separated corpus makes scan windows doc-internal and keep-
+# first order == (doc, pos) order, so production winnow-routed ranges
+# are byte-identical to the window formulation (verified at
+# sf0.001/0.01/0.1) — the window_kept_gaps SQL IS its exact oracle.
+ORACLE_SQL["kept_middle_lengths"] = ORACLE_SQL["window_kept_gaps"]
