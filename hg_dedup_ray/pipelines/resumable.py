@@ -41,9 +41,15 @@ from hg_dedup_ray.stages.writeback import Writeback
 
 
 def _make_partition_processor(
-    cfg: DedupConfig, output_dir: str, cfg_hash: str, input_files, xranges_ref, clusters_ref
+    cfg: DedupConfig, output_dir: str, cfg_hash: str, input_files,
+    xranges_ref, clusters_ref, ckpt_dir: str, input_sizes: dict,
 ):
-    """map_groups fn: one partition -> (write parquet) -> 1 metrics row."""
+    """map_groups fn: one partition -> (write parquet + manifest) -> 1
+    metrics row. The manifest is written IN the task, atomically, right
+    after the partition's parquet lands — a run killed mid-way keeps a
+    durable record of every finished partition, so resume is partition-
+    granular for real crashes, not only for post-hoc manifest surgery
+    (exercised by tests/test_resume.py kill-k test)."""
 
     def process(group: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -54,6 +60,21 @@ def _make_partition_processor(
         from hg_dedup_ray.stages.sa_scan import texts_to_corpus
 
         part = int(group["part"][0].as_py())
+        # crash injection for the kill-k resume test: when the flag file
+        # exists, partitions >= its value die before doing any work,
+        # like a mid-run SIGKILL (a FILE, not an env var — long-lived
+        # Ray workers snapshot env at spawn, the file is read fresh
+        # every task). The short sleep lets concurrently-running
+        # healthy partitions finish (and write their durable manifests)
+        # before the abort tears the execution down — the realistic
+        # crash timeline.
+        _flag = os.path.join(ckpt_dir, "FAIL_PARTS_GE")
+        if os.path.exists(_flag):
+            with open(_flag) as fh:
+                k = int(fh.read().strip())
+            if part >= k:
+                time.sleep(4)
+                raise RuntimeError(f"injected crash before part {part}")
         group = group.sort_by("doc_seq")
         t0 = time.time()
         corpus, starts, ends = texts_to_corpus(group["text"])
@@ -120,7 +141,10 @@ def _make_partition_processor(
             scan_s=round(t_scan - t_sa, 4),
             write_s=round(t_write - t_scan, 4),
             output_file=out_file,
+            input_sizes=input_sizes,
         )
+        # durable record first (atomic JSON), metrics row second
+        ck.write_part_manifest(ckpt_dir, m)
         from dataclasses import asdict
 
         # input_files/input_sizes are driver-known; keep the metrics row
@@ -205,20 +229,15 @@ def run_dedup_resumable(
             todo = todo.map_batches(drop_done, batch_format="pyarrow")
         metrics = todo.groupby("part").map_groups(
             _make_partition_processor(
-                cfg, output_dir, cfgh, input_files, xranges_ref, clusters_ref
+                cfg, output_dir, cfgh, input_files, xranges_ref,
+                clusters_ref, ckpt_dir, sizes,
             ),
             batch_format="pyarrow",
         )
-        for row in metrics.take_all():  # one small row per partition
-            m = ck.PartitionManifest(
-                **{
-                    k: (v if k != "input_files" else list(v))
-                    for k, v in row.items()
-                },
-                input_sizes=sizes,
-            )
-            ck.write_part_manifest(ckpt_dir, m)
-            processed.append(m.part)
+        # manifests are written IN the partition tasks (crash-durable);
+        # the driver only collects the one-row-per-partition metrics
+        for row in metrics.take_all():
+            processed.append(int(row["part"]))
 
     all_manifests = ck.load_completed_parts(ckpt_dir, cfg)
     return {
