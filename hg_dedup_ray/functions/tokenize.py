@@ -166,6 +166,67 @@ class MiniBPETokenizer(CharOffsetTokenizer):
         self._str_of = {i: s for s, i in self._id_of.items()}
 
     def encode(self, data: bytes) -> np.ndarray:
+        """Greedy lowest-rank-first BPE via a heap over pair sites + a
+        doubly-linked slot list — O(n log n) per doc (the r4 version
+        rescanned every adjacent pair per merge, O(n^2); ADVICE r04).
+        Exactly the greedy semantics: the heap orders (rank, position)
+        so ties break leftmost, ranks are unique per pair so a stale
+        heap entry can never alias a different pair, and each merge
+        pushes only its two new neighbor sites."""
+        import heapq
+
+        text = data.decode("utf-8", errors="replace")
+        n = len(text)
+        if n == 0:
+            self._set_offsets_from_chars(text, [])
+            return np.empty(0, np.uint16)
+        parts = list(text)
+        s = list(range(n))
+        e = [i + 1 for i in range(n)]
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        alive = [True] * n
+        ranks = self._ranks
+        heap = [
+            (r, i)
+            for i in range(n - 1)
+            if (r := ranks.get((parts[i], parts[i + 1]))) is not None
+        ]
+        heapq.heapify(heap)
+        while heap:
+            r, i = heapq.heappop(heap)
+            if not alive[i]:
+                continue
+            j = nxt[i]
+            if j == -1:
+                continue
+            if ranks.get((parts[i], parts[j])) != r:  # stale site
+                continue
+            parts[i] = parts[i] + parts[j]
+            e[i] = e[j]
+            alive[j] = False
+            nj = nxt[j]
+            nxt[i] = nj
+            if nj != -1:
+                prv[nj] = i
+                r3 = ranks.get((parts[i], parts[nj]))
+                if r3 is not None:
+                    heapq.heappush(heap, (r3, i))
+            p = prv[i]
+            if p != -1:
+                r2 = ranks.get((parts[p], parts[i]))
+                if r2 is not None:
+                    heapq.heappush(heap, (r2, p))
+        keep = [k for k in range(n) if alive[k]]
+        self._set_offsets_from_chars(text, [(s[k], e[k]) for k in keep])
+        return np.array(
+            [self._id_of.get(parts[k], self.unk_id) for k in keep], np.uint16
+        )
+
+    def _encode_naive(self, data: bytes) -> np.ndarray:
+        """The O(n^2) rescan-every-pair greedy loop, kept as the
+        semantics reference for the heap implementation's equivalence
+        test (tests/test_token_mode.py)."""
         text = data.decode("utf-8", errors="replace")
         parts = list(text)
         spans = [(i, i + 1) for i in range(len(parts))]

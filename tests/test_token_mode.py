@@ -287,3 +287,32 @@ def test_get_tokenizer_minibpe_and_gate():
     from hg_dedup_ray.functions.tokenize import MiniBPETokenizer, get_tokenizer
 
     assert isinstance(get_tokenizer("minibpe"), MiniBPETokenizer)
+
+
+def test_minibpe_heap_encode_matches_naive_greedy():
+    """ADVICE r04: the O(n log n) heap+linked-list encode must be
+    token- and offset-identical to the rescan-every-pair greedy loop
+    it replaced, across random strings over the vocab (incl. repeats,
+    multi-byte chars, unknowns) and the chain-merge words."""
+    import numpy as np
+
+    from hg_dedup_ray.functions.tokenize import MiniBPETokenizer
+
+    tok_a, tok_b = MiniBPETokenizer(), MiniBPETokenizer()
+    rng = np.random.default_rng(5)
+    alphabet = list(" theandingisored.,!?é中·\x00abcxyz")
+    cases = [
+        "", " ", "the cat and the dog are ingesting things",
+        "ththththe", "aaaa", "ananand", "ingingING ",
+        "données 中文 data", "\x00\x01unknown\x02",
+    ]
+    for _ in range(60):
+        cases.append("".join(rng.choice(alphabet, rng.integers(1, 160))))
+    for s in cases:
+        data = s.encode("utf-8")
+        ids_a = tok_a.encode(data)
+        off_a = tok_a._offsets.copy()
+        ids_b = tok_b._encode_naive(data)
+        off_b = tok_b._offsets.copy()
+        assert np.array_equal(ids_a, ids_b), s
+        assert np.array_equal(off_a, off_b), s
