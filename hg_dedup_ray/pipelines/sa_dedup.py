@@ -445,17 +445,38 @@ def compute_cross_partition(docs, cfg: DedupConfig, cand=None, hot=None):
     if driver_path:
         cand_rows = _driver_buckets(cand, hot, cfg.max_band_bucket)
     else:
+        # above-limit scale path: COARSE key buckets (the dupset-join
+        # shape just below), never groupby at hot-key cardinality —
+        # Ray pays one Python call per group, and the 10M-doc stress
+        # probe (r5) measured the fine-grained version stalling >10 min
+        # in its sort+dispatch where the whole 960k run takes ~10 s.
+        from hg_dedup_ray.stages.candidates import (
+            make_coarse_bucket_to_candidates,
+        )
+
         hot_ref = ray.put(pa.array(hot, pa.uint64()))
+        n_cand_buckets = int(cfg.extra.get("cand_coarse_buckets", 128))
 
         def _keep_hot(b: pa.Table) -> pa.Table:
-            hv = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
-            return b.filter(pc.is_in(b["bucket_key"], value_set=hv))
+            from hg_dedup_ray.stages.broadcast import get_broadcast
+
+            b = b.filter(
+                pc.is_in(b["bucket_key"], value_set=get_broadcast(hot_ref))
+            )
+            bk = b["bucket_key"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "cbucket",
+                pa.array(
+                    (bk % np.uint64(n_cand_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            )
 
         cand_rows = (
             cand.map_batches(_keep_hot, batch_format="pyarrow")
-            .groupby("bucket_key")
+            .groupby("cbucket")
             .map_groups(
-                make_bucket_to_candidates(cfg.max_band_bucket),
+                make_coarse_bucket_to_candidates(cfg.max_band_bucket),
                 batch_format="pyarrow",
             )
             .take_all()

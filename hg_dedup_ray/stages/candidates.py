@@ -140,6 +140,65 @@ def make_bucket_to_candidates(max_docs: int = 256):
 bucket_to_candidates = make_bucket_to_candidates()
 
 
+def make_coarse_bucket_to_candidates(max_docs: int = 256):
+    """map_groups fn factory for COARSE key buckets (``bucket_key % M``):
+    one group holds MANY hot buckets; segment by bucket_key internally
+    and apply the same per-bucket candidate rules. This is the
+    above-driver-limit scale path — Ray's groupby costs one Python call
+    PER GROUP, so grouping at hot-key cardinality (millions at 10M+
+    docs) is the banned per-group anti-pattern; 128 coarse groups keep
+    dispatch constant while the segment loop inside runs at numpy slice
+    cost. Found by the 10M-doc stress probe (r5): the fine-grained
+    groupby stalled >10 min where the whole 960k-doc run takes ~10 s."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        bk = group["bucket_key"].to_numpy(zero_copy_only=False)
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        urls = np.asarray(group["url"].to_pylist(), dtype=object)
+        seq = group["doc_seq"].to_numpy(zero_copy_only=False)
+        part = group["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bk, kind="stable")
+        bk, kinds, urls, seq, part = (
+            bk[order], kinds[order], urls[order], seq[order], part[order]
+        )
+        starts = np.flatnonzero(
+            np.concatenate(([True], bk[1:] != bk[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [bk.shape[0]]))
+        out_kind: list[int] = []
+        out_urls: list[list] = []
+        out_seqs: list[list] = []
+        out_parts: list[list] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            u = urls[s:e]
+            _, uniq_idx = np.unique(u, return_index=True)
+            if len(uniq_idx) < 2:
+                continue
+            kind = int(kinds[s])
+            p = part[s:e]
+            if kind == 1 and len(np.unique(p[uniq_idx])) < 2:
+                continue
+            sq = seq[s:e]
+            morder = uniq_idx[np.argsort(sq[uniq_idx], kind="stable")]
+            for c in chunk_members(morder, max_docs):
+                out_kind.append(kind)
+                out_urls.append(list(u[c]))
+                out_seqs.append([int(x) for x in sq[c]])
+                out_parts.append([int(x) for x in p[c]])
+        return pa.table(
+            {
+                "kind": pa.array(out_kind, pa.uint8()),
+                "urls": pa.array(out_urls, pa.list_(pa.string())),
+                "seqs": pa.array(out_seqs, pa.list_(pa.int64())),
+                "parts": pa.array(out_parts, pa.list_(pa.int32())),
+            }
+        )
+
+    return fn
+
+
 def expand_band_pairs(
     urls: list[str], seqs: list[int], parts: list[int]
 ) -> list[tuple]:
