@@ -106,12 +106,19 @@ def candidate_pairs(docs, cfg: DedupConfig):
     hot = _hot_keys(bands, cfg)
     if hot.shape[0] == 0:
         return ray.data.from_items([])
-    hot_ref = ray.put(pa.array(hot, pa.uint64()))
+    hot_ref = ray.put(hot)  # sorted u64 ndarray: searchsorted membership
 
     def keep_hot(b: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
 
-        return b.filter(pc.is_in(b["bucket_key"], value_set=get_broadcast(hot_ref)))
+        return b.filter(
+            pa.array(
+                _hot_mask(
+                    get_broadcast(hot_ref),
+                    b["bucket_key"].to_numpy(zero_copy_only=False),
+                )
+            )
+        )
 
     pairs = (
         bands.map_batches(keep_hot, batch_format="pyarrow")
@@ -296,15 +303,29 @@ def _hot_keys_distributed(cand) -> np.ndarray:
     return keys, int(sum(r["n_rows"] for r in rows))
 
 
+def _hot_mask(sorted_hot: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Membership of ``keys`` in the SORTED hot-key array via
+    searchsorted. ``pc.is_in`` rebuilds a hash set from the value_set on
+    EVERY call — at tens of millions of hot keys that set-build
+    dominated the 10M-doc stress probe's filter stage (r5); the
+    searchsorted probe is allocation-free and O(n log m)."""
+    if sorted_hot.shape[0] == 0:
+        return np.zeros(keys.shape[0], bool)
+    pos = np.searchsorted(sorted_hot, keys)
+    pos_c = np.minimum(pos, sorted_hot.shape[0] - 1)
+    return (pos < sorted_hot.shape[0]) & (sorted_hot[pos_c] == keys)
+
+
 def _driver_buckets(cand, hot: np.ndarray, max_docs: int = 256) -> list[dict]:
     """Build candidate buckets on the driver: one streaming filter pass
     (rows with hot keys are a vanishing fraction), then vectorized
     grouping. Mirrors stages.candidates.bucket_to_candidates semantics.
     Used below the driver_key_limit; the Ray groupby path handles scale."""
-    hot_arr = pa.array(hot, pa.uint64())
     keys_l, kinds_l, urls_l, seqs_l, parts_l = [], [], [], [], []
     for b in cand.iter_batches(batch_size=1 << 17, batch_format="pyarrow"):
-        sub = b.filter(pc.is_in(b["bucket_key"], value_set=hot_arr))
+        sub = b.filter(
+            pa.array(_hot_mask(hot, b["bucket_key"].to_numpy(zero_copy_only=False)))
+        )
         if len(sub) == 0:
             continue
         keys_l.append(sub["bucket_key"].to_numpy(zero_copy_only=False))
@@ -379,7 +400,7 @@ def compute_cross_partition_bucketed(docs, cfg: DedupConfig, cand=None, hot=None
         hot = _hot_keys(cand, cfg)
     if hot.shape[0] == 0:
         return ("tables", []), {}
-    hot_ref = ray.put(pa.array(hot, pa.uint64()))
+    hot_ref = ray.put(hot)  # sorted u64 ndarray: searchsorted membership
 
     # COARSE bucket key: one map_groups call per ~(hot_buckets / M)
     # buckets, not one per hot bucket (per-group dispatch dominates at
@@ -389,7 +410,14 @@ def compute_cross_partition_bucketed(docs, cfg: DedupConfig, cand=None, hot=None
     def keep_hot(b: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
 
-        b = b.filter(pc.is_in(b["bucket_key"], value_set=get_broadcast(hot_ref)))
+        b = b.filter(
+            pa.array(
+                _hot_mask(
+                    get_broadcast(hot_ref),
+                    b["bucket_key"].to_numpy(zero_copy_only=False),
+                )
+            )
+        )
         bk = b["bucket_key"].to_numpy(zero_copy_only=False)
         return b.append_column(
             "cbucket",
@@ -454,14 +482,19 @@ def compute_cross_partition(docs, cfg: DedupConfig, cand=None, hot=None):
             make_coarse_bucket_to_candidates,
         )
 
-        hot_ref = ray.put(pa.array(hot, pa.uint64()))
+        hot_ref = ray.put(hot)  # sorted u64 ndarray
         n_cand_buckets = int(cfg.extra.get("cand_coarse_buckets", 128))
 
         def _keep_hot(b: pa.Table) -> pa.Table:
             from hg_dedup_ray.stages.broadcast import get_broadcast
 
             b = b.filter(
-                pc.is_in(b["bucket_key"], value_set=get_broadcast(hot_ref))
+                pa.array(
+                    _hot_mask(
+                        get_broadcast(hot_ref),
+                        b["bucket_key"].to_numpy(zero_copy_only=False),
+                    )
+                )
             )
             bk = b["bucket_key"].to_numpy(zero_copy_only=False)
             return b.append_column(
