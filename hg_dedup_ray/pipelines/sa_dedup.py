@@ -41,7 +41,6 @@ from hg_dedup_ray.stages.candidates import (
     CandidateEmitter,
     chunk_members,
     expand_band_pairs,
-    make_bucket_to_candidates,
 )
 from hg_dedup_ray.stages.group_scan import GroupScanner, bucket_to_group
 from hg_dedup_ray.stages.minhash_stage import MinHashBander, bucket_to_pairs
@@ -186,6 +185,42 @@ def _shard_block_keys(tab: pa.Table, col: str = "bucket_key"):
     ks, shs = k[order], sh[order]
     bounds = np.searchsorted(shs, np.arange(_HOT_SHARDS + 1))
     return tuple(ks[bounds[i] : bounds[i + 1]] for i in range(_HOT_SHARDS))
+
+
+_CAND_SHARDS = _HOT_SHARDS
+
+
+@ray.remote(num_returns=_CAND_SHARDS)
+def _shard_cand_block(tab: pa.Table, hot: np.ndarray):
+    """One candidate block -> hot-filtered rows split into
+    _CAND_SHARDS sub-tables by bucket_key top bits (the
+    _shard_block_keys shape, carrying full rows)."""
+    bk = tab["bucket_key"].to_numpy(zero_copy_only=False)
+    tab = tab.filter(pa.array(_hot_mask(hot, bk)))
+    bk = tab["bucket_key"].to_numpy(zero_copy_only=False)
+    sh = (bk >> np.uint64(64 - 5)).astype(np.int64)
+    order = np.argsort(sh, kind="stable")
+    tab = tab.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(sh[order], np.arange(_CAND_SHARDS + 1))
+    return tuple(
+        tab.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for i in range(_CAND_SHARDS)
+    )
+
+
+@ray.remote
+def _reduce_cand_shard(max_docs: int, *tabs):
+    """One key-range shard: concat its sub-tables and run the
+    segmented per-bucket candidate rules; returns answer-bounded
+    candidate rows (or None when the shard is empty)."""
+    from hg_dedup_ray.stages.candidates import (
+        make_coarse_bucket_to_candidates,
+    )
+
+    tabs = [t for t in tabs if t is not None and len(t)]
+    if not tabs:
+        return None
+    return make_coarse_bucket_to_candidates(max_docs)(pa.concat_tables(tabs))
 
 
 @ray.remote
@@ -473,47 +508,31 @@ def compute_cross_partition(docs, cfg: DedupConfig, cand=None, hot=None):
     if driver_path:
         cand_rows = _driver_buckets(cand, hot, cfg.max_band_bucket)
     else:
-        # above-limit scale path: COARSE key buckets (the dupset-join
-        # shape just below), never groupby at hot-key cardinality —
-        # Ray pays one Python call per group, and the 10M-doc stress
-        # probe (r5) measured the fine-grained version stalling >10 min
-        # in its sort+dispatch where the whole 960k run takes ~10 s.
-        from hg_dedup_ray.stages.candidates import (
-            make_coarse_bucket_to_candidates,
-        )
-
+        # above-limit scale path: RAW-TASK shard+reduce (the
+        # _hot_keys_parallel shape), NOT a Dataset groupby. The 10M-doc
+        # stress probe (r5) showed Ray's sort-based shuffle never even
+        # started its shuffle tasks on a ~3700-block input — the driver
+        # spun for 10+ minutes on all-to-all planning/metadata (its own
+        # estimate: 41 GB of driver memory) while workers idled. Here
+        # each block fans its hot-filtered rows into 32 key-range
+        # shards (one object per shard), one reducer per shard runs the
+        # segmented per-bucket candidate rules, and only answer-bounded
+        # candidate rows return — metadata is blocks x 32 refs, linear.
         hot_ref = ray.put(hot)  # sorted u64 ndarray
-        n_cand_buckets = int(cfg.extra.get("cand_coarse_buckets", 128))
-
-        def _keep_hot(b: pa.Table) -> pa.Table:
-            from hg_dedup_ray.stages.broadcast import get_broadcast
-
-            b = b.filter(
-                pa.array(
-                    _hot_mask(
-                        get_broadcast(hot_ref),
-                        b["bucket_key"].to_numpy(zero_copy_only=False),
-                    )
-                )
+        shard_refs = [
+            _shard_cand_block.remote(r, hot_ref)
+            for r in cand.to_arrow_refs()
+        ]
+        out_refs = [
+            _reduce_cand_shard.remote(
+                cfg.max_band_bucket, *(row[s] for row in shard_refs)
             )
-            bk = b["bucket_key"].to_numpy(zero_copy_only=False)
-            return b.append_column(
-                "cbucket",
-                pa.array(
-                    (bk % np.uint64(n_cand_buckets)).astype(np.int64),
-                    pa.int64(),
-                ),
-            )
-
-        cand_rows = (
-            cand.map_batches(_keep_hot, batch_format="pyarrow")
-            .groupby("cbucket")
-            .map_groups(
-                make_coarse_bucket_to_candidates(cfg.max_band_bucket),
-                batch_format="pyarrow",
-            )
-            .take_all()
-        )
+            for s in range(_CAND_SHARDS)
+        ]
+        cand_rows = []
+        for t in ray.get(out_refs):
+            if t is not None and len(t):
+                cand_rows.extend(t.to_pylist())
     pair_set: set[tuple] = set()
     group_set: set[tuple] = set()
     seqs_needed: set[int] = set()
