@@ -58,8 +58,16 @@ class CandidateEmitter:
                 "bucket_key": pa.array(keys, pa.uint64()),
                 "kind": pa.array(kinds, pa.uint8()),
                 # C-level string gather — a numpy object-array fancy index
-                # here cost ~3x the whole emit at 40M exploded rows
-                "url": pc.take(url_col, pa.array(idx, pa.int64())),
+                # here cost ~3x the whole emit at 40M exploded rows.
+                # DICTIONARY-encoded: each doc's url repeats ~(bands +
+                # fingerprints) times across its exploded rows, so the
+                # dictionary stores it once per block and rows carry an
+                # int32 index — ~2.5x smaller candidate blocks, the
+                # difference between fitting and spilling to death on
+                # the 10M-doc stress probe (r5)
+                "url": pc.take(
+                    pc.dictionary_encode(url_col), pa.array(idx, pa.int64())
+                ),
                 "doc_seq": pa.array(seqs[idx], pa.int64()),
                 "part": pa.array(parts[idx], pa.int32()),
             }
