@@ -32,6 +32,64 @@ ANN_NUM_QUERIES = 10
 NEAR_DUP_COS = 0.4
 
 
+# --- generic raw-task shard+reduce hooks (the _hot_keys_parallel /
+# _shard_cand_block shape, r5): keyed multi-stage fan-outs over a
+# MATERIALIZED dataset's blocks without Dataset groupby — Ray 2.49's
+# sort-based shuffle stalls on many-block inputs (see sa_dedup.py), and
+# even when it runs, each groupby is a full extra exchange. ``col``
+# must hold small ints in [0, n); callables are cloudpickled closures.
+
+
+@ray.remote
+def _shard_table_block(tab: pa.Table, filter_fn, col: str, n: int):
+    """One block -> (optional filter) -> n sub-tables by ``col`` value.
+    Invoke with .options(num_returns=n)."""
+    if filter_fn is not None:
+        tab = filter_fn(tab)
+    v = tab[col].to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    tab = tab.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(v[order], np.arange(n + 1))
+    return tuple(
+        tab.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n)
+    )
+
+
+@ray.remote
+def _reduce_and_shard(fn, col: str, n: int, *tabs):
+    """Concat one key-range's sub-tables, apply ``fn``, and shard the
+    OUTPUT by ``col`` for the next round. .options(num_returns=n)."""
+    tabs = [t for t in tabs if t is not None and len(t)]
+    if not tabs:
+        return tuple(None for _ in range(n))
+    out = fn(pa.concat_tables(tabs))
+    v = out[col].to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    out = out.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(v[order], np.arange(n + 1))
+    return tuple(
+        out.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n)
+    )
+
+
+@ray.remote
+def _map_block(fn, tab: pa.Table):
+    """Apply ``fn`` to one materialized block — a per-block partial
+    pass without spinning a whole Dataset execution."""
+    return fn(tab)
+
+
+@ray.remote
+def _reduce_concat(fn, empty: pa.Table, *tabs):
+    """Concat one key-range's sub-tables and apply ``fn`` (terminal
+    round; returns ``empty`` when the range has no rows so the refs can
+    feed ray.data.from_arrow_refs directly)."""
+    tabs = [t for t in tabs if t is not None and len(t)]
+    if not tabs:
+        return empty
+    return fn(pa.concat_tables(tabs))
+
+
 def _docs(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
@@ -1257,13 +1315,14 @@ def ngram_jaccard_exact_pairs(
             )
 
         na_min = np.full(hot.shape[0], np.iinfo(np.int64).max)
-        amp = (
-            idx_mat.map_batches(
-                anchor_min_partial, batch_format="pyarrow", batch_size=65536
-            )
-            .materialize()
-        )
-        for tbl in ray.get(amp.to_arrow_refs()):
+        # per-block raw tasks over the already-materialized index (one
+        # Dataset execution fewer than a map_batches+materialize round)
+        for tbl in ray.get(
+            [
+                _map_block.remote(anchor_min_partial, r)
+                for r in idx_mat.to_arrow_refs()
+            ]
+        ):
             if len(tbl):
                 np.minimum.at(
                     na_min,
@@ -1295,25 +1354,44 @@ def ngram_jaccard_exact_pairs(
             return b.filter(pa.array(keep))
 
         _mark("index-mat")
-        # the filtered index still packs into very few post-sort blocks
-        # (it's only keys+ids), which would serialize the pair expansion
-        # — the containment cascade's dominant stage — into 1-2 tasks.
-        # Pre-split so each shingle bucket's expansion runs in its own
-        # task across the CPU pool.
-        idx_rows = idx_mat.map_batches(
-            partner_filter, batch_format="pyarrow", batch_size=65536
-        ).repartition(num_buckets)
-    cand = (
-        idx_rows
-        .groupby("bucket")
-        .map_groups(expand_candidates, batch_format="pyarrow")
-        .groupby("pbucket")
-        .map_groups(
-            bucket_count_filter if is_cont else bucket_distinct,
-            batch_format="pyarrow",
+        # raw-task shard+reduce instead of repartition + two Dataset
+        # groupbys (r5): index blocks shard by shingle bucket in one
+        # pass with the partner filter fused, each bucket's expansion
+        # reducer shards its pair-partials by pbucket, and terminal
+        # combiners apply the count filter — same math, two fewer
+        # all-to-all exchanges, one task per bucket across the pool.
+        _empty_pairs = pa.table({"pair": pa.array([], pa.uint64())})
+        shard_refs = [
+            _shard_table_block.options(num_returns=num_buckets).remote(
+                r, partner_filter, "bucket", num_buckets
+            )
+            for r in idx_mat.to_arrow_refs()
+        ]
+        exp_refs = [
+            _reduce_and_shard.options(num_returns=num_buckets).remote(
+                expand_candidates, "pbucket", num_buckets,
+                *(row[b] for row in shard_refs),
+            )
+            for b in range(num_buckets)
+        ]
+        cand = ray.data.from_arrow_refs(
+            [
+                _reduce_concat.remote(
+                    bucket_count_filter, _empty_pairs,
+                    *(row[p] for row in exp_refs),
+                )
+                for p in range(num_buckets)
+            ]
+        ).materialize()
+    else:
+        cand = (
+            idx_rows
+            .groupby("bucket")
+            .map_groups(expand_candidates, batch_format="pyarrow")
+            .groupby("pbucket")
+            .map_groups(bucket_distinct, batch_format="pyarrow")
+            .materialize()
         )
-        .materialize()
-    )
     _mark("candidates")
     ptabs = ray.get(cand.to_arrow_refs())
     pchunks = [t["pair"].to_numpy(zero_copy_only=False) for t in ptabs if len(t)]
