@@ -1805,6 +1805,478 @@ def ngram_containment_pairs(sf_dir: str, threshold: float = 0.6):
     )
 
 
+EDIT_DISTANCE_D = 8
+
+
+def edit_distance_pairs(
+    sf_dir: str,
+    d: int = EDIT_DISTANCE_D,
+    num_buckets: int = 64,
+    verify_broadcast_limit: int = 2_000_000,
+):
+    """EXACT edit-distance similarity join, DuckDB-green: all pairs with
+    codepoint-level Levenshtein distance <= d — the near-dup family
+    member that catches SMALL-EDIT duplicates (typo fixes, one-line
+    template swaps, re-encodes) which set-based Jaccard/containment see
+    only as "very similar", never as "k edits apart". No reference
+    analog (the reference engine is byte-window equality only); built on
+    the Ed-Join filter framework (Xiao, Wang, Lin — PVLDB 1(1), 2008)
+    with the same cascade discipline as ``ngram_jaccard_exact_pairs``:
+
+    1. df pass over distinct exact-packed 8-BYTE grams (u64, the
+       shingle pack) -> global df of every gram with >= 2 docs.
+    2. prefix pass: each doc ranks its distinct grams by the global
+       (df, gram) order and indexes only the ``11*d + 1`` rarest that
+       are hot. Completeness: one codepoint edit rewrites <= 4 bytes,
+       destroying <= (8-1)+4 = 11 distinct gram types, so a true pair
+       shares >= max(Da, Db) - 11*d distinct grams and the classic
+       prefix lemma puts one shared gram inside BOTH 11*d+1-prefixes
+       (functions/editdist.BYTE_GRAM_DESTROY). Docs with fewer than
+       11*d+1 distinct grams (too short or too repetitive for the
+       lemma) route WHOLE into one sentinel group joined by a sorted
+       length-window sweep — all-pairs only within +-d codepoints.
+    3. candidates: all pairs within a posting run, pruned by the exact
+       length filter |n_a - n_b| <= d (codepoint lengths).
+    4. verify: the COUNT filter (shared distinct grams, recomputed
+       node-local from text, >= max(Da, Db) - 11*d — exact necessary
+       condition) kills the gram-sharing-but-far pairs, then the
+       survivors run Ukkonen's banded DP lockstep across pairs
+       (functions/editdist.banded_levenshtein) for the exact distance.
+
+    The verify side (candidate docs' text) is candidate-bounded, not
+    corpus-bounded: below ``verify_broadcast_limit`` candidate-doc rows
+    it ships once as a ray.put broadcast and verification is a
+    shuffle-free map_batches over pair rows; above it, the bucketed
+    two-hop join (doc-hash attach -> pair-hash verify, the
+    ``ngram_jaccard_pairs`` LSH-verify shape) keeps every row in the
+    object store — same math, pinned equal in tests/test_editdist.py.
+
+    Output: (doc_id_a, doc_id_b, edit_distance), a < b, distance <= d.
+    Distances are integers, so the oracle compare is exact with no
+    rounding concerns."""
+    from hg_dedup_ray.functions.editdist import (
+        BYTE_GRAM_DESTROY,
+        banded_levenshtein,
+        char_counts,
+        codepoints,
+        doc_distinct_grams,
+    )
+    from hg_dedup_ray.functions.arrow_utils import string_column_bytes
+    from hg_dedup_ray.functions.pair_distinct import hot_u64_keys_counts
+
+    PREF = BYTE_GRAM_DESTROY * d + 1
+    SENTINEL = num_buckets  # the degenerate (short/repetitive) group
+
+    def _doc_arrays(batch: pa.Table):
+        data, offsets = string_column_bytes(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 32):
+            raise ValueError("edit_distance_pairs requires 0 <= doc_id < 2^32")
+        d_k, g_k, n_gram = doc_distinct_grams(data, offsets)
+        nch = char_counts(data, offsets)
+        return ids, d_k, g_k, n_gram, nch
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        _ids, _d, g_k, _n, _c = _doc_arrays(batch)
+        return pa.table({"sh": pa.array(g_k, pa.uint64())})
+
+    mat = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+    hot, dfc = hot_u64_keys_counts(mat, "sh")
+    hot_ref = ray.put((hot, dfc))
+
+    _empty_out = pa.table(
+        {
+            "doc_id_a": pa.array([], pa.int64()),
+            "doc_id_b": pa.array([], pa.int64()),
+            "edit_distance": pa.array([], pa.int64()),
+        }
+    )
+    _empty_cand = pa.table(
+        {"pbucket": pa.array([], pa.int64()), "pair": pa.array([], pa.uint64())}
+    )
+
+    def index_rows(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        H, DF = get_broadcast(hot_ref)
+        ids, d_k, g_k, n_gram, nch = _doc_arrays(batch)
+        nb = ids.shape[0]
+        if g_k.shape[0]:
+            pos = np.searchsorted(H, g_k)
+            pos_c = np.minimum(pos, max(H.shape[0] - 1, 0))
+            is_hot = (
+                (pos < H.shape[0]) & (H[pos_c] == g_k)
+                if H.shape[0]
+                else np.zeros(g_k.shape[0], bool)
+            )
+            dfv = np.where(is_hot, DF[pos_c] if H.shape[0] else 1, 1)
+            order = np.lexsort((g_k, dfv, d_k))
+            d_o, g_o, df_o = d_k[order], g_k[order], dfv[order]
+            starts = np.searchsorted(d_o, np.arange(nb))
+            rank = np.arange(d_o.shape[0]) - starts[d_o]
+            keep = (rank < PREF) & (df_o >= 2)
+            d_f, g_f = d_o[keep], g_o[keep]
+        else:
+            d_f = np.empty(0, np.int64)
+            g_f = np.empty(0, np.uint64)
+        degen = np.flatnonzero(n_gram < PREF)
+        bucket = np.concatenate(
+            [
+                (g_f % np.uint64(num_buckets)).astype(np.int64),
+                np.full(degen.shape[0], SENTINEL, np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "sh": pa.array(
+                    np.concatenate([g_f, np.zeros(degen.shape[0], np.uint64)]),
+                    pa.uint64(),
+                ),
+                "doc_id": pa.array(
+                    np.concatenate([ids[d_f], ids[degen]]), pa.int64()
+                ),
+                "nch": pa.array(
+                    np.concatenate([nch[d_f], nch[degen]]), pa.int64()
+                ),
+            }
+        )
+
+    def _emit_pairs(ia: np.ndarray, ib: np.ndarray) -> pa.Table:
+        lo = np.minimum(ia, ib).astype(np.uint64)
+        hi = np.maximum(ia, ib).astype(np.uint64)
+        pair = np.unique((lo << np.uint64(32)) | hi)
+        return pa.table(
+            {
+                "pbucket": pa.array(
+                    (pair % np.uint64(num_buckets)).astype(np.int64)
+                ),
+                "pair": pa.array(pair, pa.uint64()),
+            }
+        )
+
+    def expand(group: pa.Table) -> pa.Table:
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        nch_ = group["nch"].to_numpy(zero_copy_only=False)
+        if did.shape[0] < 2:
+            return _empty_cand
+        if int(group["bucket"][0].as_py()) == SENTINEL:
+            # degenerate group: sorted length-window sweep — each doc
+            # pairs only with docs within +-d codepoints, so the emit is
+            # window-bounded, not all-pairs (the skew note: a corpus
+            # where MOST docs are shorter than ~PREF+7 bytes would widen
+            # these windows; sub-bucket by length band if that happens)
+            o = np.lexsort((did, nch_))
+            nc_s, id_s = nch_[o], did[o]
+            hi_ix = np.searchsorted(nc_s, nc_s + d, side="right")
+            rep = hi_ix - np.arange(nc_s.shape[0]) - 1
+            tot = int(rep.sum())
+            if tot == 0:
+                return _empty_cand
+            a_idx = np.repeat(np.arange(nc_s.shape[0]), rep)
+            seg = np.cumsum(rep) - rep
+            b_idx = a_idx + (np.arange(tot) - seg[a_idx]) + 1
+            return _emit_pairs(id_s[a_idx], id_s[b_idx])
+        sh = group["sh"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, sh))
+        sh, did, nch_ = sh[order], did[order], nch_[order]
+        new = np.concatenate(([True], sh[1:] != sh[:-1]))
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        run_start = np.cumsum(run_len) - run_len
+        local = np.arange(sh.shape[0]) - run_start[run_id]
+        rep = (run_len[run_id] - 1 - local).astype(np.int64)
+        tot = int(rep.sum())
+        if tot == 0:
+            return _empty_cand
+        a_idx = np.repeat(np.arange(sh.shape[0]), rep)
+        seg = np.cumsum(rep) - rep
+        b_idx = a_idx + (np.arange(tot) - seg[a_idx]) + 1
+        ok = np.abs(nch_[a_idx] - nch_[b_idx]) <= d
+        if not ok.any():
+            return _empty_cand
+        return _emit_pairs(did[a_idx[ok]], did[b_idx[ok]])
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        pair = np.unique(group["pair"].to_numpy(zero_copy_only=False))
+        return pa.table({"pair": pa.array(pair, pa.uint64())})
+
+    cand = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(index_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(expand, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .materialize()
+    )
+    pchunks = [
+        t["pair"].to_numpy(zero_copy_only=False)
+        for t in ray.get(cand.to_arrow_refs())
+        if len(t)
+    ]
+    empty = ray.data.from_arrow(_empty_out)
+    if not pchunks:
+        return empty
+    allp = np.concatenate(pchunks)
+    docs_needed = np.unique(
+        np.concatenate(
+            [allp >> np.uint64(32), allp & np.uint64(0xFFFFFFFF)]
+        ).astype(np.int64)
+    )
+    docs_ref = ray.put(docs_needed)
+
+    def _needed_only(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        need = get_broadcast(docs_ref)
+        ids0 = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(need, ids0)
+        m = (pos < need.shape[0]) & (
+            need[np.minimum(pos, need.shape[0] - 1)] == ids0
+        )
+        return batch.filter(pa.array(m))
+
+    def _build_side(tb: pa.Table):
+        """Per-doc verify arrays from a (doc_id, text) table: sorted doc
+        ids, codepoint buffer + offsets, distinct-gram buffer + offsets,
+        codepoint and distinct-gram counts."""
+        ids = tb["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        tb = tb.take(pa.array(order, pa.int64()))
+        ids = ids[order]
+        data, offsets = string_column_bytes(tb["text"])
+        nch = char_counts(data, offsets)
+        cp, cpoff = codepoints(data, offsets)
+        d_k, g_k, n_gram = doc_distinct_grams(data, offsets)
+        goff = np.concatenate(([0], np.cumsum(n_gram))).astype(np.int64)
+        return ids, cp, cpoff, g_k, goff, nch
+
+    def _verify_side(side, pair: np.ndarray) -> pa.Table:
+        """Count filter + banded DP for one batch of candidate pairs
+        against a (broadcast or group-local) doc side."""
+        doc_u, cp, cpoff, g_k, goff, nch = side
+        if pair.shape[0] == 0:
+            return _empty_out
+        a = (pair >> np.uint64(32)).astype(np.int64)
+        b = (pair & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        pa_ = np.searchsorted(doc_u, a)
+        pb_ = np.searchsorted(doc_u, b)
+        nd = doc_u.shape[0]
+        found = (
+            (pa_ < nd)
+            & (pb_ < nd)
+            & (doc_u[np.minimum(pa_, nd - 1)] == a)
+            & (doc_u[np.minimum(pb_, nd - 1)] == b)
+        )
+        pair, pa_, pb_ = pair[found], pa_[found], pb_[found]
+        np_ = pair.shape[0]
+        if np_ == 0:
+            return _empty_out
+        da, db_ = (goff[pa_ + 1] - goff[pa_]), (goff[pb_ + 1] - goff[pb_])
+        # COUNT filter: exact shared-distinct-gram count per pair via
+        # one node-local repeat + lexsort + run-length dup count (the
+        # jaccard-verify replication trick — shuffle volume is zero)
+        rep = np.concatenate([da, db_])
+        pix = np.concatenate([np.arange(np_)] * 2)
+        tot = int(rep.sum())
+        if tot:
+            mi = np.repeat(np.arange(2 * np_), rep)
+            seg = np.cumsum(rep) - rep
+            gi = (
+                np.concatenate([goff[pa_], goff[pb_]])[mi]
+                + np.arange(tot)
+                - seg[mi]
+            )
+            p_all, g_all = pix[mi], g_k[gi]
+            o3 = np.lexsort((g_all, p_all))
+            p_s, g_s = p_all[o3], g_all[o3]
+            dup = (p_s[1:] == p_s[:-1]) & (g_s[1:] == g_s[:-1])
+            shared = np.bincount(p_s[1:][dup], minlength=np_).astype(np.int64)
+        else:
+            shared = np.zeros(np_, np.int64)
+        thr = np.maximum(da, db_) - BYTE_GRAM_DESTROY * d
+        surv = shared >= thr
+        if not surv.any():
+            return _empty_out
+        pair, pa_, pb_ = pair[surv], pa_[surv], pb_[surv]
+        # banded DP on the survivors: gather each side's codepoint rows
+        # into dense buffers (the kernel wants concatenated sequences)
+        def _gather(idx):
+            ln = nch[idx]
+            off2 = np.concatenate(([0], np.cumsum(ln))).astype(np.int64)
+            t2 = int(off2[-1])
+            if t2 == 0:
+                return np.empty(0, np.uint32), off2
+            mi2 = np.repeat(np.arange(idx.shape[0]), ln)
+            src = cpoff[idx][mi2] + (np.arange(t2) - off2[mi2])
+            return cp[src], off2
+
+        acp, aoff2 = _gather(pa_)
+        bcp, boff2 = _gather(pb_)
+        ed = banded_levenshtein(acp, aoff2, bcp, boff2, d)
+        okd = ed <= d
+        return pa.table(
+            {
+                "doc_id_a": pa.array(
+                    (pair[okd] >> np.uint64(32)).astype(np.int64)
+                ),
+                "doc_id_b": pa.array(
+                    (pair[okd] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+                "edit_distance": pa.array(ed[okd], pa.int64()),
+            }
+        )
+
+    doc_rows = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(_needed_only, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+    if doc_rows.count() <= verify_broadcast_limit:
+        tabs = [t for t in ray.get(doc_rows.to_arrow_refs()) if len(t)]
+        if not tabs:
+            return empty
+        side = _build_side(pa.concat_tables(tabs))
+        # sort pairs by the longer side's length DESC so DP batches are
+        # length-homogeneous (the kernel iterates to the batch max)
+        doc_u, _cp, _cpoff, _gk, _goff, nch_s = side
+        la = nch_s[np.searchsorted(doc_u, (allp >> np.uint64(32)).astype(np.int64))]
+        lb = nch_s[
+            np.searchsorted(doc_u, (allp & np.uint64(0xFFFFFFFF)).astype(np.int64))
+        ]
+        allp = allp[np.argsort(-np.maximum(la, lb), kind="stable")]
+        side_ref = ray.put(side)
+
+        def verify_broadcast(bt: pa.Table) -> pa.Table:
+            from hg_dedup_ray.stages.broadcast import get_broadcast
+
+            return _verify_side(
+                get_broadcast(side_ref),
+                bt["pair"].to_numpy(zero_copy_only=False),
+            )
+
+        n_parts = max(1, min(128, allp.shape[0] // 4096 + 1))
+        return (
+            ray.data.from_arrow(
+                pa.table({"pair": pa.array(allp, pa.uint64())})
+            )
+            .repartition(n_parts)
+            .map_batches(
+                verify_broadcast, batch_format="pyarrow", batch_size=4096
+            )
+        )
+
+    # --- above-limit path: bucketed two-hop join, texts never on the
+    # driver (the LSH-verify attach_text shape; one text row ships per
+    # pair membership)
+    pairs_ds = ray.data.from_arrow(
+        pa.table({"pair": pa.array(allp, pa.uint64())})
+    )
+
+    def to_member_rows(bt: pa.Table) -> pa.Table:
+        pr = bt["pair"].to_numpy(zero_copy_only=False)
+        a = (pr >> np.uint64(32)).astype(np.int64)
+        b = (pr & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        doc = np.concatenate([a, b])
+        prs = np.concatenate([pr, pr])
+        n = doc.shape[0]
+        return pa.table(
+            {
+                "dbucket": pa.array(doc % num_buckets, pa.int64()),
+                "side": pa.array(np.ones(n, np.uint8), pa.uint8()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "pair": pa.array(prs, pa.uint64()),
+                "text": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def doc_bucket_rows(bt: pa.Table) -> pa.Table:
+        bt = _needed_only(bt)
+        n = len(bt)
+        doc = bt["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dbucket": pa.array(doc % num_buckets, pa.int64()),
+                "side": pa.array(np.zeros(n, np.uint8), pa.uint8()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "pair": pa.nulls(n, pa.uint64()),
+                "text": bt["text"],
+            }
+        )
+
+    _empty_attached = pa.table(
+        {
+            "pbucket": pa.array([], pa.int64()),
+            "pair": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+
+    def attach_text(group: pa.Table) -> pa.Table:
+        sidec = group["side"].to_numpy(zero_copy_only=False)
+        dt = group.filter(pa.array(sidec == 0))
+        mt = group.filter(pa.array(sidec == 1))
+        if len(dt) == 0 or len(mt) == 0:
+            return _empty_attached
+        dd = dt["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dd, kind="stable")
+        md = mt["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dd[order], md)
+        ok = (pos < dd.shape[0]) & (
+            dd[order][np.minimum(pos, dd.shape[0] - 1)] == md
+        )
+        if not ok.all():  # defensive: member without a doc row
+            mt = mt.filter(pa.array(ok))
+            pos = pos[ok]
+        pr = mt["pair"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pbucket": pa.array(
+                    (pr % np.uint64(num_buckets)).astype(np.int64)
+                ),
+                "pair": mt["pair"],
+                "doc_id": mt["doc_id"],
+                "text": pc.take(dt["text"], pa.array(order[pos], pa.int64())),
+            }
+        )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _empty_out
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        prs = group["pair"].to_numpy(zero_copy_only=False)
+        # per-doc arrays computed ONCE per bucket from the first row of
+        # each doc, then the shared verify path runs on distinct pairs
+        uniq, first = np.unique(doc, return_index=True)
+        side = _build_side(
+            pa.table(
+                {
+                    "doc_id": pa.array(uniq, pa.int64()),
+                    "text": pc.take(group["text"], pa.array(first, pa.int64())),
+                }
+            )
+        )
+        return _verify_side(side, np.unique(prs))
+
+    members = pairs_ds.map_batches(to_member_rows, batch_format="pyarrow")
+    docrows = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        doc_bucket_rows, batch_format="pyarrow", batch_size=4096
+    )
+    return (
+        docrows.union(members)
+        .groupby("dbucket")
+        .map_groups(attach_text, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    )
+
+
 DEDUP_PRESSURE_TAUS = (0.7, 0.8, 0.9)
 
 
@@ -5872,6 +6344,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_exact_pairs": ngram_jaccard_exact_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
+    "edit_distance_pairs": edit_distance_pairs,
     "dedup_pressure_curve": dedup_pressure_curve,
     "token_counts": token_counts,
     "quality_scores": quality_scores,

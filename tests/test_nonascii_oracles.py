@@ -29,6 +29,7 @@ AFFECTED = [
     "dedup_tier_cascade",
     "ngram_jaccard_exact_pairs",
     "ngram_containment_pairs",
+    "edit_distance_pairs",
     "ngram_jaccard_pairs",
     "jaccard_dup_clusters",
     "containment_clusters",
