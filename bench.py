@@ -151,6 +151,7 @@ def run_bench() -> dict:
             "window_dedup_apply",
             "incremental_window_dedup",
             "ngram_containment_pairs",
+            "edit_distance_pairs",
         ]
     for name in bench_queries:
         t0 = time.time()

@@ -1143,6 +1143,22 @@ ORACLE_SQL = {
     "ngram_jaccard_exact_pairs": _EXACT_JACCARD_PAIRS_SQL,
     "ngram_containment_pairs": _EXACT_CONTAINMENT_PAIRS_SQL,
     "edit_distance_pairs": _edit_distance_pairs_sql(),
+    # min-label closure over the SAME pair SQL (the containment_clusters
+    # recursive-CTE shape; the pairs CTE nests its own WITH chain)
+    "edit_distance_clusters": f"""
+        WITH RECURSIVE pairs AS MATERIALIZED ({_edit_distance_pairs_sql()}),
+        edges AS MATERIALIZED (
+                  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+                  UNION SELECT doc_id_b, doc_id_a FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        walk(n, lab) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.u, w.lab FROM walk w JOIN edges e ON e.v = w.n
+          WHERE w.lab < e.u
+        )
+        SELECT n AS doc_id, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY n
+    """,
     # The LSH-candidate variant verifies candidates EXACTLY, so its output
     # equals the exact answer whenever LSH recall is 1.0 — which holds
     # deterministically on the driver fixture (lsh_recall_report measures

@@ -2277,6 +2277,46 @@ def edit_distance_pairs(
     )
 
 
+def edit_distance_clusters(sf_dir: str, d: int = EDIT_DISTANCE_D):
+    """Cluster assignments over the exact edit-distance pair graph —
+    the revision-chain grouping (v1 ~ v2 ~ v3 each within d edits
+    chains a whole edit history into one component even when the ends
+    are more than d apart). Same driver as the other cluster family
+    members: answer-sized edges from ``edit_distance_pairs``, min-label
+    components (driver union-find below the edge limit, groupby
+    min-label rounds above)."""
+    from hg_dedup_ray.state.cluster import (
+        distributed_min_label,
+        union_find_clusters,
+    )
+
+    edges: list[tuple[int, int, int, int]] = []
+    for b in edit_distance_pairs(sf_dir, d).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        a = b["doc_id_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_id_b"].to_numpy(zero_copy_only=False)
+        edges.extend(
+            (int(x), int(y), int(x), int(y)) for x, y in zip(a, bb)
+        )
+    resolve = (
+        union_find_clusters if len(edges) <= 1_000_000 else distributed_min_label
+    )
+    labels = resolve(edges)
+    ids = np.array(sorted(labels), dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    np.array([labels[i] for i in ids], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+
+
 DEDUP_PRESSURE_TAUS = (0.7, 0.8, 0.9)
 
 
@@ -6345,6 +6385,7 @@ QUERIES = {
     "ngram_jaccard_exact_pairs": ngram_jaccard_exact_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
     "edit_distance_pairs": edit_distance_pairs,
+    "edit_distance_clusters": edit_distance_clusters,
     "dedup_pressure_curve": dedup_pressure_curve,
     "token_counts": token_counts,
     "quality_scores": quality_scores,

@@ -128,6 +128,15 @@ def sf(tmp_path_factory):
         (14, base + " " + salad(5)),  # length filter: |delta| > d
     ]
     rows += [(15 + i, salad(20 + (i % 9))) for i in range(30)]
+    # a revision CHAIN: ends are 10 edits apart (past d) but each hop is
+    # 5 — the transitive-closure case edit_distance_clusters must join
+    c1 = list(base)
+    for k in (20, 50, 80, 110, 140):
+        c1[k] = "@"
+    c2 = list(c1)
+    for k in (30, 60, 90, 120, 150):
+        c2[k] = "%"
+    rows += [(45, "".join(c1)), (46, "".join(c2))]
     tab = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -177,6 +186,32 @@ def test_pipeline_matches_bruteforce(ray_session, sf):
     assert want[(7, 8)] == 0 and want[(9, 10)] == 1  # degenerate path
     assert want[(11, 12)] == 1  # long-but-repetitive degenerate
     assert (0, 14) not in want  # length filter
+
+
+def test_clusters_close_the_chain(ray_session, sf):
+    from hg_dedup_ray.pipelines.queries import edit_distance_clusters
+
+    # reference: union-find over the brute-force pair graph
+    pairs = _brute(sf)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    df = edit_distance_clusters(sf).to_pandas()
+    got = dict(zip(df.doc_id.astype(int), df.cluster_id.astype(int)))
+    assert got == want
+    # the chain case: ends 10 edits apart share a cluster via the middle
+    assert (0, 46) not in pairs and got[46] == got[0] == got[45]
 
 
 def test_bucketed_equals_broadcast(ray_session, sf):
