@@ -29,6 +29,12 @@ import numpy as np
 # UTF-8 input (tests/test_editdist.py pins a multi-byte case).
 BYTE_GRAM_Q = 8
 BYTE_GRAM_DESTROY = BYTE_GRAM_Q + 3
+# when a doc is PURE ASCII every codepoint it loses is one byte, so an
+# edit rewrites <= 1 of its own bytes and destroys <= q types — a
+# per-DOC bound (it holds regardless of what the partner doc is), so
+# ASCII docs index the smaller 8d+1 prefix while multibyte docs keep
+# 11d+1; the pair lemma composes the two sides' bounds independently
+ASCII_GRAM_DESTROY = BYTE_GRAM_Q
 
 
 def char_counts(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -100,35 +106,45 @@ def doc_distinct_grams(
 
 def banded_levenshtein(
     acp: np.ndarray,
-    aoff: np.ndarray,
+    a_start: np.ndarray,
+    a_len: np.ndarray,
     bcp: np.ndarray,
-    boff: np.ndarray,
+    b_start: np.ndarray,
+    b_len: np.ndarray,
     d: int,
 ) -> np.ndarray:
-    """Exact Levenshtein distances for S sequence pairs, lockstep across
-    pairs with a Ukkonen band of half-width ``d``.
+    """Exact threshold Levenshtein for S sequence pairs, lockstep across
+    pairs with a Ukkonen band of half-width ``d`` and PER-ROW DROPOUT.
 
-    acp/bcp are concatenated uint32 codepoint buffers; aoff/boff are the
-    (S+1)-element row offsets.  Returns int64 distances; any true
-    distance > d is reported as d + 1 (the band proves only ">").  All
-    per-row work is numpy over (active_pairs, 2d+1) views — the loop is
-    over DP ROWS (max sequence length), never over pairs.
+    Each side is (codepoint buffer, per-pair start, per-pair length) —
+    starts may point anywhere into a SHARED buffer, so callers pass doc
+    offsets directly and no per-pair sequence copies are ever made
+    (15M candidate pairs x ~600 codepoints would be ~70 GB of gathers).
+    Returns int64 distances; any true distance > d is reported as d+1.
+
+    Early termination is what makes this the whole verify stage: every
+    DP cell is >= the minimum of the previous row (min/+1 recurrence),
+    so once a pair's band minimum exceeds d its final distance provably
+    exceeds d — the pair is retired with d+1 after ~O(d) rows.  On a
+    web-style corpus nearly all gram-filter candidates die this way,
+    which beats a shared-gram count filter (whose cost is the FULL
+    Da+Db gather per pair) at both small and large scale.  All per-row
+    work is numpy over (live_pairs, 2d+1) arrays — the Python loop is
+    over DP ROWS, never over pairs.
 
     Band algebra: row i spans columns j = i-d .. i+d; band slot k holds
     column j = i + k - d, so diag dp[i-1][j-1] sits at slot k of the
     previous row and the deletion term dp[i-1][j] at slot k+1.  The
-    insertion (within-row) dependency dp[i][j-1]+1 is resolved without a
-    scalar loop by the prefix-min cascade: with e = base - k,
-    dp[i] = min(base, k + cummin(e)) — each +1 step along the row is one
-    unit of the (k - k') gap.  Values are capped at d+1, which is sound
-    because min/+1 recurrences never let a capped cell produce a value
-    below the cap."""
-    S = aoff.shape[0] - 1
+    insertion (within-row) dependency dp[i][j-1]+1 is resolved without
+    a scalar loop by the prefix-min cascade: with e = base - k,
+    dp[i] = min(base, k + cummin(e)).  Values cap at d+1: min/+1
+    recurrences never let a capped cell fall back below the cap."""
+    S = a_start.shape[0]
     out = np.full(S, d + 1, np.int64)
     if S == 0:
         return out
-    na = np.diff(aoff).astype(np.int64)
-    nb = np.diff(boff).astype(np.int64)
+    na = a_len.astype(np.int64)
+    nb = b_len.astype(np.int64)
     act = np.flatnonzero(np.abs(na - nb) <= d)
     if act.shape[0] == 0:
         return out
@@ -138,38 +154,25 @@ def banded_levenshtein(
     act = act[na[act] > 0]
     if act.shape[0] == 0:
         return out
-    # sort active pairs by na DESC: at DP row i the still-running pairs
-    # are a PREFIX of the sorted order, so every row works on a dense
-    # slice (no masks, no wasted lanes for short pairs)
-    order = act[np.argsort(-na[act], kind="stable")]
-    na_s, nb_s = na[order], nb[order]
-    ao_s, bo_s = aoff[order], boff[order]
+    live = act  # indices of pairs still running
+    na_l, nb_l = na[live], nb[live]
+    ao_l, bo_l = a_start[live].astype(np.int64), b_start[live].astype(np.int64)
     W = 2 * d + 1
     INF = d + 1
     karr = np.arange(W, dtype=np.int64)
-    # row 0: dp[0][j] = j for j = 0..d (slot k = j + d... row 0 slot k
-    # holds column j = k - d, so slots k < d are outside the matrix)
     prev = np.where(karr >= d, karr - d, INF).astype(np.int64)
-    prev = np.minimum(prev, INF)
-    dp = np.broadcast_to(prev, (order.shape[0], W)).copy()
-    max_na = int(na_s[0])
-    # pairs finishing at row i: na_s is descending, so they occupy a
-    # contiguous tail slice found by two searchsorteds
-    neg = -na_s
+    dp = np.broadcast_to(prev, (live.shape[0], W)).copy()
+    max_na = int(na_l.max())
     for i in range(1, max_na + 1):
-        n_act = int(np.searchsorted(neg, -i, side="right"))
-        if n_act == 0:
-            break
-        cur_dp = dp[:n_act]
-        ai = acp[ao_s[:n_act] + (i - 1)]
+        ai = acp[ao_l + (i - 1)]
         j = karr + (i - d)  # column per slot, shape (W,)
-        bidx = bo_s[:n_act, None] + (j - 1)[None, :]
-        valid_b = (j >= 1)[None, :] & (j[None, :] <= nb_s[:n_act, None])
+        bidx = bo_l[:, None] + (j - 1)[None, :]
+        valid_b = (j >= 1)[None, :] & (j[None, :] <= nb_l[:, None])
         bj = bcp[np.clip(bidx, 0, bcp.shape[0] - 1)]
         sub_cost = (ai[:, None] != bj) | ~valid_b
-        diag = cur_dp + sub_cost
+        diag = dp + sub_cost
         up = np.concatenate(
-            [cur_dp[:, 1:], np.full((n_act, 1), INF, np.int64)], axis=1
+            [dp[:, 1:], np.full((dp.shape[0], 1), INF, np.int64)], axis=1
         ) + 1
         base = np.minimum(diag, up)
         # out-of-matrix columns must not feed the cascade
@@ -178,13 +181,22 @@ def banded_levenshtein(
             base[:, d - i] = i  # boundary dp[i][0] = i deletions
         e = base - karr[None, :]
         np.minimum.accumulate(e, axis=1, out=e)
-        np.minimum(e + karr[None, :], INF, out=cur_dp)
-        # harvest pairs whose final row this is (na == i)
-        lo = int(np.searchsorted(neg, -i, side="left"))
-        if lo < n_act:
-            fin = np.arange(lo, n_act)
-            kf = nb_s[fin] - i + d  # in [0, 2d] by the band precondition
-            out[order[fin]] = dp[fin, kf]
+        dp = np.minimum(e + karr[None, :], INF)
+        # harvest finished pairs (this was their last row)
+        fin = na_l == i
+        if fin.any():
+            fi = np.flatnonzero(fin)
+            out[live[fi]] = dp[fi, nb_l[fi] - i + d]
+        # dropout: finished, or band minimum already past the threshold
+        # (every later cell is >= the current row min — retire as d+1)
+        alive = ~fin & (dp.min(axis=1) <= d)
+        if not alive.all():
+            if not alive.any():
+                break
+            dp = dp[alive]
+            live = live[alive]
+            na_l, nb_l = na_l[alive], nb_l[alive]
+            ao_l, bo_l = ao_l[alive], bo_l[alive]
     return out
 
 

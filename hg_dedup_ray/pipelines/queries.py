@@ -1823,25 +1823,38 @@ def edit_distance_pairs(
     the Ed-Join filter framework (Xiao, Wang, Lin — PVLDB 1(1), 2008)
     with the same cascade discipline as ``ngram_jaccard_exact_pairs``:
 
+    0. exact-clone collapse: one representative per distinct text runs
+       the cascade (content_hash_u64, the exact_dedup key); members are
+       re-expanded onto verified rep pairs at the end plus the
+       intra-clone ed=0 pairs. Clone families share ALL prefix grams —
+       without this their C(k,2) pairs re-generate once per gram.
     1. df pass over distinct exact-packed 8-BYTE grams (u64, the
        shingle pack) -> global df of every gram with >= 2 docs.
     2. prefix pass: each doc ranks its distinct grams by the global
-       (df, gram) order and indexes only the ``11*d + 1`` rarest that
-       are hot. Completeness: one codepoint edit rewrites <= 4 bytes,
-       destroying <= (8-1)+4 = 11 distinct gram types, so a true pair
-       shares >= max(Da, Db) - 11*d distinct grams and the classic
-       prefix lemma puts one shared gram inside BOTH 11*d+1-prefixes
-       (functions/editdist.BYTE_GRAM_DESTROY). Docs with fewer than
-       11*d+1 distinct grams (too short or too repetitive for the
-       lemma) route WHOLE into one sentinel group joined by a sorted
-       length-window sweep — all-pairs only within +-d codepoints.
-    3. candidates: all pairs within a posting run, pruned by the exact
-       length filter |n_a - n_b| <= d (codepoint lengths).
-    4. verify: the COUNT filter (shared distinct grams, recomputed
-       node-local from text, >= max(Da, Db) - 11*d — exact necessary
-       condition) kills the gram-sharing-but-far pairs, then the
-       survivors run Ukkonen's banded DP lockstep across pairs
-       (functions/editdist.banded_levenshtein) for the exact distance.
+       (df, gram) order and indexes only its rarest hot grams — the
+       ``8*d + 1`` rarest for pure-ASCII docs, ``11*d + 1`` otherwise.
+       Completeness: one codepoint edit rewrites a <= 4-byte region of
+       a doc (<= 1 byte when that doc is pure ASCII), destroying at
+       most 11 (resp. 8) of ITS distinct gram types, so a true pair
+       shares >= max(Da - cA*d, Db - cB*d) distinct grams and the
+       classic prefix lemma puts one shared gram inside both docs'
+       (c*d + 1)-prefixes (functions/editdist.BYTE_GRAM_DESTROY /
+       ASCII_GRAM_DESTROY). Docs with fewer distinct grams than their
+       prefix size (too short or too repetitive for the lemma) route
+       WHOLE into one sentinel group.
+    3. candidates: a WINDOWED sweep per posting run — rows sort by
+       (run, nch) so each row's |n_a - n_b| <= d partners are one
+       segmented searchsorted slice; length-filter survivors are the
+       only pairs ever materialized (the sentinel group is simply a
+       run with sh = 0, same code path).
+    4. verify: threshold banded DP with per-row dropout, lockstep
+       across pairs (functions/editdist.banded_levenshtein). There is
+       deliberately NO shared-gram count filter: a pair that is far
+       from the threshold exits the DP after ~O(d) rows (every cell is
+       >= the previous row's band minimum), which costs less than the
+       count filter's full Da+Db gather per pair — measured 4x
+       end-to-end on a 320k-doc web-style corpus where 15M candidates
+       cover a 4-pair answer.
 
     The verify side (candidate docs' text) is candidate-bounded, not
     corpus-bounded: below ``verify_broadcast_limit`` candidate-doc rows
@@ -1855,6 +1868,7 @@ def edit_distance_pairs(
     Distances are integers, so the oracle compare is exact with no
     rounding concerns."""
     from hg_dedup_ray.functions.editdist import (
+        ASCII_GRAM_DESTROY,
         BYTE_GRAM_DESTROY,
         banded_levenshtein,
         char_counts,
@@ -1864,8 +1878,16 @@ def edit_distance_pairs(
     from hg_dedup_ray.functions.arrow_utils import string_column_bytes
     from hg_dedup_ray.functions.pair_distinct import hot_u64_keys_counts
 
-    PREF = BYTE_GRAM_DESTROY * d + 1
+    import os as _os
+    import time as _time
+
     SENTINEL = num_buckets  # the degenerate (short/repetitive) group
+    _dbg = bool(_os.environ.get("GRAFT_DEBUG_TIMING"))
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        if _dbg:
+            print(f"[editdist] {label}: {_time.time() - _t0:.2f}s")
 
     def _doc_arrays(batch: pa.Table):
         data, offsets = string_column_bytes(batch["text"])
@@ -1874,10 +1896,105 @@ def edit_distance_pairs(
             raise ValueError("edit_distance_pairs requires 0 <= doc_id < 2^32")
         d_k, g_k, n_gram = doc_distinct_grams(data, offsets)
         nch = char_counts(data, offsets)
-        return ids, d_k, g_k, n_gram, nch
+        # per-doc prefix size: pure-ASCII docs lose <= 8 gram types per
+        # edit (their own edited region is 1 byte), multibyte docs <= 11
+        # — the two sides' bounds compose independently in the lemma
+        pref_doc = (
+            np.where(
+                nch == np.diff(offsets), ASCII_GRAM_DESTROY, BYTE_GRAM_DESTROY
+            ).astype(np.int64)
+            * d
+            + 1
+        )
+        return ids, d_k, g_k, n_gram, nch, pref_doc
+
+    # --- stage 0: EXACT-CLONE COLLAPSE. Web corpora are clone-heavy,
+    # and a clone family of k docs shares ALL prefix grams — without
+    # collapse its C(k,2) pairs are re-generated once per shared gram
+    # (measured 383M expansion rows on a 320k-doc web-style corpus, vs
+    # ~1M after collapse). The cascade runs on one representative per
+    # distinct text (min doc_id, the content_hash_u64 key exact_dedup
+    # already trusts); member pairs are re-expanded onto every verified
+    # rep pair at the end (identical text => identical distance) plus
+    # the intra-clone ed=0 pairs — answer-exact by construction.
+    fp_mat = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(
+            textstats.content_hash_u64, batch_format="pyarrow", batch_size=4096
+        )
+        .materialize()
+    )
+    hot_fp, _fpc = hot_u64_keys_counts(fp_mat, "fp")
+    mem_rep = np.empty(0, np.int64)  # rep id per clone family (sorted)
+    mem_off = np.zeros(1, np.int64)  # offsets into mem_flat per family
+    mem_flat = np.empty(0, np.int64)  # member doc_ids, family-contiguous
+    if hot_fp.shape[0]:
+
+        def _hot_fp_rows(tb: pa.Table) -> pa.Table:
+            fpv = tb["fp"].to_numpy(zero_copy_only=False)
+            H = hot_fp  # rides the per-block task closure (dup-bounded)
+            pos = np.searchsorted(H, fpv)
+            m = (pos < H.shape[0]) & (
+                H[np.minimum(pos, H.shape[0] - 1)] == fpv
+            )
+            return tb.filter(pa.array(m))
+
+        dup_tabs = [
+            t
+            for t in ray.get(
+                [
+                    _map_block.remote(_hot_fp_rows, r)
+                    for r in fp_mat.to_arrow_refs()
+                ]
+            )
+            if len(t)
+        ]
+        if dup_tabs:
+            dt = pa.concat_tables(dup_tabs)
+            dfp = dt["fp"].to_numpy(zero_copy_only=False)
+            dids = dt["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((dids, dfp))
+            dfp, dids = dfp[order], dids[order]
+            bnd = np.concatenate(([True], dfp[1:] != dfp[:-1]))
+            starts = np.flatnonzero(bnd)
+            mem_rep = dids[starts]  # min doc_id per family
+            mem_off = np.concatenate(
+                (starts, [dfp.shape[0]])
+            ).astype(np.int64)
+            mem_flat = dids
+            ro = np.argsort(mem_rep, kind="stable")
+            # re-pack family-contiguous in rep order for searchsorted
+            lens = np.diff(mem_off)[ro]
+            mem_rep = mem_rep[ro]
+            newoff = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+            flat2 = np.empty_like(mem_flat)
+            src = np.repeat(mem_off[:-1][ro], lens) + (
+                np.arange(mem_flat.shape[0])
+                - np.repeat(newoff[:-1], lens)
+            )
+            flat2 = mem_flat[src]
+            mem_off, mem_flat = newoff, flat2
+    nonrep = np.sort(
+        np.setdiff1d(mem_flat, mem_rep, assume_unique=False)
+    )
+    nonrep_ref = ray.put(nonrep)
+    _mark(f"clone-collapse ({mem_rep.shape[0]} families)")
+
+    def _rep_only(batch: pa.Table) -> pa.Table:
+        from hg_dedup_ray.stages.broadcast import get_broadcast
+
+        nr = get_broadcast(nonrep_ref)
+        if nr.shape[0] == 0:
+            return batch
+        ids0 = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nr, ids0)
+        dup = (pos < nr.shape[0]) & (
+            nr[np.minimum(pos, nr.shape[0] - 1)] == ids0
+        )
+        return batch.filter(pa.array(~dup))
 
     def gram_rows(batch: pa.Table) -> pa.Table:
-        _ids, _d, g_k, _n, _c = _doc_arrays(batch)
+        _ids, _d, g_k, _n, _c, _p = _doc_arrays(_rep_only(batch))
         return pa.table({"sh": pa.array(g_k, pa.uint64())})
 
     mat = (
@@ -1887,6 +2004,7 @@ def edit_distance_pairs(
     )
     hot, dfc = hot_u64_keys_counts(mat, "sh")
     hot_ref = ray.put((hot, dfc))
+    _mark(f"df+hot ({hot.shape[0]} hot grams)")
 
     _empty_out = pa.table(
         {
@@ -1899,11 +2017,78 @@ def edit_distance_pairs(
         {"pbucket": pa.array([], pa.int64()), "pair": pa.array([], pa.uint64())}
     )
 
+    def _postlude(res):
+        """Re-expand clone members onto the rep-level result: every
+        verified (rep_a, rep_b, e) fans out to all member cross pairs
+        (identical text => identical distance), plus the intra-clone
+        ed=0 pairs the rep-only cascade never sees. No-op when the
+        corpus has no exact clones."""
+        if mem_rep.shape[0] == 0:
+            return res
+        exp_ref = ray.put((mem_rep, mem_off, mem_flat))
+
+        def expand_members(bt: pa.Table) -> pa.Table:
+            from hg_dedup_ray.stages.broadcast import get_broadcast
+
+            R, O, F = get_broadcast(exp_ref)
+            a = bt["doc_id_a"].to_numpy(zero_copy_only=False)
+            b = bt["doc_id_b"].to_numpy(zero_copy_only=False)
+            e = bt["edit_distance"].to_numpy(zero_copy_only=False)
+            n = a.shape[0]
+            if n == 0:
+                return _empty_out
+
+            def _fam(x):
+                pos = np.searchsorted(R, x)
+                posc = np.minimum(pos, max(R.shape[0] - 1, 0))
+                hit = (pos < R.shape[0]) & (R[posc] == x)
+                k = np.where(hit, O[posc + 1] - O[posc], 1)
+                o = np.where(hit, O[posc], 0)
+                return hit, k.astype(np.int64), o.astype(np.int64)
+
+            hit_a, ka, oa = _fam(a)
+            hit_b, kb, ob = _fam(b)
+            tot = ka * kb
+            T = int(tot.sum())
+            row = np.repeat(np.arange(n), tot)
+            seg = np.cumsum(tot) - tot
+            t = np.arange(T) - seg[row]
+            ai = t // kb[row]
+            bi = t % kb[row]
+            av = np.where(hit_a[row], F[oa[row] + ai], a[row])
+            bv = np.where(hit_b[row], F[ob[row] + bi], b[row])
+            return pa.table(
+                {
+                    "doc_id_a": pa.array(np.minimum(av, bv), pa.int64()),
+                    "doc_id_b": pa.array(np.maximum(av, bv), pa.int64()),
+                    "edit_distance": pa.array(e[row], pa.int64()),
+                }
+            )
+
+        res = res.map_batches(expand_members, batch_format="pyarrow")
+        # intra-clone pairs: members are doc_id-ascending within each
+        # family, so the windowed repeat/arange emit is already (lo, hi)
+        lens = np.diff(mem_off)
+        local = np.arange(mem_flat.shape[0]) - np.repeat(mem_off[:-1], lens)
+        repv = np.repeat(lens, lens) - 1 - local
+        T = int(repv.sum())
+        a_idx = np.repeat(np.arange(mem_flat.shape[0]), repv)
+        seg = np.cumsum(repv) - repv
+        b_idx = a_idx + (np.arange(T) - seg[a_idx]) + 1
+        intra = pa.table(
+            {
+                "doc_id_a": pa.array(mem_flat[a_idx], pa.int64()),
+                "doc_id_b": pa.array(mem_flat[b_idx], pa.int64()),
+                "edit_distance": pa.array(np.zeros(T, np.int64), pa.int64()),
+            }
+        )
+        return res.union(ray.data.from_arrow(intra))
+
     def index_rows(batch: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
 
         H, DF = get_broadcast(hot_ref)
-        ids, d_k, g_k, n_gram, nch = _doc_arrays(batch)
+        ids, d_k, g_k, n_gram, nch, pref_doc = _doc_arrays(_rep_only(batch))
         nb = ids.shape[0]
         if g_k.shape[0]:
             pos = np.searchsorted(H, g_k)
@@ -1918,12 +2103,12 @@ def edit_distance_pairs(
             d_o, g_o, df_o = d_k[order], g_k[order], dfv[order]
             starts = np.searchsorted(d_o, np.arange(nb))
             rank = np.arange(d_o.shape[0]) - starts[d_o]
-            keep = (rank < PREF) & (df_o >= 2)
+            keep = (rank < pref_doc[d_o]) & (df_o >= 2)
             d_f, g_f = d_o[keep], g_o[keep]
         else:
             d_f = np.empty(0, np.int64)
             g_f = np.empty(0, np.uint64)
-        degen = np.flatnonzero(n_gram < PREF)
+        degen = np.flatnonzero(n_gram < pref_doc)
         bucket = np.concatenate(
             [
                 (g_f % np.uint64(num_buckets)).astype(np.int64),
@@ -1960,46 +2145,35 @@ def edit_distance_pairs(
         )
 
     def expand(group: pa.Table) -> pa.Table:
+        """Windowed in-run generation, one code path for gram runs AND
+        the sentinel group (whose rows all carry sh = 0, i.e. one run):
+        rows sort by (run, nch, doc_id), so each row's admissible
+        partners (|n_a - n_b| <= d with n_b >= n_a) are a contiguous
+        slice found by ONE segmented searchsorted — only length-filter
+        survivors are ever materialized, never all-pairs-then-filter.
+        Skew note: a run is one clone-collapsed posting list; after
+        stage 0 the giant runs (clone families) are gone, and the
+        sentinel group is window-bounded by construction."""
         did = group["doc_id"].to_numpy(zero_copy_only=False)
         nch_ = group["nch"].to_numpy(zero_copy_only=False)
         if did.shape[0] < 2:
             return _empty_cand
-        if int(group["bucket"][0].as_py()) == SENTINEL:
-            # degenerate group: sorted length-window sweep — each doc
-            # pairs only with docs within +-d codepoints, so the emit is
-            # window-bounded, not all-pairs (the skew note: a corpus
-            # where MOST docs are shorter than ~PREF+7 bytes would widen
-            # these windows; sub-bucket by length band if that happens)
-            o = np.lexsort((did, nch_))
-            nc_s, id_s = nch_[o], did[o]
-            hi_ix = np.searchsorted(nc_s, nc_s + d, side="right")
-            rep = hi_ix - np.arange(nc_s.shape[0]) - 1
-            tot = int(rep.sum())
-            if tot == 0:
-                return _empty_cand
-            a_idx = np.repeat(np.arange(nc_s.shape[0]), rep)
-            seg = np.cumsum(rep) - rep
-            b_idx = a_idx + (np.arange(tot) - seg[a_idx]) + 1
-            return _emit_pairs(id_s[a_idx], id_s[b_idx])
         sh = group["sh"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((did, sh))
+        order = np.lexsort((did, nch_, sh))
         sh, did, nch_ = sh[order], did[order], nch_[order]
         new = np.concatenate(([True], sh[1:] != sh[:-1]))
-        run_id = np.cumsum(new) - 1
-        run_len = np.bincount(run_id)
-        run_start = np.cumsum(run_len) - run_len
-        local = np.arange(sh.shape[0]) - run_start[run_id]
-        rep = (run_len[run_id] - 1 - local).astype(np.int64)
+        run_id = (np.cumsum(new) - 1).astype(np.int64)
+        big = np.int64(int(nch_.max()) + d + 2)
+        keys = run_id * big + nch_
+        hi_ix = np.searchsorted(keys, run_id * big + nch_ + d, side="right")
+        rep = hi_ix - np.arange(nch_.shape[0]) - 1
         tot = int(rep.sum())
         if tot == 0:
             return _empty_cand
-        a_idx = np.repeat(np.arange(sh.shape[0]), rep)
+        a_idx = np.repeat(np.arange(nch_.shape[0]), rep)
         seg = np.cumsum(rep) - rep
         b_idx = a_idx + (np.arange(tot) - seg[a_idx]) + 1
-        ok = np.abs(nch_[a_idx] - nch_[b_idx]) <= d
-        if not ok.any():
-            return _empty_cand
-        return _emit_pairs(did[a_idx[ok]], did[b_idx[ok]])
+        return _emit_pairs(did[a_idx], did[b_idx])
 
     def bucket_distinct(group: pa.Table) -> pa.Table:
         pair = np.unique(group["pair"].to_numpy(zero_copy_only=False))
@@ -2021,8 +2195,9 @@ def edit_distance_pairs(
     ]
     empty = ray.data.from_arrow(_empty_out)
     if not pchunks:
-        return empty
+        return _postlude(empty)
     allp = np.concatenate(pchunks)
+    _mark(f"candidates ({allp.shape[0]} pairs)")
     docs_needed = np.unique(
         np.concatenate(
             [allp >> np.uint64(32), allp & np.uint64(0xFFFFFFFF)]
@@ -2042,24 +2217,24 @@ def edit_distance_pairs(
         return batch.filter(pa.array(m))
 
     def _build_side(tb: pa.Table):
-        """Per-doc verify arrays from a (doc_id, text) table: sorted doc
-        ids, codepoint buffer + offsets, distinct-gram buffer + offsets,
-        codepoint and distinct-gram counts."""
+        """TEXTS-ONLY verify side from a (doc_id, text) table: sorted
+        doc ids, raw byte buffer + offsets, codepoint counts. Grams and
+        codepoints are NOT precomputed here — an early version did, and
+        at 320k candidate docs that was a 95 s single-threaded driver
+        gram pass; the verify tasks now derive both for just their own
+        batch's docs (node-local, pool-parallel)."""
         ids = tb["doc_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         tb = tb.take(pa.array(order, pa.int64()))
         ids = ids[order]
         data, offsets = string_column_bytes(tb["text"])
         nch = char_counts(data, offsets)
-        cp, cpoff = codepoints(data, offsets)
-        d_k, g_k, n_gram = doc_distinct_grams(data, offsets)
-        goff = np.concatenate(([0], np.cumsum(n_gram))).astype(np.int64)
-        return ids, cp, cpoff, g_k, goff, nch
+        return ids, data, offsets, nch
 
     def _verify_side(side, pair: np.ndarray) -> pa.Table:
         """Count filter + banded DP for one batch of candidate pairs
-        against a (broadcast or group-local) doc side."""
-        doc_u, cp, cpoff, g_k, goff, nch = side
+        against a (broadcast or group-local) texts-only doc side."""
+        doc_u, data, offsets, nch_g = side
         if pair.shape[0] == 0:
             return _empty_out
         a = (pair >> np.uint64(32)).astype(np.int64)
@@ -2077,48 +2252,26 @@ def edit_distance_pairs(
         np_ = pair.shape[0]
         if np_ == 0:
             return _empty_out
-        da, db_ = (goff[pa_ + 1] - goff[pa_]), (goff[pb_ + 1] - goff[pb_])
-        # COUNT filter: exact shared-distinct-gram count per pair via
-        # one node-local repeat + lexsort + run-length dup count (the
-        # jaccard-verify replication trick — shuffle volume is zero)
-        rep = np.concatenate([da, db_])
-        pix = np.concatenate([np.arange(np_)] * 2)
-        tot = int(rep.sum())
-        if tot:
-            mi = np.repeat(np.arange(2 * np_), rep)
-            seg = np.cumsum(rep) - rep
-            gi = (
-                np.concatenate([goff[pa_], goff[pb_]])[mi]
-                + np.arange(tot)
-                - seg[mi]
-            )
-            p_all, g_all = pix[mi], g_k[gi]
-            o3 = np.lexsort((g_all, p_all))
-            p_s, g_s = p_all[o3], g_all[o3]
-            dup = (p_s[1:] == p_s[:-1]) & (g_s[1:] == g_s[:-1])
-            shared = np.bincount(p_s[1:][dup], minlength=np_).astype(np.int64)
+        # localize: codepoints for THIS batch's unique docs only — the
+        # kernel then reads them IN PLACE via (start, len), so no
+        # per-pair sequence copies exist anywhere
+        U, inv = np.unique(np.concatenate([pa_, pb_]), return_inverse=True)
+        li_a, li_b = inv[:np_], inv[np_:]
+        lens = offsets[U + 1] - offsets[U]
+        loff = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        lt = int(loff[-1])
+        if lt:
+            mi0 = np.repeat(np.arange(U.shape[0]), lens)
+            src = offsets[U][mi0] + (np.arange(lt) - loff[mi0])
+            ldata = data[src]
         else:
-            shared = np.zeros(np_, np.int64)
-        thr = np.maximum(da, db_) - BYTE_GRAM_DESTROY * d
-        surv = shared >= thr
-        if not surv.any():
-            return _empty_out
-        pair, pa_, pb_ = pair[surv], pa_[surv], pb_[surv]
-        # banded DP on the survivors: gather each side's codepoint rows
-        # into dense buffers (the kernel wants concatenated sequences)
-        def _gather(idx):
-            ln = nch[idx]
-            off2 = np.concatenate(([0], np.cumsum(ln))).astype(np.int64)
-            t2 = int(off2[-1])
-            if t2 == 0:
-                return np.empty(0, np.uint32), off2
-            mi2 = np.repeat(np.arange(idx.shape[0]), ln)
-            src = cpoff[idx][mi2] + (np.arange(t2) - off2[mi2])
-            return cp[src], off2
-
-        acp, aoff2 = _gather(pa_)
-        bcp, boff2 = _gather(pb_)
-        ed = banded_levenshtein(acp, aoff2, bcp, boff2, d)
+            ldata = np.empty(0, np.uint8)
+        cp, cpoff = codepoints(ldata, loff)
+        nch = nch_g[U]
+        pa_, pb_ = li_a, li_b
+        ed = banded_levenshtein(
+            cp, cpoff[pa_], nch[pa_], cp, cpoff[pb_], nch[pb_], d
+        )
         okd = ed <= d
         return pa.table(
             {
@@ -2137,14 +2290,15 @@ def edit_distance_pairs(
         .map_batches(_needed_only, batch_format="pyarrow", batch_size=4096)
         .materialize()
     )
+    _mark(f"doc-fetch ({doc_rows.count()} candidate docs)")
     if doc_rows.count() <= verify_broadcast_limit:
         tabs = [t for t in ray.get(doc_rows.to_arrow_refs()) if len(t)]
         if not tabs:
-            return empty
+            return _postlude(empty)
         side = _build_side(pa.concat_tables(tabs))
         # sort pairs by the longer side's length DESC so DP batches are
         # length-homogeneous (the kernel iterates to the batch max)
-        doc_u, _cp, _cpoff, _gk, _goff, nch_s = side
+        doc_u, _data, _off, nch_s = side
         la = nch_s[np.searchsorted(doc_u, (allp >> np.uint64(32)).astype(np.int64))]
         lb = nch_s[
             np.searchsorted(doc_u, (allp & np.uint64(0xFFFFFFFF)).astype(np.int64))
@@ -2161,7 +2315,7 @@ def edit_distance_pairs(
             )
 
         n_parts = max(1, min(128, allp.shape[0] // 4096 + 1))
-        return (
+        return _postlude(
             ray.data.from_arrow(
                 pa.table({"pair": pa.array(allp, pa.uint64())})
             )
@@ -2268,7 +2422,7 @@ def edit_distance_pairs(
     docrows = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         doc_bucket_rows, batch_format="pyarrow", batch_size=4096
     )
-    return (
+    return _postlude(
         docrows.union(members)
         .groupby("dbucket")
         .map_groups(attach_text, batch_format="pyarrow")

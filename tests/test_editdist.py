@@ -27,8 +27,9 @@ def _pack(strs):
     buf = (
         np.concatenate(cps) if any(len(c) for c in cps) else np.empty(0, np.uint32)
     )
-    off = np.concatenate(([0], np.cumsum([len(c) for c in cps]))).astype(np.int64)
-    return buf, off
+    lens = np.array([len(c) for c in cps], np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1].astype(np.int64)
+    return buf, starts, lens
 
 
 def test_kernel_vs_reference_random():
@@ -55,10 +56,10 @@ def test_kernel_vs_reference_random():
                 "".join(rng.choice(al, int(rng.integers(0, 30)))),
             )
         )
-    acp, aoff = _pack([p[0] for p in pairs])
-    bcp, boff = _pack([p[1] for p in pairs])
+    acp, ast, aln = _pack([p[0] for p in pairs])
+    bcp, bst, bln = _pack([p[1] for p in pairs])
     for d in (1, 3, 8):
-        got = banded_levenshtein(acp, aoff, bcp, boff, d)
+        got = banded_levenshtein(acp, ast, aln, bcp, bst, bln, d)
         for i, (a, b) in enumerate(pairs):
             ref = reference_levenshtein(a, b)
             assert got[i] == (ref if ref <= d else d + 1), (d, a, b)
@@ -67,12 +68,12 @@ def test_kernel_vs_reference_random():
 def test_kernel_edges():
     a = ["", "", "abc", "xyzw", "same"]
     b = ["", "abc", "", "xyzw", "same"]
-    acp, aoff = _pack(a)
-    bcp, boff = _pack(b)
-    assert banded_levenshtein(acp, aoff, bcp, boff, 3).tolist() == [0, 3, 3, 0, 0]
+    acp, ast, aln = _pack(a)
+    bcp, bst, bln = _pack(b)
+    assert banded_levenshtein(acp, ast, aln, bcp, bst, bln, 3).tolist() == [0, 3, 3, 0, 0]
     # band proves only ">": |len diff| beyond d reports d+1
-    assert banded_levenshtein(acp, aoff, bcp, boff, 2).tolist() == [0, 3, 3, 0, 0]
-    assert banded_levenshtein(acp, aoff, bcp, boff, 1).tolist() == [0, 2, 2, 0, 0]
+    assert banded_levenshtein(acp, ast, aln, bcp, bst, bln, 2).tolist() == [0, 3, 3, 0, 0]
+    assert banded_levenshtein(acp, ast, aln, bcp, bst, bln, 1).tolist() == [0, 2, 2, 0, 0]
 
 
 def test_char_helpers_multibyte():
