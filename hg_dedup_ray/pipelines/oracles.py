@@ -1143,6 +1143,13 @@ ORACLE_SQL = {
     "ngram_jaccard_exact_pairs": _EXACT_JACCARD_PAIRS_SQL,
     "ngram_containment_pairs": _EXACT_CONTAINMENT_PAIRS_SQL,
     "edit_distance_pairs": _edit_distance_pairs_sql(),
+    # pairwise keep-first over the SAME pair SQL: drop = distinct
+    # doc_id_b side (pairs are canonically a < b)
+    "edit_dedup_keep_first": f"""
+        WITH pairs AS MATERIALIZED ({_edit_distance_pairs_sql()})
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT DISTINCT doc_id_b FROM pairs)
+    """,
     # min-label closure over the SAME pair SQL (the containment_clusters
     # recursive-CTE shape; the pairs CTE nests its own WITH chain)
     "edit_distance_clusters": f"""

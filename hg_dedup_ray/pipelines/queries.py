@@ -2471,6 +2471,28 @@ def edit_distance_clusters(sf_dir: str, d: int = EDIT_DISTANCE_D):
     )
 
 
+def edit_dedup_keep_first(sf_dir: str, d: int = EDIT_DISTANCE_D):
+    """Keep-first APPLY over the edit-distance pair graph: drop every
+    doc with at least one SMALLER-id partner within d edits (the
+    pairwise keep-first rule — the same rule ``dedup_pressure_curve``
+    publishes for Jaccard, deliberately NOT the transitive-cluster
+    rule: v3 of a revision chain survives when it is more than d edits
+    from the kept v1). The drop set is the doc_id_b side of the
+    answer-sized pair set; survivors stream through the house
+    sorted-drop-set filter — the corpus never collects anywhere."""
+    from hg_dedup_ray.pipelines.corpus_ops import _drop_filter_stream
+
+    chunks = [np.empty(0, np.int64)]
+    for b in edit_distance_pairs(sf_dir, d).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        chunks.append(b["doc_id_b"].to_numpy(zero_copy_only=False))
+    drop = np.unique(np.concatenate(chunks))
+    return _drop_filter_stream(
+        sf_dir, drop, ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 DEDUP_PRESSURE_TAUS = (0.7, 0.8, 0.9)
 
 
@@ -6540,6 +6562,7 @@ QUERIES = {
     "ngram_containment_pairs": ngram_containment_pairs,
     "edit_distance_pairs": edit_distance_pairs,
     "edit_distance_clusters": edit_distance_clusters,
+    "edit_dedup_keep_first": edit_dedup_keep_first,
     "dedup_pressure_curve": dedup_pressure_curve,
     "token_counts": token_counts,
     "quality_scores": quality_scores,

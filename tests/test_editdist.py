@@ -142,6 +142,9 @@ def sf(tmp_path_factory):
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
             "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([f"s{r[0] % 3}" for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
         }
     )
     d = tmp_path_factory.mktemp("editdist")
@@ -213,6 +216,20 @@ def test_clusters_close_the_chain(ray_session, sf):
     assert got == want
     # the chain case: ends 10 edits apart share a cluster via the middle
     assert (0, 46) not in pairs and got[46] == got[0] == got[45]
+
+
+def test_keep_first_apply(ray_session, sf):
+    from hg_dedup_ray.pipelines.queries import edit_dedup_keep_first
+
+    pairs = _brute(sf)
+    drop = {b for _, b in pairs}
+    t = pq.read_table(f"{sf}/documents.parquet")
+    want = sorted(set(t["doc_id"].to_pylist()) - drop)
+    df = edit_dedup_keep_first(sf).to_pandas()
+    assert sorted(df.doc_id.astype(int)) == want
+    kept = set(df.doc_id.astype(int))
+    # the chain: 45 drops via partner 0, 46 via partner 45, 0 is first
+    assert 0 in kept and 45 not in kept and 46 not in kept
 
 
 def test_bucketed_equals_broadcast(ray_session, sf):
