@@ -1813,6 +1813,7 @@ def edit_distance_pairs(
     d: int = EDIT_DISTANCE_D,
     num_buckets: int = 64,
     verify_broadcast_limit: int = 2_000_000,
+    pair_collect_limit: int = 32_000_000,
 ):
     """EXACT edit-distance similarity join, DuckDB-green: all pairs with
     codepoint-level Levenshtein distance <= d — the near-dup family
@@ -2188,20 +2189,30 @@ def edit_distance_pairs(
         .map_groups(bucket_distinct, batch_format="pyarrow")
         .materialize()
     )
-    pchunks = [
-        t["pair"].to_numpy(zero_copy_only=False)
-        for t in ray.get(cand.to_arrow_refs())
-        if len(t)
-    ]
+    cand_n = cand.count()
     empty = ray.data.from_arrow(_empty_out)
-    if not pchunks:
+    if cand_n == 0:
         return _postlude(empty)
-    allp = np.concatenate(pchunks)
-    _mark(f"candidates ({allp.shape[0]} pairs)")
+    _mark(f"candidates ({cand_n} pairs)")
+
+    # candidate DOC ids via per-block uniques — 8 B per candidate doc
+    # on the driver (corpus-bounded), never the pair set itself: the
+    # pair set grows superlinearly on boilerplate-heavy corpora
+    # (measured 4.1M at 320k docs -> 35M at 1M docs, ~n^1.9) and only
+    # the broadcast path below ever materializes it driver-side
+    def _doc_ids_of(tb: pa.Table):
+        p = tb["pair"].to_numpy(zero_copy_only=False)
+        return np.unique(
+            np.concatenate(
+                [p >> np.uint64(32), p & np.uint64(0xFFFFFFFF)]
+            ).astype(np.int64)
+        )
+
+    idchunks = ray.get(
+        [_map_block.remote(_doc_ids_of, r) for r in cand.to_arrow_refs()]
+    )
     docs_needed = np.unique(
-        np.concatenate(
-            [allp >> np.uint64(32), allp & np.uint64(0xFFFFFFFF)]
-        ).astype(np.int64)
+        np.concatenate(idchunks or [np.empty(0, np.int64)])
     )
     docs_ref = ray.put(docs_needed)
 
@@ -2291,7 +2302,16 @@ def edit_distance_pairs(
         .materialize()
     )
     _mark(f"doc-fetch ({doc_rows.count()} candidate docs)")
-    if doc_rows.count() <= verify_broadcast_limit:
+    if (
+        doc_rows.count() <= verify_broadcast_limit
+        and cand_n <= pair_collect_limit
+    ):
+        pchunks = [
+            t["pair"].to_numpy(zero_copy_only=False)
+            for t in ray.get(cand.to_arrow_refs())
+            if len(t)
+        ]
+        allp = np.concatenate(pchunks)
         tabs = [t for t in ray.get(doc_rows.to_arrow_refs()) if len(t)]
         if not tabs:
             return _postlude(empty)
@@ -2325,12 +2345,11 @@ def edit_distance_pairs(
             )
         )
 
-    # --- above-limit path: bucketed two-hop join, texts never on the
-    # driver (the LSH-verify attach_text shape; one text row ships per
-    # pair membership)
-    pairs_ds = ray.data.from_arrow(
-        pa.table({"pair": pa.array(allp, pa.uint64())})
-    )
+    # --- above-limit path: bucketed two-hop join. Neither the texts
+    # NOR the candidate pairs ever touch the driver — `cand` streams
+    # straight from the object store into the member-row emit (the
+    # LSH-verify attach_text shape; one text row ships per membership)
+    pairs_ds = cand
 
     def to_member_rows(bt: pa.Table) -> pa.Table:
         pr = bt["pair"].to_numpy(zero_copy_only=False)

@@ -233,7 +233,10 @@ def test_keep_first_apply(ray_session, sf):
 
 
 def test_bucketed_equals_broadcast(ray_session, sf):
-    assert _run(sf, verify_broadcast_limit=1) == _run(sf)
+    want = _run(sf)
+    # either gate alone must flip to the no-driver-collect path
+    assert _run(sf, verify_broadcast_limit=1) == want
+    assert _run(sf, pair_collect_limit=1) == want
 
 
 def test_oracle_green_small_sf(ray_session):
