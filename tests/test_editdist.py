@@ -138,6 +138,9 @@ def sf(tmp_path_factory):
     for k in (30, 60, 90, 120, 150):
         c2[k] = "%"
     rows += [(45, "".join(c1)), (46, "".join(c2))]
+    # third clone of base: a 3-member family exercises the postlude's
+    # intra-clone emit AND the member cross-expansion onto rep pairs
+    rows += [(47, base)]
     tab = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -184,6 +187,8 @@ def test_pipeline_matches_bruteforce(ray_session, sf):
     assert got == want
     # the fixture really exercises each branch
     assert (0, 4) in want and want[(0, 4)] == 0  # clone
+    assert want[(0, 47)] == 0 and want[(4, 47)] == 0  # 3-member family
+    assert want[(1, 47)] == want[(0, 1)]  # member inherits rep's pair
     assert want[(0, 1)] == 1 and want[(0, 2)] == 5  # gram path edits
     assert (0, 3) not in want  # 9 edits: past d
     assert want[(5, 6)] == 2  # multibyte
