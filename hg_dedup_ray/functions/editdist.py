@@ -154,6 +154,12 @@ def banded_levenshtein(
     act = act[na[act] > 0]
     if act.shape[0] == 0:
         return out
+    if bcp.shape[0] == 0:
+        # every remaining pair has na > 0 against an empty b buffer
+        # (so nb == 0 and na <= d by the band precondition) — answer
+        # is na; the gather below cannot index an empty array
+        out[act] = na[act]
+        return out
     live = act  # indices of pairs still running
     na_l, nb_l = na[live], nb[live]
     ao_l, bo_l = a_start[live].astype(np.int64), b_start[live].astype(np.int64)

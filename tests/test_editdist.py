@@ -76,6 +76,16 @@ def test_kernel_edges():
     assert banded_levenshtein(acp, ast, aln, bcp, bst, bln, 1).tolist() == [0, 2, 2, 0, 0]
 
 
+def test_kernel_empty_side_buffers():
+    # whole b-side buffer empty while a is not (and vice versa)
+    acp, ast, aln = _pack(["ab", "xyz", ""])
+    bcp, bst, bln = _pack(["", "", ""])
+    assert banded_levenshtein(acp, ast, aln, bcp, bst, bln, 3).tolist() == [2, 3, 0]
+    assert banded_levenshtein(bcp, bst, bln, acp, ast, aln, 3).tolist() == [2, 3, 0]
+    # at d=2 the 'xyz' pair is outside the band (|3-0| > 2): d+1 marker
+    assert banded_levenshtein(acp, ast, aln, bcp, bst, bln, 2).tolist() == [2, 3, 0]
+
+
 def test_char_helpers_multibyte():
     s = ["héllo", "日本語テスト🌍", "", "x"]
     data = np.frombuffer("".join(s).encode("utf-8"), np.uint8)
