@@ -206,6 +206,59 @@ def banded_levenshtein(
     return out
 
 
+def chunked_hamming(
+    cp: np.ndarray,
+    a_start: np.ndarray,
+    b_start: np.ndarray,
+    n: np.ndarray,
+    k: int,
+    chunk: int = 64,
+) -> np.ndarray:
+    """Exact threshold Hamming distances for S EQUAL-LENGTH codepoint
+    pairs, lockstep across pairs with per-chunk dropout: positions are
+    compared ``chunk`` at a time; a pair retires with k+1 the moment
+    its mismatch count passes k (mismatches only accumulate, so the
+    early exit is exact). Both sides read the shared buffer in place
+    via starts — no per-pair copies (the banded_levenshtein rule)."""
+    S = a_start.shape[0]
+    out = np.full(S, k + 1, np.int64)
+    if S == 0:
+        return out
+    live = np.arange(S)
+    al = a_start[live].astype(np.int64)
+    bl = b_start[live].astype(np.int64)
+    nl = n[live].astype(np.int64)
+    acc = np.zeros(S, np.int64)
+    top = max(int(nl.max()), 0)
+    carr = np.arange(chunk, dtype=np.int64)
+    for c0 in range(0, top, chunk):
+        still = nl > c0
+        fin = live[~still]
+        out[fin] = acc[~still]  # exhausted all positions: final count
+        live, al, bl, nl, acc = (
+            live[still], al[still], bl[still], nl[still], acc[still]
+        )
+        if live.shape[0] == 0:
+            return out
+        idx = c0 + carr
+        valid = idx[None, :] < nl[:, None]
+        hi = max(cp.shape[0] - 1, 0)
+        av = cp[np.clip(al[:, None] + idx, 0, hi)] if cp.shape[0] else None
+        if av is None:
+            break  # only n == 0 rows can exist; handled at loop entry
+        bv = cp[np.clip(bl[:, None] + idx, 0, hi)]
+        acc = acc + ((av != bv) & valid).sum(axis=1)
+        ok = acc <= k
+        if not ok.all():
+            live, al, bl, nl, acc = (
+                live[ok], al[ok], bl[ok], nl[ok], acc[ok]
+            )
+            if live.shape[0] == 0:
+                return out
+    out[live] = acc
+    return out
+
+
 def reference_levenshtein(a: str, b: str) -> int:
     """Plain O(n*m) two-row DP — the independent test oracle for the
     banded kernel (tests only; never on the data path)."""

@@ -1143,6 +1143,34 @@ ORACLE_SQL = {
     "ngram_jaccard_exact_pairs": _EXACT_JACCARD_PAIRS_SQL,
     "ngram_containment_pairs": _EXACT_CONTAINMENT_PAIRS_SQL,
     "edit_distance_pairs": _edit_distance_pairs_sql(),
+    # Hamming join: no filter theory needed — the equal-CHAR-length
+    # join is tiny at fixture scale. DuckDB's hamming() is BYTE-based
+    # (it errors on byte-unequal strings even at equal char length),
+    # so the codepoint distance is a per-position substr mismatch
+    # count instead; empty-doc pairs join separately (no positions)
+    "hamming_distance_pairs": """
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        mx AS (SELECT coalesce(max(n), 0) AS m FROM d),
+        cand AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb,
+                 a.text AS ta, b.text AS tb, a.n AS n
+          FROM d a JOIN d b ON a.n = b.n AND a.doc_id < b.doc_id
+          WHERE a.n > 0
+        ),
+        hd AS (
+          SELECT ida, idb,
+                 count(*) FILTER (
+                   WHERE substr(ta, i::INT, 1) <> substr(tb, i::INT, 1)
+                 ) AS hd
+          FROM cand, (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) AS i) s
+          WHERE i <= n GROUP BY ida, idb
+        )
+        SELECT ida AS doc_id_a, idb AS doc_id_b, hd::BIGINT AS hamming_distance
+        FROM hd WHERE hd <= 64
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, 0::BIGINT
+        FROM d a JOIN d b ON a.n = 0 AND b.n = 0 AND a.doc_id < b.doc_id
+    """,
     # pairwise keep-first over the SAME pair SQL: drop = distinct
     # doc_id_b side (pairs are canonically a < b)
     "edit_dedup_keep_first": f"""

@@ -1814,6 +1814,7 @@ def edit_distance_pairs(
     num_buckets: int = 64,
     verify_broadcast_limit: int = 2_000_000,
     pair_collect_limit: int = 32_000_000,
+    metric: str = "levenshtein",
 ):
     """EXACT edit-distance similarity join, DuckDB-green: all pairs with
     codepoint-level Levenshtein distance <= d — the near-dup family
@@ -1867,12 +1868,30 @@ def edit_distance_pairs(
 
     Output: (doc_id_a, doc_id_b, edit_distance), a < b, distance <= d.
     Distances are integers, so the oracle compare is exact with no
-    rounding concerns."""
+    rounding concerns.
+
+    ``metric="hamming"`` swaps the candidate generator and the verify
+    kernel but keeps the whole skeleton (the jaccard/containment shared
+    -cascade pattern): pairs within d SUBSTITUTIONS — necessarily the
+    same codepoint length. Candidates come from the classic position-
+    partition pigeonhole (Hamming cousin of Pass-Join's segments):
+    each doc splits its codepoints into d+1 near-equal POSITION blocks
+    (layout is a pure function of the length, so equal-length docs
+    share it); <= d mismatches over d+1 disjoint blocks leave >= 1
+    block IDENTICAL at the identical span, so indexing (length, block
+    index, block content hash) finds every true pair — hash collisions
+    only add candidates, killed by the exact verify. Docs shorter than
+    d+1 codepoints route to the sentinel (every equal-length pair of
+    theirs is trivially within d). The run sweep uses window 0 (equal
+    lengths), and verify is functions/editdist.chunked_hamming —
+    mismatches only accumulate, so dropout is per position-chunk.
+    Output column: hamming_distance."""
     from hg_dedup_ray.functions.editdist import (
         ASCII_GRAM_DESTROY,
         BYTE_GRAM_DESTROY,
         banded_levenshtein,
         char_counts,
+        chunked_hamming,
         codepoints,
         doc_distinct_grams,
     )
@@ -1882,6 +1901,11 @@ def edit_distance_pairs(
     import os as _os
     import time as _time
 
+    if metric not in ("levenshtein", "hamming"):
+        raise ValueError(f"unknown metric {metric!r}")
+    is_ham = metric == "hamming"
+    val_col = "hamming_distance" if is_ham else "edit_distance"
+    d_win = 0 if is_ham else d  # run-sweep length window
     SENTINEL = num_buckets  # the degenerate (short/repetitive) group
     _dbg = bool(_os.environ.get("GRAFT_DEBUG_TIMING"))
     _t0 = _time.time()
@@ -1994,24 +2018,28 @@ def edit_distance_pairs(
         )
         return batch.filter(pa.array(~dup))
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        _ids, _d, g_k, _n, _c, _p = _doc_arrays(_rep_only(batch))
-        return pa.table({"sh": pa.array(g_k, pa.uint64())})
+    if not is_ham:
 
-    mat = (
-        _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(gram_rows, batch_format="pyarrow", batch_size=4096)
-        .materialize()
-    )
-    hot, dfc = hot_u64_keys_counts(mat, "sh")
-    hot_ref = ray.put((hot, dfc))
-    _mark(f"df+hot ({hot.shape[0]} hot grams)")
+        def gram_rows(batch: pa.Table) -> pa.Table:
+            _ids, _d, g_k, _n, _c, _p = _doc_arrays(_rep_only(batch))
+            return pa.table({"sh": pa.array(g_k, pa.uint64())})
+
+        mat = (
+            _docs(sf_dir, columns=["doc_id", "text"])
+            .map_batches(gram_rows, batch_format="pyarrow", batch_size=4096)
+            .materialize()
+        )
+        hot, dfc = hot_u64_keys_counts(mat, "sh")
+        hot_ref = ray.put((hot, dfc))
+        _mark(f"df+hot ({hot.shape[0]} hot grams)")
+    else:
+        hot_ref = None  # hamming candidates need no gram statistics
 
     _empty_out = pa.table(
         {
             "doc_id_a": pa.array([], pa.int64()),
             "doc_id_b": pa.array([], pa.int64()),
-            "edit_distance": pa.array([], pa.int64()),
+            val_col: pa.array([], pa.int64()),
         }
     )
     _empty_cand = pa.table(
@@ -2034,7 +2062,7 @@ def edit_distance_pairs(
             R, O, F = get_broadcast(exp_ref)
             a = bt["doc_id_a"].to_numpy(zero_copy_only=False)
             b = bt["doc_id_b"].to_numpy(zero_copy_only=False)
-            e = bt["edit_distance"].to_numpy(zero_copy_only=False)
+            e = bt[val_col].to_numpy(zero_copy_only=False)
             n = a.shape[0]
             if n == 0:
                 return _empty_out
@@ -2062,7 +2090,7 @@ def edit_distance_pairs(
                 {
                     "doc_id_a": pa.array(np.minimum(av, bv), pa.int64()),
                     "doc_id_b": pa.array(np.maximum(av, bv), pa.int64()),
-                    "edit_distance": pa.array(e[row], pa.int64()),
+                    val_col: pa.array(e[row], pa.int64()),
                 }
             )
 
@@ -2080,10 +2108,82 @@ def edit_distance_pairs(
             {
                 "doc_id_a": pa.array(mem_flat[a_idx], pa.int64()),
                 "doc_id_b": pa.array(mem_flat[b_idx], pa.int64()),
-                "edit_distance": pa.array(np.zeros(T, np.int64), pa.int64()),
+                val_col: pa.array(np.zeros(T, np.int64), pa.int64()),
             }
         )
         return res.union(ray.data.from_arrow(intra))
+
+    def ham_index_rows(batch: pa.Table) -> pa.Table:
+        """(length, block index, block content hash) postings + the
+        short-doc sentinel — the position-partition pigeonhole."""
+        batch = _rep_only(batch)
+        data, offsets = string_column_bytes(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 32):
+            raise ValueError("requires 0 <= doc_id < 2^32")
+        nch = char_counts(data, offsets)
+        cp, cpoff = codepoints(data, offsets)
+        k1 = d + 1
+        longm = nch > d  # short docs: every equal-length pair is <= d
+        li = np.flatnonzero(longm)
+        keys_out, doc_out, nch_out = [], [], []
+        if li.shape[0]:
+            nl = nch[li]
+            base = cpoff[:-1][li]
+            P1 = np.uint64(0x9E3779B97F4A7C15)
+            P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+            hi_cp = max(cp.shape[0] - 1, 0)
+            for i in range(k1):
+                s_i = base + (i * nl) // k1
+                e_i = base + ((i + 1) * nl) // k1
+                ln = e_i - s_i
+                h = np.zeros(li.shape[0], np.uint64)
+                for j in range(int(ln.max()) if ln.shape[0] else 0):
+                    m = j < ln
+                    cj = cp[np.clip(s_i + j, 0, hi_cp)].astype(np.uint64)
+                    h[m] = h[m] * P1 + cj[m] + np.uint64(1)
+                i_mix = np.uint64((i * 0xFF51AFD7ED558CCD) % (1 << 64))
+                key = h * P1 ^ nl.astype(np.uint64) * P2 ^ i_mix
+                keys_out.append(key)
+                doc_out.append(ids[li])
+                nch_out.append(nl)
+        degen = np.flatnonzero(~longm)
+        bucket = np.concatenate(
+            [
+                (np.concatenate(keys_out) % np.uint64(num_buckets)).astype(
+                    np.int64
+                )
+                if keys_out
+                else np.empty(0, np.int64),
+                np.full(degen.shape[0], SENTINEL, np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "sh": pa.array(
+                    np.concatenate(
+                        (keys_out or [np.empty(0, np.uint64)])
+                        + [np.zeros(degen.shape[0], np.uint64)]
+                    ),
+                    pa.uint64(),
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(
+                        (doc_out or [np.empty(0, np.int64)])
+                        + [ids[degen]]
+                    ),
+                    pa.int64(),
+                ),
+                "nch": pa.array(
+                    np.concatenate(
+                        (nch_out or [np.empty(0, np.int64)])
+                        + [nch[degen]]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
 
     def index_rows(batch: pa.Table) -> pa.Table:
         from hg_dedup_ray.stages.broadcast import get_broadcast
@@ -2166,7 +2266,9 @@ def edit_distance_pairs(
         run_id = (np.cumsum(new) - 1).astype(np.int64)
         big = np.int64(int(nch_.max()) + d + 2)
         keys = run_id * big + nch_
-        hi_ix = np.searchsorted(keys, run_id * big + nch_ + d, side="right")
+        hi_ix = np.searchsorted(
+            keys, run_id * big + nch_ + d_win, side="right"
+        )
         rep = hi_ix - np.arange(nch_.shape[0]) - 1
         tot = int(rep.sum())
         if tot == 0:
@@ -2182,7 +2284,11 @@ def edit_distance_pairs(
 
     cand = (
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(index_rows, batch_format="pyarrow", batch_size=4096)
+        .map_batches(
+            ham_index_rows if is_ham else index_rows,
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
         .groupby("bucket")
         .map_groups(expand, batch_format="pyarrow")
         .groupby("pbucket")
@@ -2280,9 +2386,18 @@ def edit_distance_pairs(
         cp, cpoff = codepoints(ldata, loff)
         nch = nch_g[U]
         pa_, pb_ = li_a, li_b
-        ed = banded_levenshtein(
-            cp, cpoff[pa_], nch[pa_], cp, cpoff[pb_], nch[pb_], d
-        )
+        if is_ham:
+            # key collisions could pair unequal lengths: enforce here
+            ed = np.full(np_, d + 1, np.int64)
+            eq = nch[pa_] == nch[pb_]
+            if eq.any():
+                ed[eq] = chunked_hamming(
+                    cp, cpoff[pa_[eq]], cpoff[pb_[eq]], nch[pa_[eq]], d
+                )
+        else:
+            ed = banded_levenshtein(
+                cp, cpoff[pa_], nch[pa_], cp, cpoff[pb_], nch[pb_], d
+            )
         okd = ed <= d
         return pa.table(
             {
@@ -2292,7 +2407,7 @@ def edit_distance_pairs(
                 "doc_id_b": pa.array(
                     (pair[okd] & np.uint64(0xFFFFFFFF)).astype(np.int64)
                 ),
-                "edit_distance": pa.array(ed[okd], pa.int64()),
+                val_col: pa.array(ed[okd], pa.int64()),
             }
         )
 
@@ -2488,6 +2603,23 @@ def edit_distance_clusters(sf_dir: str, d: int = EDIT_DISTANCE_D):
             }
         )
     )
+
+
+HAMMING_K = 64
+
+
+def hamming_distance_pairs(sf_dir: str, k: int = HAMMING_K):
+    """EXACT Hamming similarity join, DuckDB-green: all equal-length
+    pairs within k codepoint SUBSTITUTIONS — the fixed-layout near-dup
+    class (form letters, templated records, bit-rotted mirrors) where
+    alignment never shifts, caught without any gram statistics via the
+    position-partition pigeonhole. Shares the whole edit-distance
+    cascade skeleton (clone collapse, run sweep, broadcast/bucketed
+    verify, member re-expansion); see ``edit_distance_pairs``
+    (metric="hamming") for the candidate and verify details. Default
+    k=64 sits inside the fixtures' substitution-family band (answers
+    15 / 11 / 752 at the three SFs)."""
+    return edit_distance_pairs(sf_dir, d=k, metric="hamming")
 
 
 def edit_dedup_keep_first(sf_dir: str, d: int = EDIT_DISTANCE_D):
@@ -6582,6 +6714,7 @@ QUERIES = {
     "edit_distance_pairs": edit_distance_pairs,
     "edit_distance_clusters": edit_distance_clusters,
     "edit_dedup_keep_first": edit_dedup_keep_first,
+    "hamming_distance_pairs": hamming_distance_pairs,
     "dedup_pressure_curve": dedup_pressure_curve,
     "token_counts": token_counts,
     "quality_scores": quality_scores,

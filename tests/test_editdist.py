@@ -86,6 +86,74 @@ def test_kernel_empty_side_buffers():
     assert banded_levenshtein(acp, ast, aln, bcp, bst, bln, 2).tolist() == [2, 3, 0]
 
 
+def test_chunked_hamming_kernel():
+    from hg_dedup_ray.functions.editdist import chunked_hamming
+
+    rng = np.random.default_rng(11)
+    al = list("abcd日🌍")
+    pairs = []
+    for _ in range(200):
+        n = int(rng.integers(0, 200))
+        a = "".join(rng.choice(al, n))
+        b = list(a)
+        for _ in range(int(rng.integers(0, 12))):
+            if b:
+                b[int(rng.integers(0, len(b)))] = str(rng.choice(al))
+        pairs.append((a, "".join(b)))
+    # the kernel reads BOTH sides from one shared buffer via starts
+    acp, ast, aln = _pack([p[0] for p in pairs])
+    bcp, bst, _bln = _pack([p[1] for p in pairs])
+    cp = np.concatenate([acp, bcp])
+    bst = bst + len(acp)
+    for k in (0, 3, 8, 64):
+        got = chunked_hamming(cp, ast, bst, aln, k)
+        for i, (a, b) in enumerate(pairs):
+            hd = sum(x != y for x, y in zip(a, b))
+            assert got[i] == (hd if hd <= k else k + 1), (k, a, b)
+
+
+def _brute_hamming(sf_dir, k):
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if len(texts[i]) != len(texts[j]):
+                continue
+            hd = sum(x != y for x, y in zip(texts[i], texts[j]))
+            if hd <= k:
+                a, b = sorted((ids[i], ids[j]))
+                out[(a, b)] = hd
+    return out
+
+
+def test_hamming_pipeline_matches_bruteforce(ray_session, sf):
+    from hg_dedup_ray.pipelines.queries import edit_distance_pairs
+
+    for k in (8, 64):
+        df = edit_distance_pairs(sf, d=k, metric="hamming").to_pandas()
+        got = {
+            (int(r.doc_id_a), int(r.doc_id_b)): int(r.hamming_distance)
+            for r in df.itertuples()
+        }
+        want = _brute_hamming(sf, k)
+        assert got == want, k
+    # the fixture hits each branch: clones (0), substitutions (1 and
+    # 2), multibyte (2), empty-doc sentinel (0), chain hops (5)
+    want8 = _brute_hamming(sf, 8)
+    assert want8[(0, 4)] == 0 and want8[(0, 1)] == 1
+    assert want8[(5, 6)] == 2 and want8[(7, 8)] == 0
+    assert want8[(0, 45)] == 5 and (0, 2) not in want8  # insertions shift
+
+
+def test_hamming_oracle_green_small_sf(ray_session):
+    from hg_dedup_ray.tools.oracle_check import check_query
+
+    r = check_query("hamming_distance_pairs", SF0001)
+    assert r["status"] == "ok", r
+
+
 def test_char_helpers_multibyte():
     s = ["héllo", "日本語テスト🌍", "", "x"]
     data = np.frombuffer("".join(s).encode("utf-8"), np.uint8)

@@ -30,6 +30,7 @@ AFFECTED = [
     "ngram_jaccard_exact_pairs",
     "ngram_containment_pairs",
     "edit_distance_pairs",
+    "hamming_distance_pairs",
     "ngram_jaccard_pairs",
     "jaccard_dup_clusters",
     "containment_clusters",
