@@ -2045,6 +2045,7 @@ def edit_distance_pairs(
     _empty_cand = pa.table(
         {"pbucket": pa.array([], pa.int64()), "pair": pa.array([], pa.uint64())}
     )
+    _empty_cand_pairs = pa.table({"pair": pa.array([], pa.uint64())})
 
     def _postlude(res):
         """Re-expand clone members onto the rep-level result: every
@@ -2307,6 +2308,8 @@ def edit_distance_pairs(
     # (measured 4.1M at 320k docs -> 35M at 1M docs, ~n^1.9) and only
     # the broadcast path below ever materializes it driver-side
     def _doc_ids_of(tb: pa.Table):
+        if len(tb) == 0:  # groupby can emit schema-less empty blocks
+            return np.empty(0, np.int64)
         p = tb["pair"].to_numpy(zero_copy_only=False)
         return np.unique(
             np.concatenate(
@@ -2467,6 +2470,8 @@ def edit_distance_pairs(
     pairs_ds = cand
 
     def to_member_rows(bt: pa.Table) -> pa.Table:
+        if len(bt) == 0:  # schema-less empty block (see _doc_ids_of)
+            bt = _empty_cand_pairs
         pr = bt["pair"].to_numpy(zero_copy_only=False)
         a = (pr >> np.uint64(32)).astype(np.int64)
         b = (pr & np.uint64(0xFFFFFFFF)).astype(np.int64)
