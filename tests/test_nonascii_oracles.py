@@ -30,6 +30,8 @@ AFFECTED = [
     "ngram_jaccard_exact_pairs",
     "ngram_containment_pairs",
     "edit_distance_pairs",
+    "edit_distance_clusters",
+    "edit_dedup_keep_first",
     "hamming_distance_pairs",
     "ngram_jaccard_pairs",
     "jaccard_dup_clusters",
