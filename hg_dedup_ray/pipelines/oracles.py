@@ -1171,6 +1171,19 @@ ORACLE_SQL = {
         SELECT a.doc_id, b.doc_id, 0::BIGINT
         FROM d a JOIN d b ON a.n = 0 AND b.n = 0 AND a.doc_id < b.doc_id
     """,
+    # threshold-tuning curve over the SAME pair SQL — the ds literals
+    # are queries.EDIT_PRESSURE_DS and max(ds) == EDIT_DISTANCE_D, so
+    # one pairs CTE serves every bin
+    "edit_distance_pressure": f"""
+        WITH pairs AS MATERIALIZED ({_edit_distance_pairs_sql()}),
+        ds(dv) AS (VALUES (0), (4), (8))
+        SELECT dv::BIGINT AS d,
+               (SELECT count(*) FROM pairs
+                WHERE edit_distance <= dv)::BIGINT AS n_pairs,
+               (SELECT count(DISTINCT doc_id_b) FROM pairs
+                WHERE edit_distance <= dv)::BIGINT AS n_dropped_docs
+        FROM ds ORDER BY dv
+    """,
     # pairwise keep-first over the SAME pair SQL: drop = distinct
     # doc_id_b side (pairs are canonically a < b)
     "edit_dedup_keep_first": f"""

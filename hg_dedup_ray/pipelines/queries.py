@@ -2610,6 +2610,35 @@ def edit_distance_clusters(sf_dir: str, d: int = EDIT_DISTANCE_D):
     )
 
 
+EDIT_PRESSURE_DS = (0, 4, 8)
+
+
+def edit_distance_pressure(sf_dir: str, ds=EDIT_PRESSURE_DS):
+    """The threshold-tuning report for the edit-distance family (the
+    ``dedup_pressure_curve`` pattern): per candidate threshold d, how
+    many pairs exist and how many docs a pairwise keep-first pass
+    would drop. ONE cascade at d_max = max(ds) computes every pair
+    WITH its exact integer distance; binning is driver-side numpy over
+    the answer-bounded pair set — integers, so the oracle compare has
+    no rounding surface at all."""
+    rows = edit_distance_pairs(sf_dir, max(ds)).take_all()
+    b = np.array([r["doc_id_b"] for r in rows], np.int64)
+    e = np.array([r["edit_distance"] for r in rows], np.int64)
+    dv = sorted(ds)
+    n_pairs, n_dropped = [], []
+    for t in dv:
+        m = e <= t
+        n_pairs.append(int(m.sum()))
+        n_dropped.append(int(np.unique(b[m]).shape[0]))
+    return pa.table(
+        {
+            "d": pa.array(dv, pa.int64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+            "n_dropped_docs": pa.array(n_dropped, pa.int64()),
+        }
+    )
+
+
 HAMMING_K = 64
 
 
@@ -6720,6 +6749,7 @@ QUERIES = {
     "edit_distance_clusters": edit_distance_clusters,
     "edit_dedup_keep_first": edit_dedup_keep_first,
     "hamming_distance_pairs": hamming_distance_pairs,
+    "edit_distance_pressure": edit_distance_pressure,
     "dedup_pressure_curve": dedup_pressure_curve,
     "token_counts": token_counts,
     "quality_scores": quality_scores,

@@ -301,6 +301,17 @@ def test_clusters_close_the_chain(ray_session, sf):
     assert (0, 46) not in pairs and got[46] == got[0] == got[45]
 
 
+def test_pressure_curve(ray_session, sf):
+    from hg_dedup_ray.pipelines.queries import edit_distance_pressure
+
+    pairs = _brute(sf)
+    df = edit_distance_pressure(sf).to_pandas().set_index("d")
+    for t in (0, 4, 8):
+        within = {(a, b): e for (a, b), e in pairs.items() if e <= t}
+        assert df.loc[t, "n_pairs"] == len(within)
+        assert df.loc[t, "n_dropped_docs"] == len({b for _, b in within})
+
+
 def test_keep_first_apply(ray_session, sf):
     from hg_dedup_ray.pipelines.queries import edit_dedup_keep_first
 
